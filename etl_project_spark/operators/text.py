@@ -1,0 +1,122 @@
+"""Text-analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+All pure column expressions (JVM-side, whole-stage-codegen'd): at 100 TB
+these run inside the scan stage with zero Python cost. The occurrence
+counter uses the length-difference trick — ``(len(s) -
+len(replace(s, t, ''))) / len(t)`` — which has bit-identical semantics
+in Spark and ANSI SQL, keeping every operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Public knowledge (most-frequent function words per language).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "une"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+#: Characters counted as punctuation by the quality scorer.
+_PUNCT_CLASS = r"[^.,!?;:]"
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of ``needle`` (length trick)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; blank/NULL-safe (0 for empty text)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def punct_count(col: Column) -> Column:
+    """Number of punctuation characters ``.,!?;:`` in the text."""
+    return F.length(F.regexp_replace(col, _PUNCT_CLASS, ""))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Total occurrences of the language's stopwords as whole words.
+
+    Counts `` word `` with padded text so boundaries need no regex —
+    the same expression is ANSI-SQL (oracle-parity safe).
+    """
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    total = F.lit(0)
+    for w in STOPWORDS[lang]:
+        total = total + occurrences(padded, f" {w} ")
+    return total
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    Blend of: non-trivial length, moderate mean token length, and
+    punctuation presence — the standard cheap pre-filter shape used by
+    large-scale corpus pipelines (length/punct/stopword ratios).
+    """
+    n_tok = token_count(col)
+    n_chars = F.length(col)
+    mean_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    tok_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_count(col) > 0, 1.0).otherwise(0.0)
+    return (0.5 * len_ok + 0.3 * tok_ok + 0.2 * punct_ok).cast("double")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Stopword-hit score per candidate language."""
+    return {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Pick the language with the most stopword hits (ties: lang order).
+
+    Deterministic argmax over :data:`STOPWORDS`; returns ``default``
+    when no stopword of any language appears (e.g. non-Latin scripts).
+    """
+    scores = lang_scores(col)
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    # Iterate in fixed order; strict > keeps the earliest max (stable).
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    Exact-dup detection key (same role as a rolling content hash but
+    collision-safe and available in every SQL engine for the oracle).
+    """
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(normalized.cast("binary"))
+
+
+def with_text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis profile as columns."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_punct": punct_count(c),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

@@ -1,0 +1,110 @@
+"""Deduplication queries over ``documents`` and ``embeddings``.
+
+Exact dedup is oracle-checked; the LSH families (MinHash, SimHash,
+n-gram Jaccard inverted index, embedding near-dup) are not ANSI-SQL
+expressible at scale → registered rows-only, with self-validating
+property tests in tests/test_dedup.py (dedup output ⊆ input, pair
+ordering id_a < id_b, LSH candidates ⊇ high-similarity pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.operators import dedup as DD
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return read_table(spark, sf_dir, name)
+
+
+@register(
+    "q_exact_dedup_documents",
+    oracle="""
+SELECT text, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM documents
+GROUP BY text
+""",
+    tags=("dedup",),
+)
+def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-text dedup keeping the smallest doc_id per text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+
+@register(
+    "q_key_dedup_orders_latest",
+    oracle="""
+SELECT o_custkey,
+       CAST(MAX(o_orderkey) AS BIGINT) AS latest_orderkey,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("dedup", "agg"),
+)
+def q_key_dedup_orders_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based dedup shape: one representative row per key (argmax)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max("o_orderkey").alias("latest_orderkey"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_minhash_near_dup_pairs",
+    oracle=None,  # LSH banding + Jaccard verify is not ANSI-SQL; see tests
+    tags=("dedup", "lsh", "rows-only"),
+)
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with exact Jaccard ≥ 0.3."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dup_pairs(
+        d, "doc_id", "text", n_hashes=64, bands=16, shingle_k=5, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_simhash_near_dup_pairs",
+    oracle=None,
+    tags=("dedup", "simhash", "rows-only"),
+)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ 6 of 64 bits."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=None,
+    tags=("dedup", "ngram", "rows-only"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard pairs ≥ 0.2 via inverted-index join."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "q_embedding_near_dup_pairs",
+    oracle=None,
+    tags=("dedup", "embedding", "rows-only"),
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed, cosine ≥ 0.9)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", dim=64, threshold=0.9, n_planes=10
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,137 @@
+"""Event-table queries: time windows and sessionization (batch mode).
+
+These are the batch-mode equivalents of the Structured Streaming
+operators in :mod:`etl_project_spark.streaming` (same logical
+semantics, oracle-checkable); the streaming variants run in
+tests/test_streaming.py with memory sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+#: Session gap for sessionization (seconds). 30 min, the industry default.
+SESSION_GAP_S = 1800
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return read_table(spark, sf_dir, "events")
+
+
+@register(
+    "q_tumbling_hourly_counts",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+""",
+    tags=("events", "window-agg"),
+)
+def q_tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch twin of the stream agg)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_sessionize_users",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR DATE_DIFF('second', LAG(ts) OVER w, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    tags=("events", "sessionize"),
+)
+def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag → gap flag → cumulative session id.
+
+    Classic batch sessionization (one shuffle on user_id, in-partition
+    sort); the streaming twin uses session_window(ts, gap) with a
+    watermark — see etl_project_spark.streaming.events.
+    """
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@register(
+    "q_event_type_pivot",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+""",
+    tags=("events", "pivot"),
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user (conditional aggregation form).
+
+    Expressed as count(when(...)) rather than .pivot() so the plan is a
+    single agg pass with no distinct-values job — the scalable shape.
+    """
+    e = _events(spark, sf_dir)
+    def cnt(t: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+    return e.groupBy("user_id").agg(
+        cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error")
+    )

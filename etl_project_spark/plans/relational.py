@@ -1,0 +1,466 @@
+"""Relational core: joins, aggregations, windows, sorts, set ops.
+
+The reference performs only union+distinct (flows/etl.py:304); the
+north star requires the full relational set over the driver corpus
+(SURVEY.md §2.5, §7.2 step 2). Every query here is a single declarative
+plan — Catalyst handles pushdown/pruning/join selection; comments call
+out the intended physical shape at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01: TPC-H Q1-style pricing summary — the classic wide aggregate.
+# Physical shape: parquet scan with shipdate filter pushed down → partial
+# hash agg (map-side) → shuffle on 2 low-cardinality keys → final agg.
+# At 100 TB the partial agg collapses ~600 G rows to a few dozen groups
+# per task before the shuffle — the shuffle is trivially small.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg",),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide groupBy aggregate with filter pushdown (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03: shipping-priority top-k — 3-way join + agg + deterministic top 10.
+# customer filter prunes the build side; orders⋈lineitem shuffles on the
+# order key. Top-k is orderBy().limit() → Spark's TakeOrderedAndProject,
+# which never materializes a global sort at scale.
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("join", "agg", "topk"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-10 by revenue (TPC-H Q3 shape)."""
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q05: multi-hop star join — region→nation are tiny dims, broadcast them
+# explicitly so the only shuffles are the fact-side joins.
+# --------------------------------------------------------------------------
+@register(
+    "q05_region_revenue",
+    oracle="""
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    tags=("join", "agg", "broadcast"),
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through broadcast dims, revenue per nation (Q5 shape)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    cust = c.join(dims, c.c_nationkey == dims.n_nationkey)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins — EXISTS / NOT EXISTS without materializing the probe.
+# --------------------------------------------------------------------------
+@register(
+    "q_semi_join_active_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+)
+""",
+    tags=("join", "semi"),
+)
+def q_semi_join_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join ≙ EXISTS: suppliers with any high-quantity lineitem."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "q_anti_join_idle_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("join", "anti"),
+)
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join ≙ NOT EXISTS: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_broadcast_dim_join",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+    tags=("join", "broadcast"),
+)
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint on a tiny dim — zero-shuffle join."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions — ranking and running aggregates. Both shuffle once on
+# the partition key, then sort within partitions; no global sort.
+# --------------------------------------------------------------------------
+@register(
+    "q_window_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+    tags=("window", "topk"),
+)
+def q_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (deterministic tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_window_running_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running_spend
+FROM orders
+""",
+    tags=("window",),
+)
+def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend ordered by order date."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "q_window_lag_gap_days",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(DATE_DIFF('day',
+            LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS INTEGER) AS days_since_prev
+FROM orders
+""",
+    tags=("window", "date"),
+)
+def q_window_lag_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: days between consecutive orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup, distinct aggregates, sort/limit, set ops.
+# --------------------------------------------------------------------------
+@register(
+    "q_rollup_order_status",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "rollup"),
+)
+def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → priority → grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_cube_returnflag_linestatus",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "cube"),
+)
+def q_cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@register(
+    "q_distinct_agg_customers_per_status",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "distinct"),
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expands to a two-phase agg under Catalyst."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_top10_orders_by_price",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("sort", "topk"),
+)
+def q_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — TakeOrderedAndProject, not a full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_intersect_segments",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+""",
+    tags=("setop",),
+)
+def q_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two customer segments."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "q_except_segments",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+""",
+    tags=("setop",),
+)
+def q_except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) of two customer segments."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    return a.subtract(b)
+
+
+@register(
+    "q_union_all_counts",
+    oracle="""
+SELECT src, COUNT(*) AS n FROM (
+  SELECT 'high_value' AS src FROM orders WHERE o_totalprice > 200000.0
+  UNION ALL
+  SELECT 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY src
+""",
+    tags=("setop", "agg"),
+)
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two derived scans, then aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000.0).select(
+        F.lit("high_value").alias("src")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src")
+    )
+    return a.unionByName(b).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Correlated-style subquery shapes expressed as joins.
+# --------------------------------------------------------------------------
+@register(
+    "q_above_avg_acctbal_per_nation",
+    oracle="""
+SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+FROM customer c
+JOIN (
+  SELECT c_nationkey, AVG(c_acctbal) AS nation_avg
+  FROM customer GROUP BY c_nationkey
+) a ON c.c_nationkey = a.c_nationkey
+WHERE c.c_acctbal > a.nation_avg
+""",
+    tags=("join", "agg", "subquery"),
+)
+def q_above_avg_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance (decorrelated join)."""
+    c = _t(spark, sf_dir, "customer")
+    avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        c.join(F.broadcast(avg.withColumnRenamed("c_nationkey", "nk")),
+               c.c_nationkey == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )

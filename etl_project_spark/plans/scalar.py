@@ -1,0 +1,187 @@
+"""Scalar-function layer: string/regex, date, JSON, array functions.
+
+Mirrors the reference's idioms (SURVEY.md §7.2 step 3): regexp
+extraction ≙ S3/S5 (flows/etl.py:134-135,149-159), concat_ws ≙ T5
+(:218), when/otherwise ≙ T4 (:206-208) — applied to the driver corpus
+so each is oracle-checkable. All JVM-side expressions inside the scan
+stage; nothing here shuffles except the final demo aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return read_table(spark, sf_dir, name)
+
+
+@register(
+    "q_string_funcs_part",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+       regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last_word,
+       CONCAT(p_brand, '/', p_type) AS brand_type
+FROM part
+WHERE p_type LIKE '%BRASS%'
+""",
+    tags=("string",),
+)
+def q_string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE filter + upper/length/regexp_extract/concat (≙ S3/S5 idioms)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").like("%BRASS%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_word"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@register(
+    "q_conditional_projection",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS balance_band,
+       CONCAT_WS(', ', c_name, c_mktsegment, 'ACTIVE') AS display_label
+FROM customer
+""",
+    tags=("string", "conditional"),
+)
+def q_conditional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise + concat_ws (≙ T4 guard + T5 query building)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("balance_band"),
+        F.concat_ws(", ", F.col("c_name"), F.col("c_mktsegment"), F.lit("ACTIVE")).alias(
+            "display_label"
+        ),
+    )
+
+
+@register(
+    "q_date_funcs_monthly_orders",
+    oracle="""
+SELECT DATE_TRUNC('month', o_orderdate) AS order_month,
+       EXTRACT(year FROM o_orderdate) AS order_year,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS monthly_revenue
+FROM orders
+GROUP BY DATE_TRUNC('month', o_orderdate), EXTRACT(year FROM o_orderdate)
+""",
+    tags=("date", "agg"),
+)
+def q_date_funcs_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc/extract + monthly aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("monthly_revenue"),
+        )
+    )
+
+
+@register(
+    "q_json_extract_events",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("json", "agg"),
+)
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (≙ events.props → typed column) + aggregate."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "q_array_funcs_embeddings",
+    oracle="""
+SELECT vec_id,
+       label,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
+       ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) AS mean_component
+FROM embeddings
+""",
+    tags=("array",),
+)
+def q_array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: per-vector dim, L2 norm, mean."""
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.transform(as_double, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    total = F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 4).alias("mean_component"),
+    )
+
+
+@register(
+    "q_packed_latlng_roundtrip",
+    oracle="""
+SELECT c_custkey,
+       CAST(regexp_extract(packed, '^\\s*([-+]?\\d+(\\.\\d+)?)\\s*,', 1) AS DOUBLE) AS lat,
+       CAST(regexp_extract(packed, ',\\s*([-+]?\\d+(\\.\\d+)?)\\s*$', 1) AS DOUBLE) AS lng
+FROM (
+  SELECT c_custkey,
+         CONCAT(CAST(ROUND(c_acctbal / 100.0, 4) AS VARCHAR), ',',
+                CAST(c_nationkey AS VARCHAR)) AS packed
+  FROM customer
+)
+""",
+    tags=("string", "cast"),
+)
+def q_packed_latlng_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack + unpack a ``"lat,lng"`` string (≙ flows/etl.py:154,219).
+
+    Builds a packed coordinate string from numeric columns, then splits
+    it back into typed doubles with the cleaning helper — round-trip
+    proves the sentinel-free path of the packed-string contract.
+    """
+    from etl_project_spark.cleaning import split_latlng
+
+    c = _t(spark, sf_dir, "customer")
+    packed = F.concat(
+        F.round(F.col("c_acctbal") / 100.0, 4).cast("string"),
+        F.lit(","),
+        F.col("c_nationkey").cast("string"),
+    )
+    lat, lng = split_latlng(packed)
+    return c.select("c_custkey", lat.alias("lat"), lng.alias("lng"))

@@ -1,0 +1,148 @@
+"""Text-analysis queries over the ``documents`` table.
+
+Query wrappers around :mod:`etl_project_spark.operators.text`. Every
+expression was chosen to have bit-identical ANSI-SQL semantics (length
+-difference occurrence counting, md5 of normalized text) so the whole
+text surface is oracle-checked, not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.operators import text as TX
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return read_table(spark, sf_dir, "documents")
+
+
+# SQL fragment mirroring operators.text.token_count (CAST: duckdb len()
+# is BIGINT, Spark size() is INT — match Spark).
+_SQL_TOKEN_COUNT = (
+    "CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS INTEGER)"
+)
+
+# SQL fragment mirroring operators.text.occurrences(padded, ' the ') etc.
+def _sql_occurrences(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((LENGTH({expr}) - LENGTH(REPLACE({expr}, '{esc}', ''))) / {len(needle)} AS INTEGER)"
+    )
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    padded = "CONCAT(' ', LOWER(text), ' ')"
+    terms = [_sql_occurrences(padded, f" {w} ") for w in TX.STOPWORDS[lang]]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q_token_stats_per_lang",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM({_SQL_TOKEN_COUNT}) AS BIGINT) AS total_tokens,
+       ROUND(AVG({_SQL_TOKEN_COUNT}), 4) AS avg_tokens,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+    tags=("text", "agg"),
+)
+def q_token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting aggregated per language tag."""
+    d = _docs(spark, sf_dir)
+    n_tok = TX.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_doc_quality_profile",
+    oracle=f"""
+SELECT doc_id,
+       {_SQL_TOKEN_COUNT} AS n_tokens,
+       CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+       ROUND(
+         0.5 * (CASE WHEN {_SQL_TOKEN_COUNT} BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (CASE WHEN {_SQL_TOKEN_COUNT} > 0
+                      AND (CAST(LENGTH(text) AS DOUBLE) / {_SQL_TOKEN_COUNT}) BETWEEN 2.0 AND 12.0
+                     THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (CASE WHEN LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) > 0
+                     THEN 1.0 ELSE 0.0 END), 4) AS quality
+FROM documents
+""",
+    tags=("text",),
+)
+def q_doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (length/token-length/punct blend)."""
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(c).alias("n_tokens"),
+        TX.punct_count(c).alias("n_punct"),
+        F.round(TX.quality_score(c), 4).alias("quality"),
+    )
+
+
+@register(
+    "q_lang_stopword_scores",
+    oracle=f"""
+SELECT doc_id,
+       lang,
+       {_sql_stopword_hits('en')} AS hits_en,
+       {_sql_stopword_hits('es')} AS hits_es,
+       {_sql_stopword_hits('fr')} AS hits_fr,
+       {_sql_stopword_hits('de')} AS hits_de
+FROM documents
+""",
+    tags=("text", "langid"),
+)
+def q_lang_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit scores per language — the lang-ID heuristic's inputs."""
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        TX.stopword_hits(c, "en").alias("hits_en"),
+        TX.stopword_hits(c, "es").alias("hits_es"),
+        TX.stopword_hits(c, "fr").alias("hits_fr"),
+        TX.stopword_hits(c, "de").alias("hits_de"),
+    )
+
+
+@register(
+    "q_doc_fingerprint_clusters",
+    oracle="""
+SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS representative_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("text", "dedup"),
+)
+def q_doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-fingerprint clustering: exact-dup groups by md5 key."""
+    from etl_project_spark.operators.dedup import dedup_clusters
+
+    d = _docs(spark, sf_dir)
+    clusters = dedup_clusters(d, "doc_id", TX.fingerprint(F.col("text")))
+    return clusters.select(
+        F.col("_key").alias("fingerprint"),
+        "representative_id",
+        "n_copies",
+    )

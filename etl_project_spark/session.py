@@ -1,0 +1,76 @@
+"""SparkSession factory and per-session tuning.
+
+The driver hands us a session in ``__spark_entry__.entry``; tests and
+bench build their own via :func:`get_spark`. Either way,
+:func:`tune_session` applies the runtime-settable confs every query
+relies on (UTC session timezone for oracle parity, AQE on).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to any session we touch. These are
+#: safe to set on a live session (unlike e.g. driver memory).
+_RUNTIME_CONFS = {
+    # DuckDB timestamps are UTC-naive; pin Spark to UTC so the
+    # correctness oracle compares identical wall-clock values.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The corpus events table stores timestamp[ns]; Spark's parquet
+    # reader rejects TIMESTAMP(NANOS) outright. Read nanos as long and
+    # convert explicitly in the catalog (truncation to µs matches what
+    # DuckDB does natively, keeping oracle parity).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs; idempotent and cheap — call from any entry point."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be marked static by the hosting harness;
+            # never fail a query over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl_project_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession sized for this host.
+
+    local[N] is a single JVM; ``spark.driver.memory`` is the only memory
+    knob that matters there. On a real cluster the same code runs
+    unmodified — only master/memory confs differ.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        # ~1 shuffle partition per core locally; AQE coalesces further.
+        shuffle_partitions = cpus
+    if driver_memory is None:
+        driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune_session(spark)

@@ -1,0 +1,153 @@
+"""Streaming event pipeline: watermarked windows, sessionization, dedup.
+
+The reference has no streaming surface (SURVEY.md §2.5); this module is
+the north-star extension (§7.2 step 5) built entirely on Structured
+Streaming primitives. Design notes for scale:
+
+- Source is a file stream over the same parquet layout as the batch
+  catalog — swap in Kafka by replacing :func:`read_events_stream`; every
+  downstream operator is source-agnostic.
+- All stateful ops carry a watermark so state is bounded: late rows
+  beyond the watermark are dropped deterministically instead of growing
+  executor state forever.
+- Aggregations shuffle on (window, key) — low-cardinality windows with
+  high-cardinality keys hash-spread evenly; no global state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the events table (FIXTURES.md); file streams require an
+#: explicit schema — inference is a batch-only convenience.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-stream source over an events parquet directory.
+
+    ``maxFilesPerTrigger`` is the micro-batch size knob (≙ the
+    reference's source-side concurrency cap, docker-compose.yml:101).
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_tumbling_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type.
+
+    Batch twin: plans/events.py::q_tumbling_hourly_counts.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts — each event lands in window/slide panes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_session_windows(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (built-in session_window).
+
+    Batch twin: plans/events.py::q_sessionize_users (lag + cumulative
+    flag formulation of the same gap semantics).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup_events(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon.
+
+    ``withWatermark().dropDuplicates([key, ts])`` bounds state: an id
+    seen again after the watermark has passed is treated as new — the
+    documented trade-off of bounded-state streaming dedup.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def run_to_memory_sink(
+    df: DataFrame, query_name: str, *, timeout_s: float = 120.0
+) -> None:
+    """Drive a streaming DataFrame to completion against a memory sink.
+
+    Test/demo helper: processes all available input (one trigger per
+    micro-batch) and blocks until the stream is idle. Complete mode for
+    aggregations, append for dedup-style passthroughs.
+    """
+    mode = "complete" if df.isStreaming and _has_aggregate(df) else "append"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan
