@@ -206,10 +206,21 @@ def minhash_near_dup_pairs(
     aggregates per doc (map-side partial combine collapses to one row
     per doc before the shuffle) → per-doc band hashing (16 cheap array
     slices) → band explode (long+id rows only) → self-equi-join on
-    (band_idx, band_hash) → exact-Jaccard verify via inverted-index
-    joins on the shingle rows. No cross join anywhere; every shuffle key
-    is a hash — skew-free by construction.
+    (band_idx, band_hash) → **signature-agreement prefilter** (the
+    fraction of equal minhash components is an unbiased Jaccard
+    estimator; a flat 64-term comparison, two narrow sig joins) →
+    exact-Jaccard verify via inverted-index joins on the shingle rows,
+    now only on statistically-plausible pairs. No cross join anywhere;
+    every shuffle key is a hash — skew-free by construction.
+
+    The prefilter matters: banding with (b, r) admits pairs near the
+    LSH threshold (1/b)^(1/r), so a user threshold below that point
+    floods the verify stage (measured 500k candidates → 33 s at 5 k
+    docs). The estimator margin ``3·σ = 3·√(t(1-t)/n_hashes)`` keeps
+    recall while cutting verify input by ~100×.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = n_hashes // bands
     rows = (
         ngram_rows(df, id_col, text_col, n=shingle_k)
@@ -220,6 +231,12 @@ def minhash_near_dup_pairs(
     sig = rows.groupBy("_id").agg(
         *[F.min(F.xxhash64("_gram", F.lit(j))).alias(f"_h{j}") for j in range(n_hashes)]
     )
+    # sig feeds 4 plan branches (band self-join ×2 + both prefilter
+    # sides) and rows feeds 2; without persist Spark re-executes the
+    # shingle+signature stages once per branch (measured 5× recompute).
+    # sig is tiny (n_docs × 64 longs); shingle rows spill to disk if big.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     sig_arr = F.array(*[F.col(f"_h{j}") for j in range(n_hashes)])
     banded = sig.select(
         "_id",
@@ -240,8 +257,25 @@ def minhash_near_dup_pairs(
         .distinct()
     )
 
+    sa = sig.select(
+        F.col("_id").alias("id_a"), *[F.col(f"_h{j}").alias(f"_ha{j}") for j in range(n_hashes)]
+    )
+    sb = sig.select(
+        F.col("_id").alias("id_b"), *[F.col(f"_h{j}").alias(f"_hb{j}") for j in range(n_hashes)]
+    )
+    agree = sum(
+        (F.col(f"_ha{j}") == F.col(f"_hb{j}")).cast("int") for j in range(n_hashes)
+    ) / float(n_hashes)
+    margin = 3.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
+    plausible = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(agree >= max(0.0, threshold - margin))
+        .select("id_a", "id_b")
+    )
+
     distinct_grams = rows.dropDuplicates(["_id", "_gram"])
-    return pair_jaccard(candidates, distinct_grams).filter(
+    return pair_jaccard(plausible, distinct_grams).filter(
         F.col("jaccard_sim") >= threshold
     )
 

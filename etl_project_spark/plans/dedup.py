@@ -64,10 +64,17 @@ def q_key_dedup_orders_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh", "rows-only"),
 )
 def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs with exact Jaccard ≥ 0.3."""
+    """MinHash-LSH near-dup pairs, word-3-gram Jaccard ≥ 0.5.
+
+    Word n-grams, not char shingles: background char-5-gram Jaccard of
+    prose runs ~0.2 (shared vocabulary), which floods LSH banding with
+    noise-floor candidates at any realistic threshold; word-3-gram
+    background is ~0.01 while true near-dups stay ≥0.5.
+    """
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
-        d, "doc_id", "text", n_hashes=64, bands=16, shingle_k=5, threshold=0.3
+        d, "doc_id", "text", n_hashes=64, bands=16, shingle_k=3,
+        threshold=0.5, use_token_ngrams=True,
     ).orderBy("id_a", "id_b")
 
 
