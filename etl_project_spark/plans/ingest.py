@@ -1,0 +1,144 @@
+"""Ingestion + enrichment queries — the reference's distinctive surface
+(SURVEY.md §7.2 step 4) run end to end through the engine:
+
+    paginated custom source → sentinel handling → guarded retrying
+    enrichment (mapInPandas) → typed coordinate extraction
+
+Both queries are fully oracle-checked even though no corpus table is
+involved: the synthetic fetcher and the stand-in geocoder are
+deterministic arithmetic (Knuth multiplicative hash / md5), so the
+DuckDB oracle regenerates the identical source rows with
+``generate_series`` and mirrors the enrichment hash in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.cleaning import split_latlng
+from etl_project_spark.operators.enrich import deterministic_geocoder, enrich_with_service
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+from etl_project_spark.sources.paginated import register_paginated_source
+
+#: Fixed sizing so Spark and the oracle agree (sf-independent surface).
+N_ROWS = 2000
+ROWS_PER_PAGE = 128
+
+#: DuckDB CTE regenerating SyntheticShopFetcher's rows exactly.
+_SRC_CTE = f"""
+src AS (
+  SELECT i,
+         'Shop ' || lpad(CAST(i AS VARCHAR), 5, '0') AS shop,
+         (i * 2654435761) % 4294967296 AS h
+  FROM generate_series(0, {N_ROWS - 1}) t(i)
+),
+rows_ AS (
+  SELECT shop,
+         'Street ' || CAST(h % 5000 AS VARCHAR) || ' No. ' || CAST(h % 900 + 100 AS VARCHAR) AS direccion,
+         'Locality ' || CAST(h % 50 AS VARCHAR) AS localidad,
+         h % 10 AS bucket,
+         ROUND(-34.0 - (h % 1000) / 1000.0, 6) AS src_lat,
+         ROUND(-58.0 - (h % 997) / 997.0, 6) AS src_lng
+  FROM src
+)
+"""
+
+
+def _scan(spark: SparkSession) -> DataFrame:
+    tune_session(spark)
+    register_paginated_source(spark)
+    return (
+        spark.read.format("paginated_table")
+        .option("n_rows", N_ROWS)
+        .option("rows_per_page", ROWS_PER_PAGE)
+        .option("max_concurrency", 8)
+        .load()
+    )
+
+
+@register(
+    "q_source_paginated_scan",
+    oracle=f"""
+WITH {_SRC_CTE}
+SELECT CASE WHEN bucket < 7 THEN 'packed'
+            WHEN bucket < 8 THEN 'regex_miss'
+            ELSE 'no_button' END AS coord_status,
+       COUNT(*) AS n_shops,
+       CAST(COUNT(DISTINCT localidad) AS BIGINT) AS n_localities
+FROM rows_
+GROUP BY 1
+""",
+    tags=("source", "custom-datasource"),
+)
+def q_source_paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the paginated custom source; profile the sentinel mix.
+
+    ≙ S1-S6 (flows/etl.py:67-183): the whole scraped-table scan as a
+    parallel Spark source — pages are partitions, the sentinel
+    convention of :150-159 arrives intact and is classified here.
+    """
+    df = _scan(spark)
+    status = (
+        F.when(F.col("Localizar") == "No disponible", "no_button")
+        .when(F.col("Localizar") == "", "regex_miss")
+        .otherwise("packed")
+    )
+    return df.groupBy(status.alias("coord_status")).agg(
+        F.count(F.lit(1)).alias("n_shops"),
+        F.countDistinct("Localidad").alias("n_localities"),
+    )
+
+
+@register(
+    "q_enrich_missing_coords",
+    oracle=f"""
+WITH {_SRC_CTE},
+geo AS (
+  SELECT shop,
+         bucket,
+         src_lat,
+         src_lng,
+         CAST(concat('0x', substr(md5(direccion || ', ' || localidad || ', ARGENTINA'), 1, 8)) AS BIGINT) AS gh
+  FROM rows_
+)
+SELECT shop,
+       CASE WHEN bucket < 7 THEN src_lat
+            WHEN bucket < 8 THEN NULL
+            ELSE ROUND(gh % 18000 / 100.0 - 90.0, 2) END AS lat,
+       CASE WHEN bucket < 7 THEN src_lng
+            WHEN bucket < 8 THEN NULL
+            ELSE ROUND(gh % 36000 / 100.0 - 180.0, 2) END AS lng,
+       bucket >= 8 AS was_enriched
+FROM geo
+""",
+    tags=("enrich", "mapInPandas", "pipeline"),
+)
+def q_enrich_missing_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → guarded enrichment → typed coordinates, end to end.
+
+    ≙ the reference's extract→transform spine (flows/etl.py:289-306):
+    only ``"No disponible"`` rows are geocoded (T4 guard, :206-208) via
+    the retrying mapInPandas operator (T6, :186-242); regex-miss ``''``
+    rows stay NULL exactly as the reference leaves them unenriched.
+    """
+    df = _scan(spark)
+    df = df.withColumn("needs_geo", F.col("Localizar") == "No disponible")
+    df = df.withColumn(
+        "__q",
+        F.concat_ws(", ", F.col("Dirección"), F.col("Localidad"), F.lit("ARGENTINA")),
+    )
+    enriched = enrich_with_service(
+        df, "__q", "geo", deterministic_geocoder, guard_col="needs_geo"
+    )
+    packed = F.when(F.col("needs_geo"), F.col("geo")).otherwise(
+        F.nullif(F.col("Localizar"), F.lit(""))
+    )
+    lat, lng = split_latlng(packed)
+    return enriched.select(
+        F.col("Comercio").alias("shop"),
+        lat.alias("lat"),
+        lng.alias("lng"),
+        F.col("needs_geo").alias("was_enriched"),
+    )

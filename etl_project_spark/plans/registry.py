@@ -41,6 +41,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.dedup",
     "etl_project_spark.plans.similarity",
     "etl_project_spark.plans.events",
+    "etl_project_spark.plans.ingest",
 )
 
 

@@ -39,7 +39,40 @@ def tune_session(spark: SparkSession) -> SparkSession:
             # Some confs may be marked static by the hosting harness;
             # never fail a query over a tuning knob.
             pass
+    ensure_shipped(spark)
     return spark
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make ``etl_project_spark`` importable inside Python workers.
+
+    Custom Python data sources and mapInPandas closures are pickled *by
+    reference* — workers re-import this package, which fails whenever
+    the driver found it via cwd/sys.path rather than an installed
+    location. ``addPyFile`` ships a zip of the package to every worker
+    (current and future) and puts it on their sys.path — the same
+    mechanism that distributes code to a 1000-executor cluster.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_etl_project_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import etl_project_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(etl_project_spark.__file__))
+    parent = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.mkdtemp(prefix="etl_project_spark_"),
+                         "etl_project_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, parent))
+    sc.addPyFile(zpath)
+    sc._etl_project_spark_shipped = True
 
 
 def get_spark(

@@ -1,0 +1,179 @@
+"""Paginated-table custom Python Data Source (Spark 4 DataSource API).
+
+Re-expresses the reference's scraping scan (flows/etl.py:67-183) as a
+first-class Spark source instead of driver-side imperative code:
+
+| Reference step                      | file:line          | Here |
+|-------------------------------------|--------------------|------|
+| S1 remote session open + retry      | flows/etl.py:67-90 | per-partition connection in ``read()``; retries via ``spark.task.maxFailures`` |
+| S2 header scan → schema discovery   | flows/etl.py:92-114| ``schema()`` asks the fetcher for page-0 headers at plan time |
+| S3 cardinality probe                | flows/etl.py:134-135| fetcher reports ``total_rows`` → number of page partitions |
+| S4 paginated columnar scan          | flows/etl.py:117-183| one ``InputPartition`` per page range; executors fetch pages in parallel |
+| S5 in-source cell extraction        | flows/etl.py:149-159| the fetcher emits final strings (compute pushed into the source) |
+| S6 batch materialize                | flows/etl.py:181   | rows yielded per page ≙ one Arrow batch per page |
+
+The browser itself is NOT reproduced — fetching is pluggable via a
+``PageFetcher``. The default :class:`SyntheticShopFetcher` is a
+deterministic stand-in with the exact shape of the scraped data
+(including the ``"lat,lng"`` / ``''`` / ``"No disponible"`` sentinel
+convention of flows/etl.py:150-159), so the source is testable offline;
+a Selenium/HTTP fetcher drops in without touching the Spark plumbing.
+
+Scale design: pages are input partitions, so a 1000-executor cluster
+fetches 1000 pages concurrently — bounded by ``max_concurrency``
+(≙ the reference's 2-session browser cap, docker-compose.yml:100-101)
+which caps the number of partitions each holding a contiguous page
+range fetched sequentially (source-side politeness).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+# -- pluggable page fetchers ------------------------------------------------
+
+class PageFetcher:
+    """Contract for a paginated tabular source.
+
+    Implementations must be picklable (instantiated on the driver,
+    shipped to executors inside partitions).
+    """
+
+    def headers(self) -> list[str]:
+        """Column names (≙ `<th>` scan, flows/etl.py:109-110)."""
+        raise NotImplementedError
+
+    def total_rows(self) -> int:
+        """Total record count (≙ regex probe, flows/etl.py:134-135)."""
+        raise NotImplementedError
+
+    def page_size(self) -> int:
+        raise NotImplementedError
+
+    def fetch_page(self, page: int) -> Sequence[tuple]:
+        """Return the rows of one page, already extracted to strings."""
+        raise NotImplementedError
+
+
+@dataclass
+class SyntheticShopFetcher(PageFetcher):
+    """Deterministic stand-in for the scraped shop table.
+
+    Emits the same 4-column shape the reference scrapes (shop, address,
+    locality, packed-coordinate) with the sentinel convention of
+    flows/etl.py:150-159: ~70% packed ``"lat,lng"``, ~10% ``''``
+    (regex miss), ~20% ``"No disponible"`` (no locate button).
+    """
+
+    n_rows: int = 1000
+    rows_per_page: int = 100
+
+    _HEADERS = ("Comercio", "Dirección", "Localidad", "Localizar")
+
+    def headers(self) -> list[str]:
+        return list(self._HEADERS)
+
+    def total_rows(self) -> int:
+        return self.n_rows
+
+    def page_size(self) -> int:
+        return self.rows_per_page
+
+    def fetch_page(self, page: int) -> Sequence[tuple]:
+        start = page * self.rows_per_page
+        end = min(start + self.rows_per_page, self.n_rows)
+        rows = []
+        for i in range(start, end):
+            h = (i * 2654435761) % 2**32  # Knuth multiplicative hash
+            bucket = h % 10
+            if bucket < 7:
+                lat = round(-34.0 - (h % 1000) / 1000.0, 6)
+                lng = round(-58.0 - (h % 997) / 997.0, 6)
+                locate = f"{lat},{lng}"
+            elif bucket < 8:
+                locate = ""
+            else:
+                locate = "No disponible"
+            rows.append(
+                (
+                    f"Shop {i:05d}",
+                    f"Street {h % 5000} No. {h % 900 + 100}",
+                    f"Locality {h % 50}",
+                    locate,
+                )
+            )
+        return rows
+
+
+# -- the data source --------------------------------------------------------
+
+class _PageRangePartition(InputPartition):
+    def __init__(self, fetcher: PageFetcher, first_page: int, last_page: int):
+        self.fetcher = fetcher
+        self.first_page = first_page
+        self.last_page = last_page  # inclusive
+
+
+class PaginatedTableReader(DataSourceReader):
+    def __init__(self, fetcher: PageFetcher, max_concurrency: int):
+        self.fetcher = fetcher
+        self.max_concurrency = max_concurrency
+
+    def partitions(self) -> Sequence[InputPartition]:
+        n_pages = max(1, math.ceil(self.fetcher.total_rows() / self.fetcher.page_size()))
+        n_parts = min(self.max_concurrency, n_pages)
+        pages_per_part = math.ceil(n_pages / n_parts)
+        return [
+            _PageRangePartition(
+                self.fetcher, first, min(first + pages_per_part - 1, n_pages - 1)
+            )
+            for first in range(0, n_pages, pages_per_part)
+        ]
+
+    def read(self, partition: _PageRangePartition) -> Iterator[tuple]:
+        # One connection per partition, pages fetched sequentially within
+        # it (politeness); task retry re-reads the whole range, which is
+        # safe because fetch_page is required to be deterministic-ish
+        # per page (same contract as any re-scannable source).
+        for page in range(partition.first_page, partition.last_page + 1):
+            yield from partition.fetcher.fetch_page(page)
+
+
+class PaginatedTableDataSource(DataSource):
+    """``spark.read.format("paginated_table")`` — options:
+
+    - ``n_rows`` / ``rows_per_page``: synthetic fetcher sizing
+    - ``max_concurrency``: partition cap (≙ SE_NODE_MAX_SESSIONS)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "paginated_table"
+
+    def _fetcher(self) -> PageFetcher:
+        return SyntheticShopFetcher(
+            n_rows=int(self.options.get("n_rows", 1000)),
+            rows_per_page=int(self.options.get("rows_per_page", 100)),
+        )
+
+    def schema(self) -> StructType:
+        schema = StructType()
+        for h in self._fetcher().headers():
+            schema = schema.add(h, "string")
+        return schema
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return PaginatedTableReader(
+            self._fetcher(), int(self.options.get("max_concurrency", 8))
+        )
+
+
+def register_paginated_source(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(PaginatedTableDataSource)

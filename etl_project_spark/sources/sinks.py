@@ -1,0 +1,63 @@
+"""Sink wrappers: batched JDBC and partitioned parquet.
+
+≙ the reference's load stage (flows/etl.py:244-286): DDL-from-schema
+(`df.head(n=0).to_sql(if_exists='replace')`, :256-258) and 5,000-row
+chunked multi-row INSERTs (:261-284). Spark subsumes both: `mode` issues
+the DDL and `batchsize` batches the inserts per executor — the
+driver-side chunk loop disappears entirely, and N partitions write over
+N connections instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: ≙ chunksize at flows/etl.py:261.
+DEFAULT_BATCH_SIZE = 5000
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "overwrite",
+    batchsize: int = DEFAULT_BATCH_SIZE,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Write a DataFrame to a JDBC table in batched inserts.
+
+    ``mode='overwrite'`` ≙ K1 (DDL-from-schema replace, flows/etl.py:256-258);
+    ``mode='append'`` ≙ K2 (chunked append, flows/etl.py:260-286).
+    ``num_partitions`` caps concurrent connections (a 1000-task write
+    would otherwise open 1000 connections against one database).
+    """
+    writer = df
+    if num_partitions is not None and num_partitions < df.rdd.getNumPartitions():
+        writer = df.coalesce(num_partitions)  # no shuffle, narrows tasks
+    opts = {"url": url, "dbtable": table, "batchsize": str(batchsize)}
+    for k, v in (properties or {}).items():
+        opts[k] = v
+    writer.write.format("jdbc").options(**opts).mode(mode).save()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Columnar analytics sink (the scale-path alternative to JDBC).
+
+    ``partition_by`` enables partition pruning for downstream readers;
+    ``max_records_per_file`` bounds file sizes without a repartition.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)

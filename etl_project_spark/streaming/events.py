@@ -21,13 +21,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Schema of the events table (FIXTURES.md); file streams require an
-#: explicit schema — inference is a batch-only convenience.
-EVENTS_SCHEMA = T.StructType(
+#: explicit schema — inference is a batch-only convenience. ``ts`` is
+#: declared long because the corpus stores TIMESTAMP(NANOS), which the
+#: session reads as epoch-nanos (``nanosAsLong`` conf, see session.py);
+#: :func:`read_events_stream` converts to a real timestamp.
+EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.LongType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
@@ -42,11 +45,15 @@ def read_events_stream(
     ``maxFilesPerTrigger`` is the micro-batch size knob (≙ the
     reference's source-side concurrency cap, docker-compose.yml:101).
     """
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    from etl_project_spark.session import tune_session
+
+    tune_session(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def stream_tumbling_counts(

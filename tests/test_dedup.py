@@ -1,0 +1,102 @@
+"""Self-validating properties for the non-SQL-expressible dedup ops
+(SURVEY.md §5.3): output ⊆ input, pair ordering, recall of LSH
+candidates vs brute force on a corpus slice.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.operators import dedup as DD
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_ORACLE, "documents").cache()
+
+
+def test_minhash_pairs_are_ordered_and_above_threshold(spark, docs):
+    pairs = DD.minhash_near_dup_pairs(
+        docs, "doc_id", "text", n_hashes=64, bands=16, shingle_k=3,
+        threshold=0.5, use_token_ngrams=True,
+    ).collect()
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.jaccard_sim >= 0.5
+        assert r.id_a in ids and r.id_b in ids
+
+
+def test_minhash_recall_vs_bruteforce(spark, docs):
+    """Every truly-similar pair must be found: brute-force the exact
+    word-3-gram Jaccard ≥ 0.7 pairs (high threshold → tiny set, banding
+    recall ≥ 0.988 per pair at (16,4)) and require the LSH output to
+    contain them all.
+    """
+    grams = DD.ngram_rows(docs, "doc_id", "text", n=3).dropDuplicates(["_id", "_gram"])
+    a = grams.alias("a")
+    b = grams.alias("b")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in DD.pair_jaccard(
+            a.join(b, (F.col("a._gram") == F.col("b._gram")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct(),
+            grams,
+        )
+        .filter(F.col("jaccard_sim") >= 0.7)
+        .collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_near_dup_pairs(
+            docs, "doc_id", "text", n_hashes=64, bands=16, shingle_k=3,
+            threshold=0.7, use_token_ngrams=True,
+        ).collect()
+    }
+    assert truth, "corpus should contain at least one true near-dup pair"
+    missed = truth - found
+    assert not missed, f"LSH missed {len(missed)}/{len(truth)} true pairs: {sorted(missed)[:5]}"
+
+
+def test_simhash_pairs_hamming_bound(spark, docs):
+    pairs = DD.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.hamming <= 6
+
+
+def test_simhash_exact_dups_have_zero_hamming(spark, docs):
+    """Documents with identical normalized text must collide exactly."""
+    sh = DD.simhash_fingerprints(docs, "doc_id", "text")
+    norm = docs.select(
+        F.col("doc_id").alias("_id"), DD.normalize_text(F.col("text")).alias("_norm")
+    )
+    joined = sh.join(norm, "_id")
+    groups = (
+        joined.groupBy("_norm")
+        .agg(F.countDistinct("_sim").alias("n_sigs"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    bad = groups.filter(F.col("n_sigs") > 1).count()
+    assert bad == 0
+
+
+def test_exact_dedup_subset_and_idempotent(spark, docs):
+    deduped = DD.exact_dedup(docs.select("text"))
+    n1 = deduped.count()
+    assert n1 <= docs.count()
+    assert DD.exact_dedup(deduped).count() == n1
+
+
+def test_embedding_near_dup_pairs_verified_cosine(spark):
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    pairs = DD.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.9, n_planes=10
+    ).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.cosine_sim >= 0.9

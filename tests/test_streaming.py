@@ -1,0 +1,90 @@
+"""Streaming operators driven end to end with file-stream input and
+memory sinks, checked against their registered batch twins (same
+logical semantics ⇒ same results once the stream drains).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import table_path
+from etl_project_spark.streaming import events as SE
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def events_path(tmp_path_factory):
+    """File-stream sources need a directory; the corpus is one parquet
+    file — stage a symlink dir (read-only, testdata untouched)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    (d / "events.parquet").symlink_to(table_path(SF_ORACLE, "events"))
+    return str(d)
+
+
+def _drain(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name != "dedup" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+
+
+def test_stream_tumbling_matches_batch(spark, events_path):
+    stream = SE.read_events_stream(spark, events_path)
+    assert stream.isStreaming
+    _drain(SE.stream_tumbling_counts(stream), "tumbling")
+    got = {
+        (r.win_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    from etl_project_spark.plans.registry import all_specs
+
+    batch = all_specs()["q_tumbling_hourly_counts"].builder(spark, SF_ORACLE)
+    want = {
+        (r.win_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_session_windows_drain(spark, events_path):
+    stream = SE.read_events_stream(spark, events_path)
+    _drain(SE.stream_session_windows(stream, gap="30 minutes"), "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert rows
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+
+
+def test_stream_dedup_removes_nothing_on_unique_ids(spark, events_path):
+    stream = SE.read_events_stream(spark, events_path)
+    q = (
+        SE.stream_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    n_stream = spark.sql("SELECT COUNT(*) AS n FROM dedup").collect()[0].n
+    n_batch = spark.read.parquet(events_path).count()
+    # event_id is unique in the corpus → dedup must be a no-op.
+    assert n_stream == n_batch
+
+
+def test_stream_sliding_counts_cover_tumbling(spark, events_path):
+    stream = SE.read_events_stream(spark, events_path)
+    _drain(SE.stream_sliding_counts(stream, window="1 hour", slide="30 minutes"), "sliding")
+    rows = spark.sql("SELECT * FROM sliding").collect()
+    assert rows
+    # every event lands in window/slide = 2 panes → total pane-events
+    # is exactly 2x the tumbling total
+    total_pane_events = sum(r.n_events for r in rows)
+    n_events = spark.read.parquet(events_path).count()
+    assert total_pane_events == 2 * n_events
