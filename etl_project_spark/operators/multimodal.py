@@ -1,0 +1,210 @@
+"""Multimodal column operators: images/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched Python stages.
+
+The reference is text-only; this is north-star surface for an LLM
+training-data pipeline at 100 TB:
+
+- A multimodal table is ``(id, modality, payload binary, meta struct)``.
+  Payloads stay opaque to Catalyst — only metadata columns participate
+  in pruning/filtering, so a filter on ``meta.width`` never deserializes
+  a payload.
+- Byte-level feature extraction (size, entropy, magic-number sniffing)
+  is REAL and runs vectorized over Arrow batches via ``mapInPandas``.
+- Actual media decode (pixels, PCM, frames) requires codec libraries
+  not present in this environment; :func:`decode_payload` is the
+  clearly-marked stub seam — the Spark-side contract (schema,
+  batching, partition shape) is identical for a real decoder.
+
+Scale notes: payload work is embarrassingly parallel — no shuffle at
+all; ``maxPartitionBytes`` governs batch size. Feature extraction emits
+narrow rows (drop the payload as early as possible so downstream
+stages never shuffle binary blobs).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Magic numbers for payload sniffing (public file-format signatures).
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF", "audio/wav-or-avi"),
+    (b"ID3", "audio/mp3"),
+    (b"\x1aE\xdf\xa3", "video/webm-or-mkv"),
+    (b"%PDF", "application/pdf"),
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sniffed_type", T.StringType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("payload_hash", T.LongType()),
+    ]
+)
+
+
+def sniff_type(payload: bytes | None) -> str:
+    if not payload:
+        return "empty"
+    for magic, name in _MAGIC:
+        if payload.startswith(magic):
+            return name
+    return "unknown"
+
+
+def byte_entropy(payload: bytes | None) -> float:
+    """Shannon entropy of the byte histogram (0.0–8.0 bits)."""
+    if not payload:
+        return 0.0
+    counts: dict[int, int] = {}
+    for b in payload:
+        counts[b] = counts.get(b, 0) + 1
+    n = len(payload)
+    return -sum(c / n * math.log2(c / n) for c in counts.values())
+
+
+def extract_features(df: DataFrame, *, id_col: str = "id",
+                     modality_col: str = "modality",
+                     payload_col: str = "payload") -> DataFrame:
+    """Vectorized byte-level features per payload (real, no decode).
+
+    Emits narrow rows only — the binary column does not survive this
+    operator, so downstream shuffles never move blobs.
+    """
+    cols = [id_col, modality_col, payload_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "modality": pdf[modality_col],
+                    "n_bytes": payloads.map(lambda p: 0 if p is None else len(p)).astype("int64"),
+                    "sniffed_type": payloads.map(sniff_type),
+                    "byte_entropy": payloads.map(byte_entropy),
+                    "payload_hash": payloads.map(
+                        lambda p: _fnv1a64(p) if p is not None else 0
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def _fnv1a64(data: bytes) -> int:
+    """FNV-1a 64-bit — deterministic content hash for exact payload dedup."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) % 2**64
+    return h - 2**64 if h >= 2**63 else h  # wrap to signed long
+
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def decode_payload(payload: bytes, modality: str):
+    """STUB — media decode seam.
+
+    Real implementation needs codec libraries (Pillow/ffmpeg/soundfile)
+    that are not available in this environment. The Spark-side contract
+    is fixed: called once per payload inside the Arrow batch loop of
+    :func:`decode_images`; returns a dict matching the decoded schema.
+    """
+    raise NotImplementedError(
+        "media decode requires codec libraries; plug a real decoder into "
+        "decode_images(decoder=...) — the Spark plumbing is identical"
+    )
+
+
+def _fake_image_decoder(payload: bytes, modality: str) -> dict:
+    """Deterministic stand-in decoder used to exercise the plumbing:
+    derives plausible dimensions/stats from payload bytes alone."""
+    h = _fnv1a64(payload or b"")
+    return {
+        "width": 16 + abs(h) % 1920,
+        "height": 16 + abs(h >> 11) % 1080,
+        "n_channels": 1 + abs(h >> 23) % 4,
+        "mean_luma": round(abs(h >> 31) % 256 / 255.0, 6),
+    }
+
+
+def decode_images(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    decoder=None,
+) -> DataFrame:
+    """Decode image payloads to typed metadata rows (Arrow-batched).
+
+    ``decoder=None`` uses :func:`decode_payload` (raises — the honest
+    stub); tests pass the deterministic fake to exercise the batching,
+    schema, and partition behavior that a real decoder would use.
+    """
+    decode = decoder or decode_payload
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, p, m in zip(pdf[id_col], pdf[payload_col], pdf[modality_col]):
+                d = decode(p, m)
+                out.append(
+                    {
+                        "id": int(i),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_channels": d["n_channels"],
+                        "mean_luma": d["mean_luma"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_IMAGE_SCHEMA.fields])
+
+    return df.select(id_col, payload_col, modality_col).mapInPandas(
+        run, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+def make_multimodal_table(docs: DataFrame) -> DataFrame:
+    """Derive a multimodal-shaped table from the documents corpus.
+
+    The corpus has no binary media; payloads here are the UTF-8 bytes of
+    each document (deterministic, oracle-mirrorable via ``encode()``),
+    with modality assigned round-robin — enough to exercise every
+    operator in this module with verifiable results.
+    """
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("text")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").alias("n_chars"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,70 @@
+"""Multimodal-column queries over a binary-payload table derived from
+the documents corpus (payload = UTF-8 bytes — deterministic, so the
+byte-level pipeline stays oracle-checkable; see operators/multimodal.py
+for the decode stub rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.operators import multimodal as MM
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+
+def _mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return MM.make_multimodal_table(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_multimodal_payload_profile",
+    oracle="""
+SELECT CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         WHEN 2 THEN 'video' ELSE 'text' END AS modality,
+       COUNT(*) AS n_payloads,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY 1
+""",
+    tags=("multimodal", "binary"),
+)
+def q_multimodal_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level payload profile per modality through mapInPandas.
+
+    The binary column is dropped inside the feature extractor — only
+    narrow feature rows reach this aggregate (no blob shuffles).
+    """
+    feats = MM.extract_features(_mm(spark, sf_dir))
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+@register(
+    "q_multimodal_decoded_stats",
+    oracle=None,  # decode is the stubbed seam; fake decoder is property-tested
+    tags=("multimodal", "decode", "rows-only"),
+)
+def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-image metadata stats via the (stand-in) decoder.
+
+    Exercises the full decode plumbing — Arrow batches, typed output
+    schema, payload-local parallelism — with the deterministic fake;
+    a real decoder is a one-argument swap.
+    """
+    mm = _mm(spark, sf_dir).filter(F.col("modality") == "image")
+    decoded = MM.decode_images(mm, decoder=MM._fake_image_decoder)
+    return decoded.groupBy("n_channels").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("width"), 2).alias("avg_width"),
+        F.round(F.avg("height"), 2).alias("avg_height"),
+        F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+    ).orderBy("n_channels")

@@ -42,6 +42,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.similarity",
     "etl_project_spark.plans.events",
     "etl_project_spark.plans.ingest",
+    "etl_project_spark.plans.multimodal",
 )
 
 

@@ -52,12 +52,12 @@ def q_knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "rows-only"),
 )
 def q_knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucket-pruned approximate top-10 (multi-probe Hamming ≤ 1)."""
+    """Approximate top-10 via multi-table hyperplane LSH (8×6 bits)."""
     tune_session(spark)
     e = read_table(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(
         e, "embedding", QUERY_VEC, dim=64, k=10, id_col="vec_id",
-        n_planes=8, max_probe_hamming=1,
+        n_tables=8, planes_per_table=6,
     ).select("vec_id", "score", "rank")
 
 

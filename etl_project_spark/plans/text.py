@@ -125,6 +125,72 @@ def q_lang_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lang_id_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_sql_stopword_hits('en')} AS s_en,
+         {_sql_stopword_hits('es')} AS s_es,
+         {_sql_stopword_hits('fr')} AS s_fr,
+         {_sql_stopword_hits('de')} AS s_de
+  FROM documents
+), best AS (
+  SELECT lang,
+         CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
+              ELSE 'de' END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM best
+GROUP BY lang, lang_pred
+""",
+    tags=("text", "langid"),
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID classification vs the corpus label (confusion counts).
+
+    The heuristic's argmax tie rule (earliest language in declaration
+    order wins; all-zero → 'und') is mirrored exactly in the oracle's
+    CASE ordering.
+    """
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q_bpe_token_estimate",
+    oracle="""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS est_bpe_tokens,
+       ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))), 4) AS avg_bpe_tokens
+FROM documents
+GROUP BY lang
+""",
+    tags=("text", "tokenize"),
+)
+def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimate (subword regex) per language.
+
+    Greedy ≤4-letter alpha chunks + single digits + single symbols —
+    the cheap LLM-token budget estimator; same regex runs in both
+    engines (Java regex / RE2 agree on this pattern).
+    """
+    d = _docs(spark, sf_dir)
+    n = TX.bpe_token_estimate(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.sum(n).cast("long").alias("est_bpe_tokens"),
+        F.round(F.avg(n), 4).alias("avg_bpe_tokens"),
+    )
+
+
+@register(
     "q_doc_fingerprint_clusters",
     oracle="""
 SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,

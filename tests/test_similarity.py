@@ -1,0 +1,85 @@
+"""Similarity-search properties: exact top-k matches a local numpy
+recompute; the LSH-pruned variant is a subset with bounded recall loss;
+kNN join ranks correctly per probe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.operators import similarity as SIM
+from etl_project_spark.plans.similarity import QUERY_VEC
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_ORACLE, "embeddings").cache()
+
+
+def _local_topk(rows, q, k):
+    q = np.asarray(q, dtype=np.float64)
+    scored = []
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        denom = np.linalg.norm(v) * np.linalg.norm(q)
+        s = float(v @ q / denom) if denom > 0 else 0.0
+        scored.append((round(s, 4), r.vec_id))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return scored[:k]
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb):
+    got = SIM.brute_force_topk(emb, "embedding", QUERY_VEC, k=10).collect()
+    want = _local_topk(emb.select("vec_id", "embedding").collect(), QUERY_VEC, 10)
+    assert [(r.score, r.vec_id) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, 11))
+
+
+def test_lsh_topk_self_query_recall(spark, emb):
+    """Query with an actual row's vector: the row itself matches every
+    LSH table (identical signs), so it MUST come back at rank 1 with
+    score 1.0; close neighbors (cosine ≥ 0.9) are found w.p. ~0.98
+    each — require at least half, deterministic given fixed planes.
+    """
+    probe = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qvec = list(probe.embedding)
+    approx = SIM.lsh_bucketed_topk(
+        emb, "embedding", qvec, dim=64, k=10, n_tables=8, planes_per_table=6
+    ).collect()
+    assert approx[0].vec_id == 0 and approx[0].score == 1.0 and approx[0].rank == 1
+    assert [r.rank for r in approx] == list(range(1, len(approx) + 1))
+
+    exact = SIM.brute_force_topk(emb, "embedding", qvec, k=10).collect()
+    close = {r.vec_id for r in exact if r.score >= 0.9}
+    found = {r.vec_id for r in approx}
+    assert len(close & found) >= max(1, len(close) // 2)
+
+
+def test_knn_join_per_probe_ranking(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 5)
+    others = emb.filter(F.col("vec_id") >= 5)
+    out = SIM.knn_join(
+        probes.withColumnRenamed("vec_id", "probe_id"),
+        others.withColumnRenamed("vec_id", "neighbor_id"),
+        left_id="probe_id", right_id="neighbor_id",
+        left_vec="embedding", right_vec="embedding", k=3,
+    ).collect()
+    by_probe: dict[int, list] = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    others_rows = others.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    ).collect()
+    probe_rows = {r.vec_id: r.embedding for r in probes.select("vec_id", "embedding").collect()}
+    for pid, rows in by_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3]
+        want = _local_topk(
+            [type("R", (), {"vec_id": o.neighbor_id, "embedding": o.embedding}) for o in others_rows],
+            probe_rows[pid], 3,
+        )
+        assert [(r.score, r.neighbor_id) for r in rows] == want
