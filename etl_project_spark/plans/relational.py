@@ -464,3 +464,205 @@ def q_above_avg_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("nation_avg"))
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# Outer joins — null-completing sides; full outer on pre-aggregated keys.
+# --------------------------------------------------------------------------
+@register(
+    "q_left_join_customer_order_counts",
+    oracle="""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+    tags=("join", "outer"),
+)
+def q_left_join_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers at zero counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "q_full_outer_nation_balances",
+    oracle="""
+WITH s AS (
+  SELECT s_nationkey AS nk, ROUND(SUM(s_acctbal), 2) AS supp_bal
+  FROM supplier GROUP BY s_nationkey
+), c AS (
+  SELECT c_nationkey AS nk, ROUND(SUM(c_acctbal), 2) AS cust_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT COALESCE(s.nk, c.nk) AS nationkey, s.supp_bal, c.cust_bal
+FROM s FULL OUTER JOIN c ON s.nk = c.nk
+""",
+    tags=("join", "outer"),
+)
+def q_full_outer_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (nulls where absent)."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+    )
+    return s.join(c, s.nk_s == c.nk_c, "full_outer").select(
+        F.coalesce("nk_s", "nk_c").alias("nationkey"), "supp_bal", "cust_bal"
+    )
+
+
+@register(
+    "q_cross_join_region_matrix",
+    oracle="""
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_name <> b.r_name
+""",
+    tags=("join", "cross"),
+)
+def q_cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of a tiny dim with itself (route-matrix shape)."""
+    a = _t(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    b = _t(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("from_region") != F.col("to_region"))
+
+
+# --------------------------------------------------------------------------
+# Statistical / ordered-set aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "q_stats_lineitem_price",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS price_stddev,
+       ROUND(VAR_SAMP(l_discount), 6) AS disc_var,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def q_stats_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance/correlation/covariance aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@register(
+    "q_percentiles_order_value",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "percentile"),
+)
+def q_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≙ quantile_cont).
+
+    Exact, not approx_percentile: the oracle compares values, and at
+    scale exact percentile is a single-pass sort-based aggregate per
+    group — acceptable for low-cardinality groups; use approx for
+    high-cardinality monitoring paths.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "q_having_rich_segments",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n, ROUND(AVG(c_acctbal), 2) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+HAVING AVG(c_acctbal) > 4400.0
+""",
+    tags=("agg", "having"),
+)
+def q_having_rich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.avg("c_acctbal").alias("_raw_avg"),
+        )
+        .filter(F.col("_raw_avg") > 4400.0)
+        .drop("_raw_avg")
+    )
+
+
+@register(
+    "q_dense_rank_parts_by_price",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, CAST(dr AS INTEGER) AS dr
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS dr
+  FROM part
+)
+WHERE dr <= 2
+""",
+    tags=("window", "rank"),
+)
+def q_dense_rank_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank per group — ties share rank, no gaps."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        p.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", "dr")
+    )
+
+
+@register(
+    "q_scalar_subquery_max_order",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders)
+""",
+    tags=("subquery",),
+)
+def q_scalar_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: rows at the global max (broadcast 1-row join)."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_totalprice").alias("_mx"))
+    return (
+        o.join(F.broadcast(mx), o.o_totalprice == F.col("_mx"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
