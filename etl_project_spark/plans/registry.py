@@ -43,6 +43,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.events",
     "etl_project_spark.plans.ingest",
     "etl_project_spark.plans.multimodal",
+    "etl_project_spark.plans.temporal",
 )
 
 

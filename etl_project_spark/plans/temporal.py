@@ -1,0 +1,105 @@
+"""As-of and range join queries, oracle-checked against DuckDB's native
+ASOF JOIN and a BETWEEN join respectively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.operators.temporal import asof_join, range_join
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+#: Price bands for the range join — disjoint, covering [0, inf).
+PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, float("inf")),
+]
+
+
+@register(
+    "q_asof_last_order_before_event",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), right_dedup AS (
+  SELECT o_custkey, o_orderdate, o_totalprice FROM r WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_totalprice AS last_order_price,
+       o.o_orderdate AS last_order_date
+FROM events e
+ASOF LEFT JOIN right_dedup o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    tags=("join", "asof", "temporal"),
+)
+def q_asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's latest order at-or-before
+    its timestamp (union-window formulation, one shuffle)."""
+    tune_session(spark)
+    events = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = read_table(spark, sf_dir, "orders")
+    # Deterministic tie-break: one row per (custkey, orderdate).
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    right = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+    )
+    joined = asof_join(
+        events,
+        right,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_totalprice", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_totalprice").alias("last_order_price"),
+        F.col("o_orderdate").alias("last_order_date"),
+    )
+
+
+@register(
+    "q_range_join_price_bands",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 0.0, 50000.0),
+         ('mid', 50000.0, 150000.0),
+         ('premium', 150000.0, 300000.0),
+         ('luxury', 300000.0, 1e308)
+)
+SELECT b.band,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS band_revenue
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+    tags=("join", "range", "temporal"),
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join of orders into disjoint price bands + aggregate."""
+    tune_session(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(b, lo, hi if hi != float("inf") else 1e308) for b, lo, hi in PRICE_BANDS],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(orders, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("band_revenue"),
+    )

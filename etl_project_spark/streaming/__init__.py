@@ -12,9 +12,11 @@ from etl_project_spark.streaming.events import (
     stream_sliding_counts,
     stream_session_windows,
     stream_dedup_events,
+    stream_user_running_totals,
 )
 
 __all__ = [
+    "stream_user_running_totals",
     "read_events_stream",
     "stream_tumbling_counts",
     "stream_sliding_counts",

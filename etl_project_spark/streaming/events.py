@@ -158,3 +158,53 @@ def run_to_memory_sink(
 def _has_aggregate(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+# -- custom stateful operator (applyInPandasWithState) ----------------------
+
+RUNNING_STATE_SCHEMA = "n_events BIGINT, total_value DOUBLE"
+RUNNING_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, total_value DOUBLE, avg_value DOUBLE"
+)
+
+
+def stream_user_running_totals(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running totals via a custom stateful operator.
+
+    ``applyInPandasWithState`` is the arbitrary-state seam Structured
+    Streaming offers for operators the built-ins can't express (custom
+    accumulators, decaying counters, model state). State here is the
+    (count, sum) pair per user; each micro-batch emits the user's
+    updated running aggregate. State is partitioned by key across
+    executors — no global state, scales with the key space.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "avg_value": [round(total / n, 4) if n else 0.0],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

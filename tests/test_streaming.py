@@ -88,3 +88,31 @@ def test_stream_sliding_counts_cover_tumbling(spark, events_path):
     total_pane_events = sum(r.n_events for r in rows)
     n_events = spark.read.parquet(events_path).count()
     assert total_pane_events == 2 * n_events
+
+
+def test_stream_custom_stateful_running_totals(spark, events_path):
+    stream = SE.read_events_stream(spark, events_path)
+    q = (
+        SE.stream_user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    # Final state per user must equal the batch aggregate.
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM running"
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(events_path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("t"))
+        .collect()
+    )
+    for r in batch:
+        assert got[r.user_id] == (r.n, r.t)
