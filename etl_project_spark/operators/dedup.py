@@ -144,6 +144,22 @@ def pair_jaccard(candidates: DataFrame, gram_rows: DataFrame) -> DataFrame:
     )
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism — only when
+    the input has fewer partitions.
+
+    A small parquet file arrives as ONE scan partition, which would run
+    every map-side stage of a signature pipeline on one core (measured:
+    the entire MinHash hot path single-threaded). The guard keeps this
+    a no-op on real multi-file inputs, so at scale nothing is shuffled.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # -- exact dedup -----------------------------------------------------------
 
 def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
@@ -195,6 +211,7 @@ def minhash_near_dup_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     use_token_ngrams: bool = False,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact Jaccard verify.
 
@@ -210,7 +227,10 @@ def minhash_near_dup_pairs(
     fraction of equal minhash components is an unbiased Jaccard
     estimator; a flat 64-term comparison, two narrow sig joins) →
     exact-Jaccard verify via inverted-index joins on the shingle rows,
-    now only on statistically-plausible pairs. No cross join anywhere;
+    now only on statistically-plausible pairs. ``prefilter=False`` skips
+    the estimator stage — right when banding is already selective for
+    the threshold (LSH threshold ``(1/b)^(1/r)`` ≤ user threshold and
+    low background similarity), where it only adds plan width. No cross join anywhere;
     every shuffle key is a hash — skew-free by construction.
 
     The prefilter matters: banding with (b, r) admits pairs near the
@@ -221,6 +241,7 @@ def minhash_near_dup_pairs(
     """
     from pyspark import StorageLevel
 
+    df = ensure_parallelism(df)
     rows_per_band = n_hashes // bands
     rows = (
         ngram_rows(df, id_col, text_col, n=shingle_k)
@@ -257,25 +278,28 @@ def minhash_near_dup_pairs(
         .distinct()
     )
 
-    sa = sig.select(
-        F.col("_id").alias("id_a"), *[F.col(f"_h{j}").alias(f"_ha{j}") for j in range(n_hashes)]
-    )
-    sb = sig.select(
-        F.col("_id").alias("id_b"), *[F.col(f"_h{j}").alias(f"_hb{j}") for j in range(n_hashes)]
-    )
-    agree = sum(
-        (F.col(f"_ha{j}") == F.col(f"_hb{j}")).cast("int") for j in range(n_hashes)
-    ) / float(n_hashes)
-    margin = 3.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
-    plausible = (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(agree >= max(0.0, threshold - margin))
-        .select("id_a", "id_b")
-    )
+    if prefilter:
+        sa = sig.select(
+            F.col("_id").alias("id_a"),
+            *[F.col(f"_h{j}").alias(f"_ha{j}") for j in range(n_hashes)],
+        )
+        sb = sig.select(
+            F.col("_id").alias("id_b"),
+            *[F.col(f"_h{j}").alias(f"_hb{j}") for j in range(n_hashes)],
+        )
+        agree = sum(
+            (F.col(f"_ha{j}") == F.col(f"_hb{j}")).cast("int") for j in range(n_hashes)
+        ) / float(n_hashes)
+        margin = 3.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
+        candidates = (
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(agree >= max(0.0, threshold - margin))
+            .select("id_a", "id_b")
+        )
 
     distinct_grams = rows.dropDuplicates(["_id", "_gram"])
-    return pair_jaccard(plausible, distinct_grams).filter(
+    return pair_jaccard(candidates, distinct_grams).filter(
         F.col("jaccard_sim") >= threshold
     )
 
@@ -295,7 +319,9 @@ def ngram_jaccard_pairs(
     is the scalable inverted-index formulation: shuffle is on gram
     hash, and only pairs sharing ≥1 gram are ever materialized.
     """
-    inv = ngram_rows(df, id_col, text_col, n=n).dropDuplicates(["_id", "_gram"])
+    inv = ngram_rows(ensure_parallelism(df), id_col, text_col, n=n).dropDuplicates(
+        ["_id", "_gram"]
+    )
     sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = inv.alias("a")
     b = inv.alias("b")
@@ -337,7 +363,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     the shuffle.
     """
     toks = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok")
-    hashed = df.select(F.col(id_col).alias("_id"), toks).select(
+    hashed = ensure_parallelism(df).select(F.col(id_col).alias("_id"), toks).select(
         "_id", F.xxhash64("_tok").alias("_h")
     )
     bit = lambda i: F.when(  # noqa: E731

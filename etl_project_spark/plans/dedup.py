@@ -74,7 +74,7 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
         d, "doc_id", "text", n_hashes=64, bands=16, shingle_k=3,
-        threshold=0.5, use_token_ngrams=True,
+        threshold=0.5, use_token_ngrams=True, prefilter=False,
     ).orderBy("id_a", "id_b")
 
 
