@@ -190,3 +190,77 @@ def knn_join(
             "rank",
         )
     )
+
+
+# -- IVF (inverted-file) coarse quantization --------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Attach ``_cell`` = index of the nearest centroid (by cosine).
+
+    One matmul per Arrow batch against the (config-sized) centroid
+    matrix. At scale this is the IVF index build: writing the result
+    partitioned by ``_cell`` gives partition-pruned probes.
+    """
+    C = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ Cn.T, axis=1).astype("int32"))
+
+    return df.withColumn("_cell", cell(F.col(vec_col)))
+
+
+def deterministic_centroids(
+    df: DataFrame, vec_col: str, id_col: str, *, n_cells: int, stride: int = 7
+) -> list[list[float]]:
+    """Pick ``n_cells`` deterministic seed vectors as coarse centroids.
+
+    Strided-id sampling (no RNG, reproducible across runs). A k-means
+    refinement would tighten cells; seeds alone already give the IVF
+    cost shape, which is what matters for the scan-pruning math.
+    The collect is index-build metadata: ``n_cells × dim`` floats.
+    """
+    rows = (
+        df.filter((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    return [list(map(float, r[0])) for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: score centroids driver-side, scan only the ``n_probe``
+    closest cells, exact-rerank within them.
+
+    Scanned fraction ≈ ``n_probe / n_cells``; recall depends on how
+    often a true neighbor's cell ranks outside the probe set. With the
+    index written partitioned by ``_cell``, the probe filter becomes
+    partition pruning — the engine never reads the other cells.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
+
+    assigned = ivf_assign(df, vec_col, centroids)
+    candidates = assigned.filter(F.col("_cell").isin([int(p) for p in probe]))
+    return brute_force_topk(candidates, vec_col, query_vec, k=k, id_col=id_col)

@@ -185,3 +185,48 @@ def q_packed_latlng_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lat, lng = split_latlng(packed)
     return c.select("c_custkey", lat.alias("lat"), lng.alias("lng"))
+
+
+@register(
+    "q_limit0_schema_only",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer LIMIT 0
+""",
+    tags=("limit", "schema"),
+)
+def q_limit0_schema_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-only projection (zero rows).
+
+    ≙ T7, the reference's ``df.head(n=0)`` used to emit DDL without
+    data (flows/etl.py:257) — in Spark a ``limit(0)`` plan whose schema
+    drives ``write.jdbc(mode='overwrite')`` DDL generation.
+    """
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", "c_acctbal").limit(0)
+
+
+@register(
+    "q_from_json_typed_events",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS BIGINT) AS n_high_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("json", "struct"),
+)
+def q_from_json_typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` into a typed struct column (schema-on-read for the
+    JSON props payload), then filter/aggregate on the typed field —
+    the struct projection stays JVM-side, no string re-parsing per use.
+    """
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.IntegerType())])
+    typed = e.withColumn("p", F.from_json("props", props_schema))
+    return typed.groupBy("event_type").agg(
+        F.count(F.when(F.col("p.k") > 50, 1)).alias("n_high_k"),
+        F.min("p.k").alias("min_k"),
+    )

@@ -82,3 +82,18 @@ def q_knn_join_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
     )
     return out.orderBy("probe_id", "rank")
+
+
+@register(
+    "q_knn_ivf_topk",
+    oracle=None,  # approximate; recall property-tested vs brute force
+    tags=("similarity", "ivf", "rows-only"),
+)
+def q_knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-10 (16 cells, probe 4)."""
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = SIM.deterministic_centroids(e, "embedding", "vec_id", n_cells=16)
+    return SIM.ivf_topk(
+        e, "embedding", QUERY_VEC, cents, k=10, id_col="vec_id", n_probe=4
+    ).select("vec_id", "score", "rank")

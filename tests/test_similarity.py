@@ -83,3 +83,19 @@ def test_knn_join_per_probe_ranking(spark, emb):
             probe_rows[pid], 3,
         )
         assert [(r.score, r.neighbor_id) for r in rows] == want
+
+
+def test_ivf_self_query_recall(spark, emb):
+    """IVF with a real row's vector as query: the row itself is always
+    in the probed cell (its own cell is the closest by construction),
+    so it must return at rank 1 / score 1.0."""
+    probe = emb.filter(F.col("vec_id") == 3).collect()[0]
+    qvec = list(probe.embedding)
+    cents = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=16)
+    out = SIM.ivf_topk(emb, "embedding", qvec, cents, k=10, n_probe=4).collect()
+    assert out[0].vec_id == 3 and out[0].score == 1.0
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    # scanned fraction sanity: candidates ≈ n_probe/n_cells of the data
+    assigned = SIM.ivf_assign(emb, "embedding", cents)
+    frac = assigned.filter(F.col("_cell").isin(list(range(4)))).count() / assigned.count()
+    assert frac < 0.9
