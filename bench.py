@@ -30,9 +30,14 @@ BENCH_QUERIES = (
     "q05_region_revenue",
     "q_window_top3_orders_per_customer",
     "q_sessionize_users",
+    "q_asof_last_order_before_event",
     "q_token_stats_per_lang",
+    "q_bpe_token_estimate",
     "q_minhash_near_dup_pairs",
+    "q_simhash_near_dup_pairs",
+    "q_embedding_near_dup_pairs",
     "q_knn_bruteforce_topk",
+    "q_multimodal_payload_profile",
 )
 
 

@@ -356,30 +356,48 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document 64-bit SimHash as ``(_id, _sim)`` rows.
 
-    Codegen scale path (same rationale as the MinHash rewrite): explode
-    tokens → ``xxhash64`` → 64 flat ``sum(±1 bit)`` aggregates per doc →
-    fingerprint assembled with literal-shift ``when`` terms. Map-side
-    partial aggregation collapses each doc to one 64-long buffer before
-    the shuffle.
+    Arrow-batched mapInPandas: fingerprinting is embarrassingly
+    parallel per document — tokenize, hash tokens (md5-derived 64-bit,
+    process-stable), and bit-vote with one numpy reduction per batch.
+    No explode, no shuffle, no wide aggregate. (A prior pure-SQL
+    version — explode + 64 flat sum aggregates — was correct and
+    shuffle-light, but its cold codegen compile alone cost ~6 s; the
+    Python path is both simpler and faster end to end.)
     """
-    toks = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok")
-    hashed = ensure_parallelism(df).select(F.col(id_col).alias("_id"), toks).select(
-        "_id", F.xxhash64("_tok").alias("_h")
+    import hashlib as _hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in pdfs:
+            sims = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["_text"]):
+                norm = " ".join(str(text or "").lower().split())
+                toks = norm.split(" ") if norm else [""]
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            _hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                        )
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                )
+                bits = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                # majority vote per bit: set iff more +1 than -1 votes
+                fp = ((bits * 2 > len(hs)).astype(np.uint64) << shifts).sum(
+                    dtype=np.uint64
+                )
+                sims[i] = np.int64(fp.astype(np.int64))
+            yield pd.DataFrame({"_id": pdf["_id"].astype("int64"), "_sim": sims})
+
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
-    bit = lambda i: F.when(  # noqa: E731
-        F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-    ).otherwise(F.lit(-1))
-    sums = hashed.groupBy("_id").agg(
-        *[F.sum(bit(i)).alias(f"_b{i}") for i in range(64)]
-    )
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp.bitwiseOR(
-            F.when(
-                F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return sums.select("_id", fp.alias("_sim"))
+    return src.mapInPandas(batches, schema="_id long, _sim long")
 
 
 def simhash_near_dup_pairs(
@@ -392,7 +410,13 @@ def simhash_near_dup_pairs(
     equi-join per chunk finds all qualifying pairs without a cross
     join. Exact Hamming (bit_count of xor) verifies candidates.
     """
-    sh = simhash_fingerprints(df, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # Fingerprints feed both sides of the chunk self-join — persist so
+    # the mapInPandas pass runs once, not once per join side.
+    sh = simhash_fingerprints(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = sh.select(
         "_id",
         "_sim",
@@ -482,29 +506,26 @@ def embedding_near_dup_pairs(
     Two vectors with cosine ≥ threshold almost always share the full
     sign signature for small ``n_planes`` (collision prob per plane is
     ``1 - θ/π``); bucketing on the signature replaces the O(n²) cross
-    join with an equi-join, and exact cosine filters false positives.
-    Recall/threshold trade-off is tunable via ``n_planes``.
+    join with an equi-join, and exact cosine (vectorized pairwise UDF)
+    filters false positives. Recall/threshold trade-off is tunable via
+    ``n_planes``. Signatures and exact scores both run as Arrow-batched
+    numpy — no interpreted lambda HOFs in the hot path.
     """
+    from pyspark import StorageLevel
+
+    from etl_project_spark.operators.similarity import (
+        hyperplane_table_sigs_udf,
+        pairwise_cosine_udf,
+    )
+
     planes = _hyperplane_signs(n_planes, dim)
-    vec = F.col(vec_col)
-    sig_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(w)) for w in planes[p]]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for p in range(n_planes)
-    ]
-    bucket = F.concat_ws("", *[b.cast("string") for b in sig_bits])
-    base = df.select(F.col(id_col).alias("_id"), vec.alias("_vec"), bucket.alias("_bucket"))
+    # One LSH table with an n_planes-bit signature, packed to a long.
+    sig = hyperplane_table_sigs_udf(planes, 1)(F.col(vec_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.element_at(sig, 1).alias("_bucket"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = base.alias("a")
     b = base.alias("b")
     return (
@@ -516,9 +537,9 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a._vec"), F.col("b._vec")), 4).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                pairwise_cosine_udf()(F.col("a._vec"), F.col("b._vec")), 4
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

