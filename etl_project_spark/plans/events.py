@@ -135,3 +135,37 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error")
     )
+
+
+@register(
+    "q_sliding_window_counts",
+    oracle="""
+SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM (
+  SELECT UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start,
+         value
+  FROM events
+)
+GROUP BY window_start
+""",
+    tags=("events", "window-agg", "sliding"),
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide (batch twin of the
+    stream's overlapping-window agg). Each event lands in exactly two
+    windows; Spark expands in-place before one hash aggregate — the
+    same shape the streaming engine uses, with no self-union.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"), "n_events", "total_value"
+        )
+    )

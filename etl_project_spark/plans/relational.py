@@ -666,3 +666,62 @@ def q_scalar_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(mx), o.o_totalprice == F.col("_mx"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS + grouping_id, and skew-resistant salted agg.
+# --------------------------------------------------------------------------
+@register(
+    "q_grouping_sets_flag_status",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=("agg", "grouping-sets"),
+)
+def q_grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation — one
+    Expand + single hash aggregate, not a UNION ALL of three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_salted_skew_agg",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "skew"),
+)
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for heavy-hitter keys.
+
+    Stage 1 groups on (key, salt) so a hot key spreads over 16
+    reducers; stage 2 combines the 16 partials per key. Same result as
+    a plain GROUP BY (the oracle), but no single-reducer hotspot when
+    one key owns a large share of 100 TB. (Partial map-side agg gives
+    much of this for free for algebraic aggs; salting is the general
+    pattern for holistic aggs and skewed shuffle joins.)
+    """
+    o = _t(spark, sf_dir, "orders")
+    salted = o.withColumn("_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(16)))
+    partial = salted.groupBy("o_orderpriority", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("o_totalprice").alias("_s")
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("_n").alias("n_orders"),
+        F.round(F.sum("_s"), 2).alias("total_price"),
+    )

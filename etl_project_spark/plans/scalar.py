@@ -230,3 +230,24 @@ def q_from_json_typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("p.k") > 50, 1)).alias("n_high_k"),
         F.min("p.k").alias("min_k"),
     )
+
+
+@register(
+    "q_posexplode_embedding",
+    oracle="""
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+       ROUND(CAST(UNNEST(embedding) AS DOUBLE), 4) AS val
+FROM embeddings
+WHERE vec_id < 64
+""",
+    tags=("array", "explode"),
+)
+def q_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, value) rows. The generator runs
+    inside codegen; the vec_id predicate is pushed below the explode to
+    the parquet scan so only matching row groups inflate 64×."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 4).alias("val"))

@@ -212,3 +212,67 @@ def q_doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "representative_id",
         "n_copies",
     )
+
+
+@register(
+    "q_tfidf_term_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), clean AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM clean GROUP BY doc_id, term
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM clean
+)
+SELECT term,
+       COUNT(*) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       ROUND(LN((SELECT n_docs FROM n) / COUNT(*)), 4) AS idf,
+       ROUND(LN((SELECT n_docs FROM n) / COUNT(*)) * AVG(CAST(tf AS DOUBLE)), 4)
+         AS avg_tfidf
+FROM tf
+GROUP BY term
+""",
+    tags=("text", "tfidf"),
+)
+def q_tfidf_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF vocabulary table: df, total tf, idf, mean tf-idf.
+
+    Two hash aggregates after an in-codegen explode — no spark.ml
+    pipeline, no vocabulary broadcast. The corpus size N joins in as a
+    broadcast 1-row aggregate (never a driver collect), so the same
+    plan runs at 100 TB: explode → partial agg per (doc, term) →
+    shuffle on term.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = toks.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs")
+    )
+    idf = F.log(F.col("n_docs") / F.col("df"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.avg(F.col("tf").cast("double")).alias("_avg_tf"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            "total_tf",
+            F.round(idf, 4).alias("idf"),
+            F.round(idf * F.col("_avg_tf"), 4).alias("avg_tfidf"),
+        )
+    )
