@@ -725,3 +725,47 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n_orders"),
         F.round(F.sum("_s"), 2).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sampling & sketches — the downsample/profile stages of a training-data
+# pipeline. Not ANSI-expressible bit-for-bit (engine-specific RNG/HLL), so
+# rows-only checks here + tight property tests in tests/test_sampling.py.
+# --------------------------------------------------------------------------
+@register(
+    "q_stratified_sample_docs",
+    oracle=None,  # engine-specific RNG; bounds proven in tests/test_sampling.py
+    tags=("sample", "rows-only"),
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: per-language keep fractions via ``sampleBy``.
+
+    The map-side Bernoulli filter never shuffles — at 100 TB the sample
+    is a scan-stage projection. Fixed seed keeps the run reproducible;
+    per-stratum fractions are how a pipeline rebalances a skewed
+    language mix before training.
+    """
+    d = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_approx_distinct_users",
+    oracle=None,  # HLL++ sketch values are engine-specific; ±5% proven in tests
+    tags=("sketch", "rows-only"),
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type.
+
+    ``approx_count_distinct`` (rsd 2%) is the scale path for distinct
+    counting: a fixed-size sketch merges map-side, so the shuffle
+    carries one sketch per group instead of every distinct value —
+    the exact COUNT(DISTINCT) twin (`q_distinct_agg_customers_per_status`)
+    shuffles each value once.
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
