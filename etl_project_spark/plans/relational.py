@@ -769,3 +769,122 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classic decorrelated-subquery shapes (TPC-H Q2/Q18/Q22 patterns on the
+# driver corpus, which has no partsupp — lineitem serves as the fact).
+# --------------------------------------------------------------------------
+@register(
+    "q_argmin_supplier_per_part",
+    oracle="""
+WITH spend AS (
+  SELECT l_partkey, l_suppkey, ROUND(SUM(l_extendedprice), 2) AS total
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, MIN(total) AS best_total FROM spend GROUP BY l_partkey
+)
+SELECT s.l_partkey AS partkey,
+       MIN(s.l_suppkey) AS suppkey,
+       MIN(s.total) AS total_spend
+FROM spend s JOIN best b
+  ON s.l_partkey = b.l_partkey AND s.total = b.best_total
+GROUP BY s.l_partkey
+""",
+    tags=("join", "subquery", "argmin"),
+)
+def q_argmin_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin join-back (TPC-H Q2 core): cheapest supplier per part.
+
+    Aggregate → per-key min → join back on (key, min). Both aggregates
+    share the (l_partkey, l_suppkey) shuffle; ties break on min
+    suppkey so the result is deterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    spend = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total")
+    )
+    best = spend.groupBy("l_partkey").agg(F.min("total").alias("best_total"))
+    return (
+        spend.join(
+            best.withColumnRenamed("l_partkey", "_pk"),
+            (spend.l_partkey == F.col("_pk")) & (spend.total == F.col("best_total")),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("l_suppkey").alias("suppkey"), F.min("total").alias("total_spend"))
+        .select(F.col("l_partkey").alias("partkey"), "suppkey", "total_spend")
+    )
+
+
+@register(
+    "q_in_subquery_big_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+""",
+    tags=("join", "subquery", "semi"),
+)
+def q_in_subquery_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-aggregate subquery (TPC-H Q18 shape) as a left-semi join
+    against the grouped lineitem — the decorrelation Catalyst would do
+    for the SQL form, written directly."""
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 150)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_idle_rich_customers_by_nation",
+    oracle="""
+SELECT c.c_nationkey AS nationkey,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (13, 31, 23, 29, 30, 18, 17)
+  AND c.c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (13, 31, 23, 29, 30, 18, 17)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+  )
+GROUP BY c.c_nationkey
+""",
+    tags=("join", "anti", "subquery", "agg"),
+)
+def q_idle_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nation keys standing in for phone prefixes —
+    this corpus has no c_phone): IN-list filter + scalar avg subquery
+    (broadcast 1-row join, no collect) + anti join against *recent*
+    orders (the date filter pushes to the orders scan) + agg."""
+    keys = [13, 31, 23, 29, 30, 18, 17]
+    c = _t(spark, sf_dir, "customer")
+    pool = c.filter(F.col("c_nationkey").isin(keys))
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
