@@ -381,27 +381,40 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
     def batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shifts = np.arange(64, dtype=np.uint64)
+
+        def bitvec(tok: str) -> "np.ndarray":
+            h = np.uint64(
+                int.from_bytes(_hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            )
+            return ((h >> shifts) & np.uint64(1)).astype(np.int64)
+
+        # Token→bit-vector cache shared across batches of this task:
+        # natural-language corpora reuse a small vocabulary, so the md5
+        # runs once per distinct token, not once per occurrence.
+        cache: dict[str, np.ndarray] = {}
         for pdf in pdfs:
-            sims = np.empty(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf["_text"]):
-                norm = " ".join(str(text or "").lower().split())
-                toks = norm.split(" ") if norm else [""]
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            _hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
-                        )
-                        for t in toks
-                    ),
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-                # majority vote per bit: set iff more +1 than -1 votes
-                fp = ((bits * 2 > len(hs)).astype(np.uint64) << shifts).sum(
-                    dtype=np.uint64
-                )
-                sims[i] = np.int64(fp.astype(np.int64))
-            yield pd.DataFrame({"_id": pdf["_id"].astype("int64"), "_sim": sims})
+            n = len(pdf)
+            tok_lists = [
+                (str(t).lower().split() or [""]) if t is not None else [""]
+                for t in pdf["_text"]
+            ]
+            lens = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64, count=n)
+            doc_idx = np.repeat(np.arange(n), lens)
+            flat = [t for ts in tok_lists for t in ts]
+            for t in set(flat):
+                if t not in cache:
+                    cache[t] = bitvec(t)
+            bitmat = np.stack([cache[t] for t in flat]) if flat else np.zeros((0, 64), np.int64)
+            # per-doc bit votes: one scatter-add over the whole batch
+            counts = np.zeros((n, 64), dtype=np.int64)
+            np.add.at(counts, doc_idx, bitmat)
+            # majority vote per bit: set iff more +1 than -1 votes
+            fps = ((counts * 2 > lens[:, None]).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].astype("int64"), "_sim": fps.astype(np.int64)}
+            )
 
     src = ensure_parallelism(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))

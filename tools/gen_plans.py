@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: physical-plan evidence for the headline queries.
+
+For each bench query, records the scan pushdown (PushedFilters), pruned
+read schemas, join strategies, shuffle (Exchange) count, and
+whole-stage-codegen span count — the checkable artifacts of the 100 TB
+design rules in README.md.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HEADER = """# PLANS — physical-plan evidence for the headline queries
+
+Auto-generated (`python tools/gen_plans.py`) from `.explain("formatted")`
+at sf0.01. What to look for, per the 100 TB design rules in README.md:
+scans show `PushedFilters` + pruned `ReadSchema`; small dims join as
+`BroadcastHashJoin` (no shuffle); `Exchange` nodes are the shuffles —
+each one is intentional; `Batched: true` scans are the vectorized
+parquet reader. Python stages (`MapInPandas`/`ArrowEvalPython`) appear
+only where semantics require Python (external-service enrichment,
+binary decode, numpy fingerprints).
+"""
+
+
+def main() -> None:
+    import __spark_entry__ as mod
+    from bench import BENCH_QUERIES
+    from etl_project_spark.session import get_spark
+
+    spark = get_spark("gen-plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    qs = mod.queries()
+    sf = os.path.join(os.path.dirname(REPO), "testdata", "sf0.01")
+    if not os.path.isdir(sf):
+        sf = "/root/testdata/sf0.01"
+
+    out = [HEADER]
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf)
+        qe = df._jdf.queryExecution()
+        formatted = qe.explainString(mode.fromString("formatted"))
+        tree = formatted.split("\n\n")[0]
+        n_exch = len(re.findall(r"\bExchange\b", tree))
+        n_bhj = len(re.findall(r"BroadcastHashJoin", tree))
+        n_smj = len(re.findall(r"SortMergeJoin", tree))
+        n_batched = formatted.count("Batched: true")
+        pushed = sorted(
+            {l.strip() for l in formatted.splitlines() if "PushedFilters" in l and "[]" not in l}
+        )
+        schemas = sorted(
+            {l.strip()[:130] for l in formatted.splitlines() if "ReadSchema" in l}
+        )
+        pystages = sorted(
+            set(
+                re.findall(
+                    r"(MapInPandas|ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas)",
+                    tree,
+                )
+            )
+        )
+        out.append(f"## {name}\n")
+        stats = (
+            f"- shuffles (Exchange): {n_exch} · broadcast joins: {n_bhj}"
+            f" · sort-merge joins: {n_smj} · vectorized scans: {n_batched}"
+        )
+        if pystages:
+            stats += " · Python stages: " + ", ".join(pystages)
+        out.append(stats)
+        if pushed:
+            out.append("- pushdown: " + "; ".join(p[:140] for p in pushed[:4]))
+        if schemas:
+            out.append(
+                "- read schemas: "
+                + " | ".join(s.replace("ReadSchema: ", "") for s in schemas[:4])
+            )
+        out.append("")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
