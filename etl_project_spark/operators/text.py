@@ -135,3 +135,40 @@ def with_text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+def winnowing_fingerprint_rows(
+    df: "DataFrame", id_col: str, text_col: str, *, k: int = 8, w: int = 4
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS scheme): rolling char k-gram hashes → min per sliding
+    window of ``w`` → distinct ``(_id, _fp)`` rows.
+
+    The selected mins are the classic rolling-hash fingerprint set:
+    ~2/(w+1) of the grams, position-robust (an edit only perturbs
+    nearby windows). All codegen-friendly primitives — explode +
+    substring + md5-prefix hash + one window (single shuffle on doc
+    id) + distinct; the same expressions are ANSI-SQL so the operator
+    is oracle-checkable (hash = first 15 hex digits of md5 as bigint,
+    bit-identical in Spark ``conv`` and DuckDB hex cast).
+    """
+    from pyspark.sql import Window as W
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_grams = F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1))
+    grams = (
+        df.select(F.col(id_col).alias("_id"), norm.alias("_norm"))
+        .select("_id", "_norm", F.explode(F.sequence(F.lit(1), n_grams)).alias("_pos"))
+        .select(
+            "_id",
+            "_pos",
+            F.conv(F.substring(F.md5(F.col("_norm").substr(F.col("_pos"), F.lit(k))), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("_h"),
+        )
+    )
+    win = W.partitionBy("_id").orderBy("_pos").rowsBetween(0, w - 1)
+    return (
+        grams.select("_id", F.min("_h").over(win).alias("_fp"))
+        .dropDuplicates(["_id", "_fp"])
+    )

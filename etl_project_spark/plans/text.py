@@ -276,3 +276,42 @@ def q_tfidf_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(idf * F.col("_avg_tf"), 4).alias("avg_tfidf"),
         )
     )
+
+
+@register(
+    "q_winnowing_fingerprints",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t,
+         UNNEST(generate_series(1, GREATEST(LENGTH(t) - 7, 1))) AS p
+  FROM norm
+), hashes AS (
+  SELECT doc_id, p,
+         CAST(('0x' || substr(md5(substr(t, p, 8)), 1, 15)) AS BIGINT) AS h
+  FROM pos
+), mins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashes
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM mins
+)
+SELECT doc_id, COUNT(*) AS n_fps, MIN(fp) AS fp_min, MAX(fp) AS fp_max
+FROM fps GROUP BY doc_id
+""",
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprint profile per document
+    (k-gram 8, window 4): fingerprint-set size and extrema."""
+    d = _docs(spark, sf_dir)
+    fps = TX.winnowing_fingerprint_rows(d, "doc_id", "text", k=8, w=4)
+    return fps.groupBy(F.col("_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("_fp").alias("fp_min"),
+        F.max("_fp").alias("fp_max"),
+    )

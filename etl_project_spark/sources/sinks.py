@@ -61,3 +61,44 @@ def write_parquet(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+
+
+def write_text_format(
+    df: DataFrame,
+    path: str,
+    *,
+    format: str = "csv",
+    mode: str = "overwrite",
+    compression: str | None = None,
+    header: bool = True,
+) -> None:
+    """Interchange sinks (csv / json lines) for boundary hand-offs.
+
+    Row formats are exchange formats, not analytics storage — parquet
+    stays the scale path (columnar, statistics, pushdown); these exist
+    because pipelines import/export at their edges. ``compression``
+    (e.g. gzip) matters at scale: uncompressed text multiplies both
+    storage and scan I/O.
+    """
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if format == "csv":
+        w.option("header", str(header).lower()).csv(path)
+    elif format == "json":
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported text format: {format!r}")
+
+
+def read_text_format(spark, path: str, *, format: str = "csv", schema=None):
+    """Read back an interchange sink; explicit schema preferred (schema
+    inference costs an extra pass over the data at scale)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if format == "csv":
+        return r.option("header", "true").csv(path)
+    if format == "json":
+        return r.json(path)
+    raise ValueError(f"unsupported text format: {format!r}")

@@ -73,3 +73,18 @@ def test_parquet_sink_roundtrip_with_partition_pruning(spark, tmp_path):
     one = back.filter(F.col("Localidad") == "Locality 7")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert one.count() > 0
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.sources.sinks import read_text_format, write_text_format
+    from tests.conftest import SF_ORACLE
+
+    src = read_table(spark, SF_ORACLE, "nation")
+    want = sorted(tuple(r) for r in src.collect())
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        write_text_format(src, path, format=fmt)
+        back = read_text_format(spark, path, format=fmt, schema=src.schema)
+        assert back.schema == src.schema
+        assert sorted(tuple(r) for r in back.collect()) == want
