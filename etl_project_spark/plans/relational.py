@@ -888,3 +888,25 @@ def q_idle_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_right_join_orders_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM orders o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+""",
+    tags=("join", "outer"),
+)
+def q_right_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join with a join-side predicate: every customer row
+    survives; only big orders attach (NULLs otherwise). The non-equi
+    condition lives in the join, not a post-filter — semantics differ."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        c,
+        (o.o_custkey == c.c_custkey) & (o.o_totalprice > 300000.0),
+        "right",
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")

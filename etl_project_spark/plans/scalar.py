@@ -251,3 +251,36 @@ def q_posexplode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 4).alias("val"))
+
+
+@register(
+    "q_math_funcs_lineitem",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1.0), 6) AS price_ln,
+       ROUND(POW(1.0 + l_discount, l_quantity), 4) AS compound,
+       ABS(l_quantity - 25.0) AS qty_dev,
+       CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+       CAST(FLOOR(l_tax * 100.0) AS BIGINT) AS tax_pct_floor
+FROM lineitem
+WHERE l_orderkey < 1000
+""",
+    tags=("scalar", "math"),
+)
+def q_math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface: sqrt/ln/pow/abs/ceil/floor — all codegen
+    scalar expressions evaluated inside the scan stage."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount") + 1.0, F.col("l_quantity")), 4).alias(
+            "compound"
+        ),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_k_ceil"),
+        F.floor(F.col("l_tax") * 100.0).cast("bigint").alias("tax_pct_floor"),
+    )
