@@ -169,3 +169,48 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("win.start").alias("window_start"), "n_events", "total_value"
         )
     )
+
+
+@register(
+    "q_running_value_per_user",
+    oracle="""
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS running_value
+FROM events
+""",
+    tags=("events", "window"),
+)
+def q_running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operator
+    (streaming/events.py applyInPandasWithState running totals): the
+    same per-user running sum as one window pass — one shuffle on
+    user_id, in-partition sort, no state store."""
+    e = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+@register(
+    "q_stream_dedup_twin",
+    oracle="""
+SELECT DISTINCT event_id, ts FROM events
+""",
+    tags=("events", "dedup"),
+)
+def q_stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream dedup
+    (``withWatermark().dropDuplicates([event_id, ts])``): projected to
+    the dedup keys so the result is deterministic."""
+    e = _events(spark, sf_dir)
+    return e.select("event_id", "ts").dropDuplicates(["event_id", "ts"])
