@@ -1,0 +1,485 @@
+"""Analytic surface wave 2: window analytics, statistical aggregates,
+map/array/sequence functions, unpivot, deterministic sampling.
+
+The reference has none of these (SURVEY.md §2.5); the north star
+requires the full analytic operator set. Everything here is a single
+declarative plan with an exact DuckDB oracle — see each query's scale
+note for the intended physical shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Window analytics beyond rank/lag: lead, ntile, percent_rank/cume_dist,
+# first/last/nth_value with explicit frames, and a value-based RANGE frame.
+# All partition by a bounded key (custkey/brand/status) so no window ever
+# needs a single global reducer — the 100 TB rule for window functions.
+# --------------------------------------------------------------------------
+@register(
+    "q_window_lead_next_order",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       DATEDIFF('day', o_orderdate,
+                LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey))
+           AS days_to_next
+FROM orders
+""",
+    tags=("window",),
+)
+def q_window_lead_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD over per-customer order history: days until the next order.
+
+    Forward-looking twin of `q_window_lag_gap_days`. One shuffle on
+    o_custkey, in-partition sort on (date, key) — deterministic under
+    ties because the unique orderkey is in the sort.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias("days_to_next"),
+    )
+
+
+@register(
+    "q_ntile_acctbal_quartiles",
+    oracle="""
+WITH q AS (
+  SELECT c_mktsegment,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile,
+         c_acctbal
+  FROM customer
+)
+SELECT c_mktsegment, quartile,
+       COUNT(*) AS n_customers,
+       ROUND(MIN(c_acctbal), 2) AS min_bal,
+       ROUND(MAX(c_acctbal), 2) AS max_bal
+FROM q
+GROUP BY c_mktsegment, quartile
+""",
+    tags=("window", "ntile"),
+)
+def q_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) balance quartiles per market segment.
+
+    Partitioning by segment keeps each window bounded (5 segments), so
+    the sort parallelizes across reducers instead of one global ntile —
+    at 100 TB a *global* ntile would be a single-reducer sort; the
+    scale path for that is approx percentile cutpoints + a join.
+    Unique c_custkey in the ORDER BY makes tile assignment
+    deterministic under acctbal ties.
+    """
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "q_percent_rank_parts_in_brand",
+    oracle="""
+SELECT p_partkey, p_brand,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice), 6)
+           AS price_pr,
+       ROUND(CUME_DIST() OVER (PARTITION BY p_brand ORDER BY p_retailprice), 6)
+           AS price_cd
+FROM part
+""",
+    tags=("window",),
+)
+def q_percent_rank_parts_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST of retail price within each brand.
+
+    Both are tie-aware ((rank-1)/(n-1), peers share values), so the
+    price-only ORDER BY is deterministic without a tiebreaker. One
+    shuffle on p_brand; output is per-row but narrow.
+    """
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.percent_rank().over(w), 6).alias("price_pr"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cd"),
+    )
+
+
+@register(
+    "q_first_last_value_frames",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w_run, 2) AS first_price,
+       ROUND(LAST_VALUE(o_totalprice) OVER w_full, 2) AS last_price,
+       ROUND(NTH_VALUE(o_totalprice, 2) OVER w_full, 2) AS second_price
+FROM orders
+WINDOW
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window", "frame"),
+)
+def q_first_last_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST/NTH_VALUE with explicit ROWS frames per customer.
+
+    The full-partition frame is spelled out because last_value over the
+    default frame (up to CURRENT ROW) is the classic silent-wrong-answer
+    window bug. One shuffle on o_custkey serves all three expressions —
+    Catalyst collapses same-window functions into one Window node.
+    """
+    o = _t(spark, sf_dir, "orders")
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = (
+        W.partitionBy("o_custkey").orderBy(*ordering)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_full = (
+        W.partitionBy("o_custkey").orderBy(*ordering)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w_run), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w_full), 2).alias("second_price"),
+    )
+
+
+@register(
+    "q_range_frame_price_neighbors",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       COUNT(*) OVER w AS n_within_1k,
+       ROUND(MIN(o_totalprice) OVER w, 2) AS min_within_1k
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "frame", "range"),
+)
+def q_range_frame_price_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: orders within $1000 below each price.
+
+    RANGE frames are peer-inclusive and value-bounded, so the result is
+    deterministic under price ties (unlike a ROWS frame). Spark executes
+    this with a sliding frame over the sorted partition — no
+    re-evaluation per row. Used for density/neighborhood features in
+    price-band analyses.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+        F.round(F.min("o_totalprice").over(w), 2).alias("min_within_1k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates: correlation/covariance/argmin-argmax. All are
+# algebraic (single-pass, map-side combinable) — the shuffle carries one
+# moment tuple per group, never raw rows.
+# --------------------------------------------------------------------------
+@register(
+    "q_corr_covar_price_qty",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS price_stddev,
+       ROUND(VAR_SAMP(l_quantity), 4) AS qty_var
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def q_corr_covar_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance + dispersion per return flag.
+
+    All four are algebraic moment aggregates: each map task emits
+    (n, Σx, Σy, Σxy, Σx², Σy²)-style partials, so the shuffle is a few
+    doubles per (task, group) regardless of input size — the same shape
+    that makes Q1 scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+@register(
+    "q_argmax_order_per_status",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(ARG_MAX(o_totalprice, o_orderkey), 2) AS newest_price,
+       ROUND(ARG_MIN(o_totalprice, o_orderkey), 2) AS oldest_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "argmax"),
+)
+def q_argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: price of the newest/oldest order key per status.
+
+    Single-pass argmin/argmax aggregates replace the self-join-on-max
+    anti-pattern (`q_argmin_supplier_per_part` shows the join-back shape
+    when the full row is needed). Deterministic because the ordering
+    key o_orderkey is unique.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("newest_price"),
+        F.round(F.min_by("o_totalprice", "o_orderkey"), 2).alias("oldest_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "q_collect_segments_per_nation",
+    oracle="""
+SELECT n.n_name,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c.c_mktsegment)), ',') AS segments,
+       COUNT(DISTINCT c.c_mktsegment) AS n_segments
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("agg", "collect"),
+)
+def q_collect_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted CSV of market segments present per nation.
+
+    collect_set is the one non-algebraic agg here — its partial state
+    is the value set itself. Safe because the domain (5 segments) is
+    tiny; for unbounded domains the scale path is a distinct-then-agg.
+    sort_array + array_join canonicalizes the unordered set so the
+    oracle hash is stable. Nation joins broadcast (25 rows).
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Map / array / sequence function surface over the JSON + vector columns.
+# --------------------------------------------------------------------------
+@register(
+    "q_map_explode_event_props",
+    oracle="""
+SELECT e.event_type,
+       k AS prop_key,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(JSON_EXTRACT(e.props, '$."' || k || '"') AS INTEGER)) AS BIGINT)
+           AS total_value
+FROM events e, UNNEST(JSON_KEYS(e.props)) AS t(k)
+GROUP BY e.event_type, k
+""",
+    tags=("map", "json", "explode"),
+)
+def q_map_explode_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON → MapType → explode to (key, value) → aggregate.
+
+    The generic dynamic-schema path for semi-structured columns: when
+    keys are unknown ahead of time, parse to map<string,int> and
+    explode, vs `q_from_json_typed_events`' fixed-struct path. The
+    explode multiplies rows by map size *after* column pruning — only
+    (event_type, props) are scanned.
+    """
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select("event_type", F.explode(m).alias("prop_key", "prop_value"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("prop_value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_sequence_active_months",
+    oracle="""
+SELECT gs AS month_start, COUNT(*) AS n_active
+FROM orders, UNNEST(GENERATE_SERIES(DATE_TRUNC('month', o_orderdate),
+                                    TIMESTAMP '2001-12-01',
+                                    INTERVAL 1 MONTH)) AS t(gs)
+WHERE o_orderkey % 199 = 0
+GROUP BY gs
+""",
+    tags=("array", "sequence", "explode"),
+)
+def q_sequence_active_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence() + explode: month spans from order date to a horizon.
+
+    The row-generating pattern for densifying sparse time series
+    (calendar spines, retention tables). The modulo filter bounds the
+    fan-out (~80 orders × ≤84 months); at scale the spine join replaces
+    per-row sequence when spans are long. Spark `sequence` and DuckDB
+    `generate_series` are both end-inclusive with month stepping.
+    """
+    o = _t(spark, sf_dir, "orders")
+    months = F.sequence(
+        F.date_trunc("month", F.col("o_orderdate")),
+        F.lit("2001-12-01").cast("timestamp"),
+        F.expr("interval 1 month"),
+    )
+    return (
+        o.filter(F.col("o_orderkey") % 199 == 0)
+        .select(F.explode(months).alias("month_start"))
+        .groupBy("month_start")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "q_array_quantize_stats",
+    oracle="""
+SELECT vec_id,
+       LEN(LIST_DISTINCT(LIST_TRANSFORM(embedding[1:8],
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS BIGINT)))) AS n_buckets,
+       LIST_AGGREGATE(LIST_TRANSFORM(embedding[1:8],
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS BIGINT)), 'min') AS bucket_min,
+       LIST_AGGREGATE(LIST_TRANSFORM(embedding[1:8],
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS BIGINT)), 'max') AS bucket_max
+FROM embeddings
+""",
+    tags=("array", "hof"),
+)
+def q_array_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform/slice/array_distinct/min/max: quantize an embedding prefix.
+
+    Lambda HOF coverage (transform) plus the flat array kernel set.
+    float→double cast happens *before* the ×10 so Spark and DuckDB
+    quantize identically (float widening is exact; float arithmetic is
+    not). HOFs are CodegenFallback — fine for a per-row 8-element
+    array, but hot-path per-element work belongs in explode+codegen or
+    Arrow UDFs (see README design rules).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.slice("embedding", 1, 8),
+        lambda x: F.floor(x.cast("double") * 10),
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.array_distinct(q)).alias("n_buckets"),
+        F.array_min(q).alias("bucket_min"),
+        F.array_max(q).alias("bucket_max"),
+    )
+
+
+@register(
+    "q_unpivot_nation_balances",
+    oracle="""
+WITH cust AS (
+  SELECT c_nationkey AS nk, ROUND(SUM(c_acctbal), 2) AS bal FROM customer GROUP BY 1
+), supp AS (
+  SELECT s_nationkey AS nk, ROUND(SUM(s_acctbal), 2) AS bal FROM supplier GROUP BY 1
+)
+SELECT n_name, 'customer_bal' AS side, COALESCE(cust.bal, 0.0) AS balance
+FROM nation LEFT JOIN cust ON n_nationkey = cust.nk
+UNION ALL
+SELECT n_name, 'supplier_bal' AS side, COALESCE(supp.bal, 0.0) AS balance
+FROM nation LEFT JOIN supp ON n_nationkey = supp.nk
+""",
+    tags=("unpivot", "reshape"),
+)
+def q_unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot (wide→long): customer vs supplier balance per nation.
+
+    Builds the wide table (two broadcast-joined aggregates), then
+    `DataFrame.unpivot` melts the two balance columns into
+    (side, balance) rows — the inverse of `q_event_type_pivot`.
+    Unpivot is a zero-shuffle projection (each input row emits k rows).
+    """
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cust = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("customer_bal")
+    )
+    supp = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.round(F.sum("s_acctbal"), 2).alias("supplier_bal")
+    )
+    wide = (
+        n.join(cust, n.n_nationkey == cust.nk, "left")
+        .join(supp, n.n_nationkey == supp.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("customer_bal", F.lit(0.0)).alias("customer_bal"),
+            F.coalesce("supplier_bal", F.lit(0.0)).alias("supplier_bal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["customer_bal", "supplier_bal"],
+        variableColumnName="side",
+        valueColumnName="balance",
+    )
+
+
+@register(
+    "q_hash_sample_documents",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+""",
+    tags=("sample", "deterministic"),
+)
+def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via md5(doc_id) bucket — oracle-exact.
+
+    The engine-portable twin of `q_stratified_sample_docs` (whose
+    `sampleBy` RNG is engine-specific, hence rows-only): hashing the
+    key to a bucket gives a reproducible sample that any engine agrees
+    on — the standard trick for holdout splits in training pipelines.
+    Map-side filter, no shuffle, pushdown-friendly residual.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return d.filter(bucket % 10 == 0).select("doc_id", "lang", "source")

@@ -36,6 +36,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _PLAN_MODULES = (
     "etl_project_spark.plans.pipeline",
     "etl_project_spark.plans.relational",
+    "etl_project_spark.plans.analytic",
     "etl_project_spark.plans.scalar",
     "etl_project_spark.plans.text",
     "etl_project_spark.plans.dedup",
