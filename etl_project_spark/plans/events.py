@@ -214,3 +214,32 @@ def q_stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup keys so the result is deterministic."""
     e = _events(spark, sf_dir)
     return e.select("event_id", "ts").dropDuplicates(["event_id", "ts"])
+
+
+@register(
+    "q_stream_static_join_twin",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+    tags=("events", "join", "stream-twin"),
+)
+def q_stream_static_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/events.py::stream_static_join_segments): events enriched
+    with the customer-segment dim, rolled up per (segment, type). The
+    dim broadcasts — the stream side never shuffles for the join."""
+    e = _events(spark, sf_dir)
+    c = read_table(spark, sf_dir, "customer")
+    dim = c.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        e.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

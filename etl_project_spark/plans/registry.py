@@ -38,6 +38,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.relational",
     "etl_project_spark.plans.analytic",
     "etl_project_spark.plans.patterns",
+    "etl_project_spark.plans.sql_surface",
     "etl_project_spark.plans.scalar",
     "etl_project_spark.plans.text",
     "etl_project_spark.plans.dedup",

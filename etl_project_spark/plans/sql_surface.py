@@ -1,0 +1,85 @@
+"""SQL-text entry point: the same engine driven through ``spark.sql``.
+
+The reference is an imperative pipeline with no query language
+(SURVEY.md §3); the north star is a full query engine, and Spark gives
+the SQL front-end for free — these queries register the catalog tables
+as temp views and submit raw ANSI SQL, which lands in the *same*
+Catalyst plans as the DataFrame API. Each query's SQL string doubles as
+its DuckDB oracle verbatim, demonstrating the dialect-portable subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    tune_session(spark)
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+#: Shared between spark.sql and the DuckDB oracle — identical text.
+_SQL_REGION_PRIORITY = """
+SELECT r.r_name,
+       o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, o.o_orderpriority
+"""
+
+_SQL_TOP_PARTS = """
+WITH ranked AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         RANK() OVER (PARTITION BY p_brand
+                      ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+)
+SELECT p_brand, p_partkey,
+       ROUND(p_retailprice, 2) AS retail_price,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked
+WHERE rk <= 2
+"""
+
+
+@register(
+    "q_sql_region_priority_revenue",
+    oracle=_SQL_REGION_PRIORITY,
+    tags=("sql", "join", "agg"),
+)
+def q_sql_region_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL through the engine: 4-way join + aggregate.
+
+    One string, two engines: ``spark.sql`` parses it into the identical
+    Catalyst plan the DataFrame build would produce (region/nation/
+    customer broadcast under AQE, one shuffle on the group keys);
+    DuckDB runs the same text as the oracle.
+    """
+    _register_views(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(_SQL_REGION_PRIORITY)
+
+
+@register(
+    "q_sql_cte_top_parts_per_brand",
+    oracle=_SQL_TOP_PARTS,
+    tags=("sql", "cte", "window"),
+)
+def q_sql_cte_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL with a CTE + window rank filter (top-2 per brand).
+
+    The SQL-text route to `q_window_top3_orders_per_customer`'s shape.
+    The unique p_partkey tiebreak in the ORDER BY keeps rank
+    assignments deterministic; the CAST pins rank to int32 in both
+    dialects (Spark RANK is int32, DuckDB's is int64).
+    """
+    _register_views(spark, sf_dir, "part")
+    return spark.sql(_SQL_TOP_PARTS)

@@ -315,3 +315,51 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_fp").alias("fp_min"),
         F.max("_fp").alias("fp_max"),
     )
+
+
+@register(
+    "q_text_scrub_stats",
+    oracle="""
+WITH scrubbed AS (
+  SELECT lang,
+         LENGTH(text) AS raw_len,
+         LENGTH(TRIM(regexp_replace(regexp_replace(text, '\\b(a|the)\\b', '', 'g'),
+                                    '\\s+', ' ', 'g'))) AS clean_len
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(raw_len) AS BIGINT) AS raw_chars,
+       CAST(SUM(clean_len) AS BIGINT) AS clean_chars,
+       ROUND(1.0 * SUM(clean_len) / SUM(raw_len), 6) AS keep_ratio
+FROM scrubbed
+GROUP BY lang
+""",
+    tags=("text", "scrub"),
+)
+def q_text_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-cleaning profile: stopword scrub + whitespace normalize.
+
+    The boilerplate-removal stage of a training-data pipeline as pure
+    codegen expressions: two regexp_replace passes (word-boundary
+    stopword strip, whitespace squeeze) and length accounting per
+    language. Both engines' regex dialects (Java, RE2) agree on
+    ``\\b``/``\\s`` so the oracle is exact; lengths are integers, so
+    the sums and ratio are order-insensitive.
+    """
+    d = _docs(spark, sf_dir)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"\b(a|the)\b", ""), r"\s+", " "
+        )
+    )
+    return (
+        d.select("lang", F.length("text").alias("raw_len"), F.length(clean).alias("clean_len"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("raw_len").alias("raw_chars"),
+            F.sum("clean_len").alias("clean_chars"),
+            F.round(F.sum("clean_len") / F.sum("raw_len"), 6).alias("keep_ratio"),
+        )
+    )

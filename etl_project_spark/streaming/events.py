@@ -135,6 +135,31 @@ def stream_dedup_events(events: DataFrame, *, watermark: str = "2 hours") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def stream_static_join_segments(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: per-segment event rollup.
+
+    The streaming analogue of the reference's enrichment stage
+    (flows/etl.py:186-242): each micro-batch joins against a static
+    dimension — here customer segments keyed by user_id — then
+    aggregates. Stream-static joins need no watermark (the static side
+    is re-broadcast per batch, state-free); the aggregate shuffles on
+    (segment, type), both low-cardinality.
+
+    Batch twin: plans/events.py::q_stream_static_join_twin.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame, query_name: str, *, timeout_s: float = 120.0
 ) -> None:

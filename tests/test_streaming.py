@@ -116,3 +116,22 @@ def test_stream_custom_stateful_running_totals(spark, events_path):
     )
     for r in batch:
         assert got[r.user_id] == (r.n, r.t)
+
+
+def test_stream_static_join_matches_batch(spark, events_path):
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.plans.registry import all_specs
+
+    stream = SE.read_events_stream(spark, events_path)
+    customers = read_table(spark, SF_ORACLE, "customer")
+    _drain(SE.stream_static_join_segments(stream, customers), "segjoin")
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM segjoin").collect()
+    }
+    batch = all_specs()["q_stream_static_join_twin"].builder(spark, SF_ORACLE)
+    want = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
