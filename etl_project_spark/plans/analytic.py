@@ -9,6 +9,8 @@ note for the intended physical shape at 100 TB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -483,3 +485,38 @@ def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     return d.filter(bucket % 10 == 0).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_grouped_agg_pandas_weighted_disc",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6) AS weighted_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "pandas-udf", "arrow"),
+)
+def q_grouped_agg_pandas_weighted_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow grouped-agg pandas UDF: quantity-weighted mean discount.
+
+    The UDAF seam: a ``pandas_udf`` used inside ``groupBy().agg()``
+    receives each group's columns as whole Arrow-backed Series — one
+    vectorized numpy reduction per group, no per-row Python. This is
+    the escape hatch for aggregates Spark lacks (here deliberately one
+    the oracle CAN express, so the Arrow path itself is hash-checked;
+    the built-in-expressible form would be SUM(x*w)/SUM(w)). Note the
+    scale contrast with algebraic aggs: grouped-agg UDFs see full
+    groups, so a skewed key materializes its group on one executor —
+    salting applies when that matters.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(disc: pd.Series, qty: pd.Series) -> float:
+        return float(np.dot(disc.to_numpy(), qty.to_numpy()) / qty.to_numpy().sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_discount", "l_quantity"), 6).alias("weighted_disc")
+    )

@@ -88,3 +88,23 @@ def test_csv_json_roundtrip(spark, tmp_path):
         back = read_text_format(spark, path, format=fmt, schema=src.schema)
         assert back.schema == src.schema
         assert sorted(tuple(r) for r in back.collect()) == want
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned parquet write → reads with a partition
+    predicate must prune at planning time (PartitionFilters, not a
+    post-scan filter) — the layout contract that makes 100 TB scans
+    skip data."""
+    from etl_project_spark.catalog import read_table
+    from tests.conftest import SF_ORACLE
+
+    out = str(tmp_path / "orders_by_status")
+    orders = read_table(spark, SF_ORACLE, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(out)
+
+    back = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+    want = orders.filter("o_orderstatus = 'F'").count()
+    assert back.count() == want
