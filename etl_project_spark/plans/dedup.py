@@ -115,3 +115,67 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_near_dup_pairs(
         e, "vec_id", "embedding", dim=64, threshold=0.9, n_planes=10
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_benchmark_contamination",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, source,
+         TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, substr(t, p, 12) AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(LENGTH(t) - 11, 1))) AS u(p)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE source = 'src0'
+), corpus AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(b.g) AS n_shared,
+       ROUND(1.0 * COUNT(b.g) / COUNT(*), 6) AS contamination
+FROM corpus c LEFT JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+""",
+    tags=("dedup", "contamination", "text"),
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document overlap with a held-out set.
+
+    The eval-set contamination check every pretraining pipeline runs:
+    treat one source (src0) as the benchmark, shingle both sides into
+    char 12-grams (explode + substr — whole-stage codegen, see
+    operators/dedup.py::shingle_rows), and score each corpus document
+    by the fraction of its distinct shingles that appear anywhere in
+    the benchmark. Set-semantics via distinct before the join; the
+    overlap is an equi-join on the gram (hash-partitioned both sides,
+    no cross product). Grams are xxhash64'd to fixed 8-byte keys
+    before the distinct/join so the shuffle never carries strings
+    (collision odds ~1e-6 at 10M grams — far below the rounding
+    granularity); at 100 TB the benchmark side is the small input —
+    broadcast it when it fits.
+    """
+    d = _t(spark, sf_dir, "documents")
+
+    def grams(df: DataFrame) -> DataFrame:
+        rows = DD.shingle_rows(df, "doc_id", "text", k=12)
+        return rows.select("_id", F.xxhash64("_gram").alias("_g"))
+
+    bench = (
+        grams(d.filter(F.col("source") == "src0"))
+        .select("_g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = grams(d.filter(F.col("source") != "src0")).distinct()
+    return (
+        corpus.join(bench, "_g", "left")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_shared"),
+            F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("contamination"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Driver-contract verification (the /verify recipe, scripted).
+
+Replays what the round driver does, from a fresh process and a neutral
+cwd: import __spark_entry__, run t1 smoke, then hash-compare a sample
+of oracle-backed queries against DuckDB at sf0.01 exactly like the t2
+gate (columns sorted by name, rows sorted by all columns).
+
+Usage:  python tools/verify_driver.py [query ...]
+        (no args → entry smoke + 3 rotating spot-checks)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns), ignore_index=True) if len(df) else df
+
+
+def main() -> int:
+    os.chdir("/tmp")  # prove no cwd-relative assumptions in the package
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as mod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n = mod.entry(spark).count()
+    assert n > 0, "t1 smoke: entry() returned no rows"
+    print(f"entry rows: {n}")
+    qs, osql = mod.queries(), mod.oracle_sql()
+    print(f"{len(qs)} queries, {len(osql)} oracle-backed")
+
+    names = sys.argv[1:] or sorted(osql)[:: max(1, len(osql) // 3)][:3]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    failed = []
+    for name in names:
+        sp = canon(qs[name](spark, SF).toPandas())
+        oc = canon(con.execute(osql[name]).fetchdf())
+        ok = sp.shape == oc.shape and list(sp.columns) == list(oc.columns)
+        if ok:
+            for c in sp.columns:
+                a, b = sp[c], oc[c]
+                if pd.api.types.is_numeric_dtype(a) or pd.api.types.is_numeric_dtype(b):
+                    same = (
+                        a.astype(float).fillna(-9e99).to_numpy()
+                        == b.astype(float).fillna(-9e99).to_numpy()
+                    ).all()
+                else:
+                    same = (a.astype(object).fillna("~") == b.astype(object).fillna("~")).all()
+                if not same:
+                    ok = False
+                    break
+        print(f"{name:45s} shape={sp.shape} match={bool(ok)}")
+        if not ok:
+            failed.append(name)
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print("driver contract OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
