@@ -172,3 +172,34 @@ def winnowing_fingerprint_rows(
         grams.select("_id", F.min("_h").over(win).alias("_fp"))
         .dropDuplicates(["_id", "_fp"])
     )
+
+
+#: Tiny polarity lexicon for lexicon-based sentiment scoring over the
+#: synthetic corpus vocabulary (the classic count-positive-minus-negative
+#: scheme of large-scale Spark sentiment pipelines — PAPERS.md, "Large
+#: Scale Sentiment Analysis on Twitter with Spark", EDBT 2016). Swap the
+#: word lists for a real lexicon (AFINN/VADER) on natural text.
+SENTIMENT_LEXICON: dict[str, tuple[str, ...]] = {
+    "pos": ("fast", "value", "merge"),
+    "neg": ("slow", "big", "stale"),
+}
+
+
+def sentiment_hits(col: Column, polarity: str) -> Column:
+    """Word-boundary hit count against one polarity's lexicon."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    hits = [occurrences(padded, f" {w} ") for w in SENTIMENT_LEXICON[polarity]]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def sentiment_score(col: Column) -> Column:
+    """(pos - neg) / (pos + neg + 1) in [-1, 1]; +1 smooths empty docs.
+
+    Pure integer counting + one division — codegen all the way, and
+    bit-identical in ANSI SQL for the oracle.
+    """
+    pos, neg = sentiment_hits(col, "pos"), sentiment_hits(col, "neg")
+    return (pos - neg) / (pos + neg + F.lit(1))

@@ -363,3 +363,44 @@ def q_text_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("clean_len") / F.sum("raw_len"), 6).alias("keep_ratio"),
         )
     )
+
+
+def _sql_sentiment_hits(polarity: str) -> str:
+    padded = "CONCAT(' ', LOWER(text), ' ')"
+    terms = [_sql_occurrences(padded, f" {w} ") for w in TX.SENTIMENT_LEXICON[polarity]]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q_sentiment_scores_per_source",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM({_sql_sentiment_hits('pos')}) AS BIGINT) AS pos_hits,
+       CAST(SUM({_sql_sentiment_hits('neg')}) AS BIGINT) AS neg_hits,
+       ROUND(AVG(1.0 * ({_sql_sentiment_hits('pos')} - {_sql_sentiment_hits('neg')})
+                 / ({_sql_sentiment_hits('pos')} + {_sql_sentiment_hits('neg')} + 1)), 6)
+           AS avg_sentiment
+FROM documents
+GROUP BY source
+""",
+    tags=("text", "sentiment"),
+)
+def q_sentiment_scores_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment rollup per source (EDBT 2016 scheme).
+
+    Polarity hits are word-boundary occurrence counts (length-difference
+    trick — stays in codegen, no UDF, no tokenizer materialization);
+    the per-doc score is integer arithmetic plus one division, so the
+    source-level average is exact for the oracle. The shape a
+    sentiment-labeling stage takes in a training-data pipeline:
+    map-side scoring, one narrow shuffle on the group key.
+    """
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.sentiment_hits(c, "pos")).alias("pos_hits"),
+        F.sum(TX.sentiment_hits(c, "neg")).alias("neg_hits"),
+        F.round(F.avg(TX.sentiment_score(c)), 6).alias("avg_sentiment"),
+    )
