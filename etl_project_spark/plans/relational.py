@@ -910,3 +910,52 @@ def q_right_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         (o.o_custkey == c.c_custkey) & (o.o_totalprice > 300000.0),
         "right",
     ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_intersect_all_priorities",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000.0
+) GROUP BY o_orderpriority
+""",
+    tags=("setop", "multiset"),
+)
+def q_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of multiplicities).
+
+    The bag-semantics twin of `q_intersect_segments`: priorities repeat
+    heavily, so ALL keeps min(count_a, count_b) copies where DISTINCT
+    would keep one. Spark plans this as a count-compare aggregate on
+    the value — one shuffle, no join.
+    """
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = o.filter(F.col("o_totalprice") > 100000.0).select("o_orderpriority")
+    return a.intersectAll(b).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_except_all_priorities",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n FROM (
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_totalprice > 400000.0
+) GROUP BY o_orderpriority
+""",
+    tags=("setop", "multiset"),
+)
+def q_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (multiplicity subtraction).
+
+    The 400k threshold keeps the subtrahend smaller than the minuend
+    per priority so the difference is non-empty — ALL semantics are
+    then observable (DISTINCT would collapse them to zero rows here).
+    """
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = o.filter(F.col("o_totalprice") > 400000.0).select("o_orderpriority")
+    return a.exceptAll(b).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))

@@ -135,3 +135,30 @@ def test_stream_static_join_matches_batch(spark, events_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_is_exactly_once(spark, events_path, tmp_path):
+    """File sink + checkpoint: draining, restarting from the same
+    checkpoint, and draining again must not reprocess or duplicate —
+    the exactly-once contract recovery depends on at scale."""
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain_once():
+        stream = SE.read_events_stream(spark, events_path)
+        q = (
+            SE.stream_dedup_events(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not drain in time"
+
+    drain_once()
+    first = spark.read.parquet(sink).count()
+    assert first > 0
+    drain_once()  # restart from checkpoint: input unchanged → no new rows
+    assert spark.read.parquet(sink).count() == first
