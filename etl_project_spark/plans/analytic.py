@@ -520,3 +520,38 @@ def q_grouped_agg_pandas_weighted_disc(spark: SparkSession, sf_dir: str) -> Data
     return li.groupBy("l_returnflag").agg(
         F.round(wavg("l_discount", "l_quantity"), 6).alias("weighted_disc")
     )
+
+
+@register(
+    "q_rolling_hour_user_value",
+    oracle="""
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_last_hour,
+       ROUND(SUM(value) OVER w, 4) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "frame", "range", "events"),
+)
+def q_rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user rolling 1-hour totals.
+
+    The feature-engineering staple (activity in the trailing hour)
+    as a value-based frame over epoch seconds — no self-join, no
+    explode-into-windows; Spark maintains a sliding frame per sorted
+    partition. RANGE semantics make ties (same-second events) peers,
+    so the result is deterministic without an id tiebreak.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("value_last_hour"),
+    )

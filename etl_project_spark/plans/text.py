@@ -404,3 +404,74 @@ def q_sentiment_scores_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(TX.sentiment_hits(c, "neg")).alias("neg_hits"),
         F.round(F.avg(TX.sentiment_score(c)), 6).alias("avg_sentiment"),
     )
+
+
+@register(
+    "q_bm25_query_scores",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id,
+         {_sql_occurrences("CONCAT(' ', LOWER(text), ' ')", ' spark ')} AS tf1,
+         {_sql_occurrences("CONCAT(' ', LOWER(text), ' ')", ' fast ')} AS tf2,
+         {_sql_occurrences("CONCAT(' ', LOWER(text), ' ')", ' query ')} AS tf3,
+         {_SQL_TOKEN_COUNT} AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n,
+         AVG(dl) AS avgdl,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM tf
+)
+SELECT doc_id,
+       ROUND(
+         LN((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + LN((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + LN((n - df3 + 0.5) / (df3 + 0.5) + 1) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+       6) AS bm25
+FROM tf, stats
+""",
+    tags=("text", "relevance", "bm25"),
+)
+def q_bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scores for the query {spark, fast, query} (k1=1.2, b=0.75).
+
+    Search-relevance scoring as a two-pass plan: per-doc term
+    frequencies + doc length (map-side, codegen occurrence counts),
+    then one 1-row corpus-stats aggregate (N, avgdl, per-term df)
+    broadcast back as a cross input — the same shape TF-IDF takes.
+    Every arithmetic step is associated identically in the SQL so the
+    doubles match bit-for-bit before the final round. At 100 TB the
+    stats row is a Grand Total aggregate — cheap — and scoring stays
+    embarrassingly parallel.
+    """
+    d = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    tf = d.select(
+        "doc_id",
+        TX.occurrences(padded, " spark ").alias("tf1"),
+        TX.occurrences(padded, " fast ").alias("tf2"),
+        TX.occurrences(padded, " query ").alias("tf3"),
+        TX.token_count(F.col("text")).alias("dl"),
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum((F.col("tf1") > 0).cast("bigint")).alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("bigint")).alias("df2"),
+        F.sum((F.col("tf3") > 0).cast("bigint")).alias("df3"),
+    )
+
+    def part(tfc: str, dfc: str):
+        idf = F.log((F.col("n") - F.col(dfc) + 0.5) / (F.col(dfc) + 0.5) + 1)
+        denom = F.col(tfc) + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        return idf * (F.col(tfc) * 2.2) / denom
+
+    return (
+        tf.join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(part("tf1", "df1") + part("tf2", "df2") + part("tf3", "df3"), 6).alias("bm25"),
+        )
+    )

@@ -108,3 +108,17 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
     want = orders.filter("o_orderstatus = 'F'").count()
     assert back.count() == want
+
+
+def test_catalog_errors_are_clean(spark):
+    """Unknown table → KeyError naming the options; missing sf dir →
+    Spark's AnalysisException at plan time (not a mid-job task crash)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from etl_project_spark.catalog import read_table
+
+    with pytest.raises(KeyError, match="unknown table"):
+        read_table(spark, "/root/testdata/sf0.01", "nope")
+    with pytest.raises(AnalysisException):
+        read_table(spark, "/root/testdata/sf-does-not-exist", "orders")

@@ -28,6 +28,21 @@ only where semantics require Python (external-service enrichment,
 binary decode, numpy fingerprints).
 """
 
+#: Non-bench queries whose physical shape is itself the evidence:
+#: decorrelated EXISTS/NOT-EXISTS, broadcast-heavy multiway join,
+#: hashed-gram contamination join, SQL-text entry, value-based RANGE
+#: frame, Arrow grouped-agg UDF, salted skew agg, pushdown-able sample.
+EXTRA_PLANS = (
+    "q_orders_returned_never_audited",
+    "q_nation_pair_volume",
+    "q_benchmark_contamination",
+    "q_sql_region_priority_revenue",
+    "q_range_frame_price_neighbors",
+    "q_grouped_agg_pandas_weighted_disc",
+    "q_salted_skew_agg",
+    "q_hash_sample_documents",
+)
+
 
 def main() -> None:
     import __spark_entry__ as mod
@@ -43,7 +58,12 @@ def main() -> None:
         sf = "/root/testdata/sf0.01"
 
     out = [HEADER]
-    for name in BENCH_QUERIES:
+    for name in tuple(BENCH_QUERIES) + ("---",) + EXTRA_PLANS:
+        if name == "---":
+            out.append(
+                "\n---\n\n# Operator-shape evidence (non-bench queries)\n"
+            )
+            continue
         df = qs[name](spark, sf)
         qe = df._jdf.queryExecution()
         formatted = qe.explainString(mode.fromString("formatted"))
