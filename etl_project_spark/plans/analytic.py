@@ -555,3 +555,47 @@ def q_rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 4).alias("value_last_hour"),
     )
+
+
+@register(
+    "q_grouped_map_zscore_docs",
+    oracle="""
+SELECT doc_id, lang,
+       ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+             / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 6) AS z_chars
+FROM documents
+""",
+    tags=("pandas-udf", "arrow", "grouped-map"),
+)
+def q_grouped_map_zscore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow grouped-map ``applyInPandas``: within-language z-scores.
+
+    The grouped-*map* seam (full group in, full frame out) — the API
+    for per-group model scoring, resampling, or fitting that column
+    expressions can't write. Here the body is deliberately
+    oracle-expressible (windowed mean/stddev) so the Arrow round-trip
+    is hash-checked. ddof=1 matches STDDEV_SAMP; numpy's two-pass
+    mean/std on float64 agrees with the window aggregate's moments at
+    round-6. Scale note: each group materializes on one executor —
+    fine for per-language groups; salt or pre-aggregate when a group
+    can exceed executor memory.
+    """
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].to_numpy(dtype="float64")
+        mu = x.mean()
+        sd = x.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z_chars": ((x - mu) / sd).round(6),
+            }
+        )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(zscore, schema="doc_id bigint, lang string, z_chars double")
+    )

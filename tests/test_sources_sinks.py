@@ -122,3 +122,41 @@ def test_catalog_errors_are_clean(spark):
         read_table(spark, "/root/testdata/sf0.01", "nope")
     with pytest.raises(AnalysisException):
         read_table(spark, "/root/testdata/sf-does-not-exist", "orders")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """bucketBy co-located join: two tables bucketed 8-ways on the join
+    key must sort-merge join with NO Exchange — the pre-partitioned
+    layout that turns a 100 TB fact⋈fact into a shuffle-free zip."""
+    from etl_project_spark.catalog import read_table
+    from tests.conftest import SF_ORACLE
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = read_table(spark, SF_ORACLE, "orders")
+        lineitem = read_table(spark, SF_ORACLE, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        for df, name, key in (
+            (orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey"),
+            (lineitem, "b_lineitem", "l_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", str(tmp_path / name))
+                .saveAsTable(name)
+            )
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
