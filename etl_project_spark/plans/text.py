@@ -475,3 +475,105 @@ def q_bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(part("tf1", "df1") + part("tf2", "df2") + part("tf3", "df3"), 6).alias("bm25"),
         )
     )
+
+
+@register(
+    "q_chunk_documents_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         t[i * 24 + 1 : i * 24 + 32] AS c
+  FROM toks, UNNEST(generate_series(0, (len(t) - 1) // 24)) AS u(i)
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(c) AS INTEGER) AS n_chunk_tokens,
+       MD5(array_to_string(c, ' ')) AS chunk_fp
+FROM chunks
+""",
+    tags=("text", "chunking"),
+)
+def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks, stride 24 (8 overlap).
+
+    The pretraining-prep operator that turns documents into
+    model-window pieces: tokenize (whitespace), emit one row per chunk
+    start (posexplode over a stride sequence), slice the token array,
+    fingerprint the chunk text. Pure codegen expressions — the explode
+    multiplies rows ~len/stride with no UDF and no shuffle; chunking
+    composes with the dedup family downstream (dedup on chunk_fp).
+    Output carries the md5 fingerprint, not the chunk text, so the
+    plan stays narrow at scale.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    starts = F.sequence(F.lit(0), F.expr("(size(t) - 1) div 24"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(starts).alias("chunk_idx"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice("t", F.col("chunk_idx") * 24 + 1, 32).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("c").alias("n_chunk_tokens"),
+        F.md5(F.array_join("c", " ")).alias("chunk_fp"),
+    )
+
+
+@register(
+    "q_udtf_top_terms_per_doc",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS term
+  FROM documents
+), cnt AS (
+  SELECT doc_id, term, COUNT(*) AS n FROM tok GROUP BY doc_id, term
+), rk AS (
+  SELECT doc_id, term, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, term) AS r
+  FROM cnt
+)
+SELECT doc_id, term, CAST(n AS INTEGER) AS n
+FROM rk WHERE r <= 3
+""",
+    tags=("text", "udtf"),
+)
+def q_udtf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL: top-3 terms per document.
+
+    The table-function seam (one row in, many rows out, per-row Python
+    state) — Spark 4's ``@udtf`` registered and invoked through SQL
+    LATERAL, hash-checked against the explode+group+row_number twin.
+    Ties break on (count desc, term asc) in both the Python Counter
+    sort and the oracle's ROW_NUMBER, so results are deterministic.
+    Row-at-a-time Python is the slow path by design rules — the
+    declarative twin IS the scale implementation; the UDTF exists for
+    logic that genuinely can't be expressed as expressions.
+    """
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, n int")
+    class TopTerms:
+        def eval(self, text: str):
+            counts = Counter((text or "").split())
+            for term, n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]:
+                yield term, int(n)
+
+    spark.udtf.register("top_terms", TopTerms)
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.term, t.n "
+        "FROM documents d, LATERAL top_terms(d.text) t"
+    )
