@@ -83,3 +83,30 @@ def q_sql_cte_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     _register_views(spark, sf_dir, "part")
     return spark.sql(_SQL_TOP_PARTS)
+
+
+_SQL_FILTERED_AGGS = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 200000.0), 2)
+           AS high_value_total
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_sql_filtered_aggs",
+    oracle=_SQL_FILTERED_AGGS,
+    tags=("sql", "agg", "filter-clause"),
+)
+def q_sql_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause — per-aggregate predicates in one pass.
+
+    The standard-SQL alternative to CASE-inside-SUM: each aggregate
+    carries its own WHERE, evaluated in a single scan + single
+    shuffle. Same text runs on both engines.
+    """
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_FILTERED_AGGS)
