@@ -38,6 +38,9 @@ BENCH_QUERIES = (
     "q_embedding_near_dup_pairs",
     "q_knn_bruteforce_topk",
     "q_multimodal_payload_profile",
+    "q_benchmark_contamination",
+    "q_bm25_query_scores",
+    "q_chunk_documents_overlap",
 )
 
 

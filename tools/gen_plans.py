@@ -35,7 +35,6 @@ binary decode, numpy fingerprints).
 EXTRA_PLANS = (
     "q_orders_returned_never_audited",
     "q_nation_pair_volume",
-    "q_benchmark_contamination",
     "q_sql_region_priority_revenue",
     "q_range_frame_price_neighbors",
     "q_grouped_agg_pandas_weighted_disc",
