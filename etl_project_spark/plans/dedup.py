@@ -93,11 +93,38 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ngram_jaccard_pairs",
-    oracle=None,
-    tags=("dedup", "ngram", "rows-only"),
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b,
+       ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) AS jaccard_sim
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.2
+""",
+    tags=("dedup", "ngram"),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard pairs ≥ 0.2 via inverted-index join."""
+    """Word-3-gram Jaccard pairs ≥ 0.2 via inverted-index join.
+
+    Exact (no lossy candidate stage), so unlike the LSH families this
+    one IS oracle-checked: the SQL twin rebuilds the same normalized
+    word 3-grams with list slicing and the same |A∩B|/(|A|+|B|-|A∩B|)
+    arithmetic.
+    """
     d = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2).orderBy(
         "id_a", "id_b"
