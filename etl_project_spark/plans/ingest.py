@@ -142,3 +142,65 @@ def q_enrich_missing_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng.alias("lng"),
         F.col("needs_geo").alias("was_enriched"),
     )
+
+
+@register(
+    "q_merge_upsert_orders",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS new_price
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey,
+         ROUND(o_totalprice * 0.5, 2) AS new_price
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT COALESCE(o.o_orderkey, c.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+            WHEN c.o_orderkey IS NULL THEN 'kept'
+            ELSE 'updated' END AS merge_action,
+       COALESCE(c.new_price, ROUND(o.o_totalprice, 2)) AS final_price
+FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.o_orderkey
+""",
+    tags=("merge", "upsert", "etl"),
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as a declarative plan: apply a changes feed to a base.
+
+    The lakehouse MERGE INTO (update-matched / insert-unmatched)
+    expressed as one full outer join + coalesce — the engine-portable
+    upsert the reference approximates with ``if_exists='replace'`` +
+    append chunks (flows/etl.py:256-286). The changes feed here is
+    derived deterministically from the base (repriced every-3rd key,
+    plus synthetic new keys) so the oracle reproduces it exactly. At
+    scale the join shuffles on the merge key — or goes shuffle-free on
+    bucketed layouts (see the bucketed-join test).
+    """
+    from etl_project_spark.catalog import read_table
+
+    tune_session(spark)
+    o = read_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.round(F.col("o_totalprice") * 0.5, 2).alias("new_price"),
+    )
+    changes = updates.unionByName(inserts)
+    base = o.select("o_orderkey", "o_totalprice")
+    j = base.alias("o").join(
+        changes.alias("c"),
+        F.col("o.o_orderkey") == F.col("c.o_orderkey"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("c.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("inserted"))
+        .when(F.col("c.o_orderkey").isNull(), F.lit("kept"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+        F.coalesce(F.col("c.new_price"), F.round(F.col("o.o_totalprice"), 2)).alias(
+            "final_price"
+        ),
+    )
