@@ -148,11 +148,11 @@ def q_enrich_missing_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_merge_upsert_orders",
     oracle="""
 WITH changes AS (
-  SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS new_price
+  SELECT o_orderkey, ROUND(o_totalprice + 1000.0, 2) AS new_price
   FROM orders WHERE o_orderkey % 3 = 0
   UNION ALL
   SELECT o_orderkey + 100000000 AS o_orderkey,
-         ROUND(o_totalprice * 0.5, 2) AS new_price
+         ROUND(o_totalprice - 500.0, 2) AS new_price
   FROM orders WHERE o_orderkey % 1000 = 0
 )
 SELECT COALESCE(o.o_orderkey, c.o_orderkey) AS o_orderkey,
@@ -171,7 +171,9 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as one full outer join + coalesce — the engine-portable
     upsert the reference approximates with ``if_exists='replace'`` +
     append chunks (flows/etl.py:256-286). The changes feed here is
-    derived deterministically from the base (repriced every-3rd key,
+    derived deterministically from the base (repriced every-3rd key by
+    an exact-in-binary additive delta — multiplicative reprices land on
+    half-cent ROUND boundaries where Spark and DuckDB disagree,
     plus synthetic new keys) so the oracle reproduces it exactly. At
     scale the join shuffles on the merge key — or goes shuffle-free on
     bucketed layouts (see the bucketed-join test).
@@ -181,11 +183,11 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     o = read_table(spark, sf_dir, "orders")
     updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
-        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price")
+        "o_orderkey", F.round(F.col("o_totalprice") + 1000.0, 2).alias("new_price")
     )
     inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
         (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
-        F.round(F.col("o_totalprice") * 0.5, 2).alias("new_price"),
+        F.round(F.col("o_totalprice") - 500.0, 2).alias("new_price"),
     )
     changes = updates.unionByName(inserts)
     base = o.select("o_orderkey", "o_totalprice")

@@ -5,7 +5,12 @@ import os
 import pytest
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default to the DRIVER's t2 scale: float-rounding boundaries differ
+# between scale factors (a half-cent ROUND divergence reproduced only
+# at sf0.01), so parity must be proven where the driver checks it.
+# Override with SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001 for a
+# faster inner loop while iterating.
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
