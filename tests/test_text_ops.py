@@ -1,0 +1,81 @@
+"""Property tests for the chunking / relevance / scrub text operators —
+invariants that hold for ANY input, complementing the value-hash oracle
+(which only proves the one corpus).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_spark.plans.registry import all_specs
+from tests.conftest import SF_ORACLE
+
+SPECS = all_specs()
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    return SPECS["q_chunk_documents_overlap"].builder(spark, SF_ORACLE).cache()
+
+
+def test_chunks_cover_every_token(spark, chunks):
+    """Stride 24 < size 32 ⇒ chunk starts tile the token range with
+    overlap: last chunk start + 32 ≥ n_tokens, and no gap between
+    consecutive starts (24 < 32)."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.operators.text import token_count
+
+    docs = read_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    last = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("last_idx"))
+    j = last.join(docs, "doc_id")
+    uncovered = j.filter(F.col("last_idx") * 24 + 32 < F.col("n_tok")).count()
+    assert uncovered == 0
+
+
+def test_chunk_sizes_bounded_and_positive(chunks):
+    bad = chunks.filter(
+        (F.col("n_chunk_tokens") <= 0) | (F.col("n_chunk_tokens") > 32)
+    ).count()
+    assert bad == 0
+    # a non-last chunk start s satisfies s*24 <= n-25, so it holds at
+    # least stride+1 = 25 tokens (only the final chunk may be shorter)
+    w_last = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("last_idx"))
+    short_nonlast = (
+        chunks.join(w_last, "doc_id")
+        .filter((F.col("chunk_idx") < F.col("last_idx")) & (F.col("n_chunk_tokens") < 25))
+        .count()
+    )
+    assert short_nonlast == 0
+
+
+def test_bm25_zero_tf_docs_score_zero(spark):
+    """A document containing none of the query terms must score 0."""
+    df = SPECS["q_bm25_query_scores"].builder(spark, SF_ORACLE)
+    from etl_project_spark.catalog import read_table
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    no_terms = docs.filter(
+        ~F.lower(F.col("text")).rlike(r"\b(spark|fast|query)\b")
+    ).select("doc_id")
+    nonzero = df.join(no_terms, "doc_id").filter(F.col("bm25") != 0.0).count()
+    assert nonzero == 0
+
+
+def test_merge_partitions_base_and_changes(spark):
+    """Merge actions partition the output: inserted+kept+updated row
+    counts reconcile exactly with the base and changes cardinalities."""
+    from etl_project_spark.catalog import read_table
+
+    out = SPECS["q_merge_upsert_orders"].builder(spark, SF_ORACLE)
+    counts = {r["merge_action"]: r["n"] for r in
+              out.groupBy("merge_action").agg(F.count(F.lit(1)).alias("n")).collect()}
+    o = read_table(spark, SF_ORACLE, "orders")
+    n_base = o.count()
+    n_upd = o.filter(F.col("o_orderkey") % 3 == 0).count()
+    n_ins = o.filter(F.col("o_orderkey") % 1000 == 0).count()
+    assert counts.get("updated", 0) == n_upd
+    assert counts.get("inserted", 0) == n_ins
+    assert counts.get("kept", 0) == n_base - n_upd
