@@ -284,3 +284,121 @@ def q_math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_k_ceil"),
         F.floor(F.col("l_tax") * 100.0).cast("bigint").alias("tax_pct_floor"),
     )
+
+
+@register(
+    "q_null_handling_funcs",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+       ROUND(SUM(COALESCE(CASE WHEN c_acctbal > 0 THEN c_acctbal END, 0.0)), 2)
+           AS positive_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("scalar", "null"),
+)
+def q_null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-production and NULL-elimination idioms (nullif/coalesce/when).
+
+    The engine's NULL discipline in one query: NULLIF manufactures
+    NULLs from sentinels (the reference's 'No disponible' pattern,
+    flows/etl.py:208, inverted), a guarded CASE yields NULL on the
+    else-branch, and COALESCE restores a neutral element before SUM.
+    """
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).isNull(), 1).otherwise(0)
+        ).alias("n_building"),
+        F.round(
+            F.sum(F.coalesce(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")), F.lit(0.0))), 2
+        ).alias("positive_bal"),
+    )
+
+
+@register(
+    "q_string_shaping_funcs",
+    oracle="""
+SELECT p_partkey,
+       LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+       TRANSLATE(p_brand, '#', '-') AS brand_slug,
+       REVERSE(p_name) AS rev_name,
+       REPEAT(LEFT(p_type, 2), 2) AS type_tag,
+       CAST(STRPOS(p_name, 'a') AS INTEGER) AS first_a
+FROM part
+""",
+    tags=("scalar", "string"),
+)
+def q_string_shaping_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String shaping breadth: pad/translate/reverse/repeat/position.
+
+    Pure projections — zero shuffles, fully codegen; the formatting
+    layer of an export/interchange stage.
+    """
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.translate("p_brand", "#", "-").alias("brand_slug"),
+        F.reverse("p_name").alias("rev_name"),
+        F.repeat(F.substring("p_type", 1, 2), 2).alias("type_tag"),
+        F.instr("p_name", "a").alias("first_a"),
+    )
+
+
+@register(
+    "q_bitwise_agg_orders",
+    oracle="""
+SELECT o_orderstatus,
+       BIT_AND(o_orderkey) AS key_and,
+       BIT_OR(o_orderkey) AS key_or,
+       BIT_XOR(o_orderkey) AS key_xor
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("scalar", "bitwise", "agg"),
+)
+def q_bitwise_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — order-insensitive by algebra,
+    so no float-style parity caveats; used for key-coverage masks and
+    checksum-style reconciliation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+@register(
+    "q_datetime_extract_breadth",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+       CAST(EXTRACT(isodow FROM o_orderdate) AS INTEGER) AS iso_dow,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY EXTRACT(year FROM o_orderdate),
+         EXTRACT(quarter FROM o_orderdate),
+         EXTRACT(isodow FROM o_orderdate)
+""",
+    tags=("scalar", "datetime", "agg"),
+)
+def q_datetime_extract_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-field extraction breadth: year/quarter/ISO weekday.
+
+    ISO weekday is the cross-engine-stable choice (Monday=1..Sunday=7);
+    Spark's ``dayofweek`` is Sunday=1, so ``weekday()+1`` is the
+    portable mapping. Grouping on extracted fields still pushes the
+    scan projection down to the one date column.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
