@@ -565,3 +565,60 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over an undirected pair-edge list:
+    ``(id, cluster)`` where cluster is the component's minimum id.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; convergence in
+    O(component diameter) rounds (near-dup clusters are shallow — the
+    diameter of a dup cluster is rarely > 3). The loop is driver-side
+    CONTROL only — each iteration is one distributed join + aggregate,
+    and it exits early via a per-round changed-count action. This is
+    the iterative-algorithm seam (the same loop shape serves PageRank
+    or label propagation); for planet-scale graphs swap in the
+    alternating small-star/large-star formulation, which converges in
+    O(log n) rounds regardless of diameter.
+    """
+    from pyspark import StorageLevel
+
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("l", F.col("id"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("l").alias("nl"))
+        )
+        nxt = (
+            labels.select(F.col("id"), F.col("l").alias("ol"))
+            .join(neigh, F.col("id") == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("ol"), F.coalesce(F.col("nl"), F.col("ol"))).alias("l"),
+                "ol",
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        changed = nxt.filter(F.col("l") != F.col("ol")).count()
+        old = labels
+        labels = nxt.select("id", "l")
+        old.unpersist()
+        if changed == 0:
+            break
+    return labels.select("id", F.col("l").alias("cluster"))

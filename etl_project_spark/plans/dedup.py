@@ -1,10 +1,12 @@
 """Deduplication queries over ``documents`` and ``embeddings``.
 
-Exact dedup is oracle-checked; the LSH families (MinHash, SimHash,
-n-gram Jaccard inverted index, embedding near-dup) are not ANSI-SQL
-expressible at scale → registered rows-only, with self-validating
-property tests in tests/test_dedup.py (dedup output ⊆ input, pair
-ordering id_a < id_b, LSH candidates ⊇ high-similarity pairs).
+Exact dedup, the exact n-gram Jaccard inverted index, benchmark
+decontamination, and connected-component cluster labels are all
+oracle-checked (the last via a DuckDB recursive CTE). Only the
+genuinely approximate LSH families (MinHash, SimHash, embedding
+near-dup) are rows-only, with self-validating property tests in
+tests/test_dedup.py (dedup output ⊆ input, pair ordering id_a < id_b,
+LSH candidates ⊇ high-similarity pairs).
 """
 
 from __future__ import annotations
@@ -206,3 +208,51 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("contamination"),
         )
     )
+
+
+@register(
+    "q_dedup_cluster_labels",
+    oracle="""
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), lbl(id, l) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, lbl.l FROM edges e JOIN lbl ON lbl.id = e.dst
+)
+SELECT id, MIN(l) AS cluster FROM lbl GROUP BY id
+""",
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over Jaccard pair edges.
+
+    The step after pair finding in a dedup pipeline — collapse the
+    pair graph into clusters (keep min-id per cluster, drop the rest).
+    Edges are the exact word-3-gram Jaccard ≥ 0.2 pairs
+    (`q_ngram_jaccard_pairs`); components come from iterative
+    min-label propagation (operators/dedup.py::connected_components).
+    The oracle replays the same reachability as a DuckDB recursive
+    CTE — even the iterative stage is hash-checked.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return DD.connected_components(pairs)
