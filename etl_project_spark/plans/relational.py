@@ -959,3 +959,55 @@ def q_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     b = o.filter(F.col("o_totalprice") > 400000.0).select("o_orderpriority")
     return a.exceptAll(b).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_salted_skew_join",
+    oracle="""
+WITH dim AS (
+  SELECT 'R' AS flag, 2.0 AS mult UNION ALL
+  SELECT 'A', 1.5 UNION ALL
+  SELECT 'N', 1.0
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_quantity * d.mult), 2) AS weighted_qty
+FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+GROUP BY l.l_returnflag
+""",
+    tags=("join", "skew", "salt"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically skewed key (3-value domain).
+
+    Join twin of `q_salted_skew_agg`: a shuffle join keyed on
+    l_returnflag would put ~1/3 of 100 TB on one reducer. Salting
+    spreads it — the fact side gets salt = hash(row) % 16, the dim
+    side is exploded 16× so every (flag, salt) pair exists, and the
+    join key becomes (flag, salt): same rows out, 16× the reducers.
+    (A small dim would normally broadcast — the `merge` hint forces
+    the shuffle path to make the demonstration honest; the pattern is
+    for when both sides are too big to broadcast.)
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("R", 2.0), ("A", 1.5), ("N", 1.0)], "flag string, mult double"
+    )
+    n_salt = 16
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    salted_fact = li.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    return (
+        salted_fact.join(
+            salted_dim.hint("merge"),
+            (F.col("l_returnflag") == F.col("flag")) & (salted_fact._salt == salted_dim._salt),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_quantity") * F.col("mult")), 2).alias("weighted_qty"),
+        )
+    )

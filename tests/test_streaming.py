@@ -162,3 +162,30 @@ def test_checkpoint_restart_is_exactly_once(spark, events_path, tmp_path):
     assert first > 0
     drain_once()  # restart from checkpoint: input unchanged → no new rows
     assert spark.read.parquet(sink).count() == first
+
+
+def test_foreachbatch_incremental_merge(spark, events_path, tmp_path):
+    """foreachBatch: per-micro-batch custom sink logic (the streaming
+    MERGE pattern). Accumulate per-type counts across batches into a
+    driver dict; the final state must equal the batch aggregation."""
+    totals: dict[str, int] = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.groupBy("event_type").count().collect():
+            totals[r.event_type] = totals.get(r.event_type, 0) + r["count"]
+
+    stream = SE.read_events_stream(spark, events_path, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    from etl_project_spark.catalog import read_table
+
+    want = {
+        r.event_type: r["count"]
+        for r in read_table(spark, SF_ORACLE, "events").groupBy("event_type").count().collect()
+    }
+    assert totals == want
