@@ -208,3 +208,111 @@ def make_multimodal_table(docs: DataFrame) -> DataFrame:
             F.col("lang").alias("lang"),
         ).alias("meta"),
     )
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    out_width: int = 64,
+    out_height: int = 64,
+    decoder=None,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage plumbing: image rows → resized-image metadata rows.
+
+    Same seam as :func:`decode_images` — Arrow-batched ``mapInPandas``,
+    payload consumed inside the stage and dropped from the output so
+    the blob never shuffles. A real implementation swaps ``decoder``
+    for PIL decode+resize (stubbed here: the container has no imaging
+    libs — :func:`decode_payload` raises ``NotImplementedError``); the
+    deterministic fake keeps the batch shape, schema, and pruning
+    testable. ``resized_md5`` stands in for the output payload hash.
+    """
+    import hashlib
+
+    decoder = decoder or decode_payload
+    cols = [id_col, payload_col]
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            meta = [decoder(p, "image") for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "resized_md5": [
+                        hashlib.md5(
+                            bytes(p) + f"{out_width}x{out_height}".encode()
+                        ).hexdigest()
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(*cols).mapInPandas(run, schema=RESIZED_IMAGE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_offset_s", T.DoubleType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    frame_bytes: int = 256,
+    stride: int = 4,
+    fps: float = 24.0,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing: video rows → one row per sampled frame.
+
+    The fake "codec" treats each ``frame_bytes`` slice of the payload
+    as one frame (a real implementation swaps the slicer for pyav/
+    ffmpeg frame decode — not in this container). Every sampled frame
+    emits typed metadata (index, timestamp at ``fps``) plus the md5 of
+    its bytes; rows multiply ~len/(frame_bytes·stride) per video while
+    the payload itself stays stage-local.
+    """
+    import hashlib
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, idxs, offs, fps_out = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, stride):
+                    ids.append(i)
+                    idxs.append(k)
+                    offs.append(round(k / fps, 6))
+                    fps_out.append(
+                        hashlib.md5(raw[k * frame_bytes:(k + 1) * frame_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "ts_offset_s": offs, "frame_md5": fps_out}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

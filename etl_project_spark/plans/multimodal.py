@@ -68,3 +68,34 @@ def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("height"), 2).alias("avg_height"),
         F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
     ).orderBy("n_channels")
+
+
+@register(
+    "q_video_frame_samples",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE doc_id % 4 = 2
+), frames AS (
+  SELECT doc_id, i AS frame_idx
+  FROM vids, UNNEST(generate_series(0, (n_bytes + 255) // 256 - 1, 4)) AS u(i)
+)
+SELECT f.doc_id AS id,
+       CAST(f.frame_idx AS INTEGER) AS frame_idx,
+       ROUND(f.frame_idx / 24.0, 6) AS ts_offset_s,
+       MD5(SUBSTR(v.text, f.frame_idx * 256 + 1, 256)) AS frame_md5
+FROM frames f JOIN vids v ON f.doc_id = v.doc_id
+""",
+    tags=("multimodal", "video", "frame-sample"),
+)
+def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads: every 4th 256-byte frame.
+
+    Exercises the full frame-sample plumbing (Arrow batches in,
+    frame-rows out, payload stage-local — operators/multimodal.py::
+    sample_frames). Oracle-checkable because the corpus is pure ASCII:
+    a byte slice of the payload IS a char slice of the source text, so
+    SQL SUBSTR + MD5 reproduces each frame hash exactly.
+    """
+    mm = _mm(spark, sf_dir).filter(F.col("modality") == "video")
+    return MM.sample_frames(mm, frame_bytes=256, stride=4, fps=24.0)

@@ -69,3 +69,32 @@ def test_metadata_filter_prunes_payload_from_scan(spark):
     pruned = fresh.filter(F.col("meta.n_chars") > 100).select("id", "meta")
     plan = pruned._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def test_resize_plumbing_schema_and_pruning(spark, mm_table):
+    from etl_project_spark.operators import multimodal as MM
+
+    imgs = mm_table.filter("modality = 'image'")
+    out = MM.resize_images(imgs, out_width=32, out_height=32,
+                           decoder=MM._fake_image_decoder)
+    assert [f.name for f in out.schema.fields] == [
+        "id", "width", "height", "out_width", "out_height", "resized_md5"]
+    rows = out.collect()
+    assert len(rows) == imgs.count()
+    assert all(r.out_width == 32 and r.out_height == 32 for r in rows)
+    assert "payload" not in out.columns
+
+
+def test_frame_sample_counts_match_length_arithmetic(spark, mm_table):
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.operators import multimodal as MM
+
+    vids = mm_table.filter("modality = 'video'")
+    out = MM.sample_frames(vids, frame_bytes=256, stride=4)
+    got = {r.id: r.n for r in out.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {
+        r.id: (((r.nb + 255) // 256) + 3) // 4  # ceil(n_frames / stride)
+        for r in vids.select("id", F.octet_length("payload").alias("nb")).collect()
+    }
+    assert got == want
