@@ -599,3 +599,35 @@ def q_grouped_map_zscore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .applyInPandas(zscore, schema="doc_id bigint, lang string, z_chars double")
     )
+
+
+@register(
+    "q_regression_aggs_lineitem",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS price_qty_slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS price_qty_intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS price_qty_r2,
+       REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats", "regression"),
+)
+def q_regression_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates: OLS slope/intercept/R² per group.
+
+    Like corr/covar these are algebraic moment aggregates — one pass,
+    map-side combinable, a handful of doubles per group over the
+    shuffle — so fitting a per-group trend line at 100 TB costs the
+    same as a SUM.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_qty_slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("price_qty_r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
