@@ -514,6 +514,25 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
 
 
+def hyperplane_tables_for_recall(
+    threshold: float, planes_per_table: int, target_recall: float = 0.99
+) -> int:
+    """Number of OR-amplified LSH tables needed so a pair at exactly
+    ``cosine = threshold`` is found with probability ≥ ``target_recall``.
+
+    Per-plane sign agreement for angle θ is ``1 - θ/π`` (Charikar,
+    STOC'02 — SimHash); a table of b planes matches w.p. ``p^b``; L
+    independent tables (any-match) give ``1 - (1-p^b)^L``. Solve for L.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_table = p**planes_per_table
+    if p_table >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table)))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -521,17 +540,22 @@ def embedding_near_dup_pairs(
     *,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    planes_per_table: int = 6,
+    n_tables: int | None = None,
+    target_recall: float = 0.99,
 ) -> DataFrame:
-    """Cosine near-dup pairs via random-hyperplane LSH + exact verify.
+    """Cosine near-dup pairs via multi-table hyperplane LSH + exact verify.
 
-    Two vectors with cosine ≥ threshold almost always share the full
-    sign signature for small ``n_planes`` (collision prob per plane is
-    ``1 - θ/π``); bucketing on the signature replaces the O(n²) cross
-    join with an equi-join, and exact cosine (vectorized pairwise UDF)
-    filters false positives. Recall/threshold trade-off is tunable via
-    ``n_planes``. Signatures and exact scores both run as Arrow-batched
-    numpy — no interpreted lambda HOFs in the hot path.
+    OR-amplified like ``similarity.lsh_bucketed_topk``: each vector gets
+    ``n_tables`` independent ``planes_per_table``-bit sign signatures
+    (one Arrow-batched matmul); a pair is a candidate if ANY table
+    matches. A single table under-recalls badly — at cosine 0.95 the
+    full-signature agreement for 12 planes is only ``(1-θ/π)^12 ≈ 0.28``
+    — so ``n_tables`` defaults to the analytic count that pushes recall
+    at the threshold to ``target_recall`` (e.g. 8 tables for 0.95/6
+    planes). Candidates dedup on (id_a, id_b) before the exact-cosine
+    verify, so each surviving pair is scored once. The bucket join is a
+    hash equi-join on (table, signature) — no cross join at any scale.
     """
     from pyspark import StorageLevel
 
@@ -540,28 +564,43 @@ def embedding_near_dup_pairs(
         pairwise_cosine_udf,
     )
 
-    planes = _hyperplane_signs(n_planes, dim)
-    # One LSH table with an n_planes-bit signature, packed to a long.
-    sig = hyperplane_table_sigs_udf(planes, 1)(F.col(vec_col))
+    if n_tables is None:
+        n_tables = hyperplane_tables_for_recall(
+            threshold, planes_per_table, target_recall
+        )
+    planes = _hyperplane_signs(n_tables * planes_per_table, dim)
+    sigs = hyperplane_table_sigs_udf(planes, n_tables)(F.col(vec_col))
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        F.element_at(sig, 1).alias("_bucket"),
+        sigs.alias("_sigs"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = base.alias("a")
-    b = base.alias("b")
-    return (
+    # Posting list: one row per (vector, table) keyed by the table's
+    # signature — the equi-join key (_t, _sig) is skew-free by hashing.
+    posts = base.select("_id", F.posexplode("_sigs").alias("_t", "_sig"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._sig") == F.col("b._sig"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()  # a pair may collide in several tables — verify once
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(
-                pairwise_cosine_udf()(F.col("a._vec"), F.col("b._vec")), 4
-            ).alias("cosine_sim"),
+            "id_a",
+            "id_b",
+            F.round(pairwise_cosine_udf()(F.col("_va"), F.col("_vb")), 4).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -600,6 +639,7 @@ def connected_components(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
 
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.dst == labels.id)
@@ -621,4 +661,14 @@ def connected_components(
         old.unpersist()
         if changed == 0:
             break
+    if changed != 0:
+        # Labels are still moving: a component with diameter > max_iter
+        # would be silently split into several clusters. Fail loudly —
+        # the caller can raise max_iter (each extra round is one cheap
+        # join on an already-shrunken frontier) or switch to the
+        # small-star/large-star formulation for deep graphs.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select("id", F.col("l").alias("cluster"))

@@ -248,7 +248,11 @@ def resize_images(
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
-            meta = [decoder(p, "image") for p in pdf[payload_col]]
+            # NULL payloads (e.g. NULL source text) decode as empty —
+            # same contract as extract_features; bytes(None) would kill
+            # the whole Arrow batch task otherwise.
+            payloads = [b"" if p is None else bytes(p) for p in pdf[payload_col]]
+            meta = [decoder(p, "image") for p in payloads]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),
@@ -258,9 +262,9 @@ def resize_images(
                     "out_height": out_height,
                     "resized_md5": [
                         hashlib.md5(
-                            bytes(p) + f"{out_width}x{out_height}".encode()
+                            p + f"{out_width}x{out_height}".encode()
                         ).hexdigest()
-                        for p in pdf[payload_col]
+                        for p in payloads
                     ],
                 }
             )
@@ -302,7 +306,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, offs, fps_out = [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(p)
+                raw = b"" if p is None else bytes(p)  # NULL payload → no frames
                 n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
                 for k in range(0, n_frames, stride):
                     ids.append(i)

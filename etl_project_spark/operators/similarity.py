@@ -158,14 +158,43 @@ def knn_join(
     left_vec: str,
     right_vec: str,
     k: int = 5,
+    strategy: str = "auto",
+    broadcast_threshold: int = 100_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Batch kNN join: for every left row, its k nearest right rows.
 
-    Brute formulation (broadcast cross join + per-probe window top-k)
-    — correct baseline for moderate right sides; the LSH-bucketed
-    variant joins on signatures to cut candidates when both sides are
-    large. Right side should be the smaller table.
+    Two physical strategies:
+
+    - ``broadcast``: cross join the (small) right side + per-probe
+      window top-k. Exact, O(|L|·|R|) scoring — only sane when the
+      right side fits in a broadcast.
+    - ``lsh``: multi-table hyperplane-signature equi-join to generate
+      candidates, exact cosine rerank, window top-k (see
+      :func:`knn_join_lsh`). Approximate but shuffle-bounded — the
+      scale path when both sides are large.
+
+    ``auto`` counts the right side once (index-build-time metadata, one
+    scan) and picks ``broadcast`` iff it is under ``broadcast_threshold``
+    rows; ``lsh`` requires ``dim``.
     """
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if right.count() <= broadcast_threshold else "lsh"
+        )
+    if strategy == "lsh":
+        if dim is None:
+            raise ValueError("knn_join(strategy='lsh') requires dim=")
+        return knn_join_lsh(
+            left,
+            right,
+            left_id=left_id,
+            right_id=right_id,
+            left_vec=left_vec,
+            right_vec=right_vec,
+            k=k,
+            dim=dim,
+        )
     scored = (
         left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"))
         .crossJoin(
@@ -177,6 +206,81 @@ def knn_join(
             "_lid",
             "_rid",
             F.round(pairwise_cosine_udf()(F.col("_lvec"), F.col("_rvec")), 4).alias("score"),
+        )
+    )
+    w = W.partitionBy("_lid").orderBy(F.col("score").desc(), F.col("_rid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "score",
+            "rank",
+        )
+    )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    k: int = 5,
+    dim: int,
+    n_tables: int = 16,
+    planes_per_table: int = 5,
+) -> DataFrame:
+    """LSH-bucketed kNN join — the scale path for large × large.
+
+    Both sides get the SAME ``n_tables × planes_per_table`` hyperplane
+    signatures (one Arrow matmul per batch); candidates are generated
+    by a hash equi-join on (table, signature), deduped per (left,
+    right) pair, exact-cosine reranked, and window-topped-k per probe.
+    Shuffles are all on hashed keys; no cross join at any size. With
+    16×5 bits a cosine-0.9 neighbor collides in ≥1 table w.p.
+    ``1-(1-0.8565^5)^16 ≈ 0.9997``; random pairs at rate ≈ 0.4 — at
+    lower agreement the probe only loses far-away neighbors, which is
+    the approximation being bought. Left rows whose true k-th neighbor
+    never collides return fewer than k rows (standard ANN semantics).
+    """
+    from pyspark import StorageLevel
+
+    from etl_project_spark.operators.dedup import _hyperplane_signs
+
+    planes = _hyperplane_signs(n_tables * planes_per_table, dim)
+    sig_udf = hyperplane_table_sigs_udf(planes, n_tables)
+
+    lbase = left.select(
+        F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"),
+        sig_udf(F.col(left_vec)).alias("_sigs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rbase = right.select(
+        F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec"),
+        sig_udf(F.col(right_vec)).alias("_sigs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Posting lists carry ONLY ids — vectors are joined back after the
+    # pair-distinct so the wide embedding column never rides the
+    # n_tables-way exploded shuffle.
+    lpost = lbase.select("_lid", F.posexplode("_sigs").alias("_t", "_sig"))
+    rpost = rbase.select("_rid", F.posexplode("_sigs").alias("_t", "_sig"))
+    cand = (
+        lpost.join(rpost, ["_t", "_sig"])
+        .select("_lid", "_rid")
+        .distinct()  # collide once per pair
+    )
+    scored = (
+        cand.join(lbase.select("_lid", "_lvec"), "_lid")
+        .join(rbase.select("_rid", "_rvec"), "_rid")
+        .select(
+            "_lid",
+            "_rid",
+            F.round(
+                pairwise_cosine_udf()(F.col("_lvec"), F.col("_rvec")), 4
+            ).alias("score"),
         )
     )
     w = W.partitionBy("_lid").orderBy(F.col("score").desc(), F.col("_rid"))

@@ -139,10 +139,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding", "rows-only"),
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (LSH-bucketed, cosine ≥ 0.9)."""
+    """Embedding-cosine near-dup pairs (multi-table LSH, cosine ≥ 0.9).
+
+    Table count is auto-derived so analytic recall at the threshold is
+    ≥ 0.99 (8 tables × 6 planes at 0.9).
+    """
     e = _t(spark, sf_dir, "embeddings")
     return DD.embedding_near_dup_pairs(
-        e, "vec_id", "embedding", dim=64, threshold=0.9, n_planes=10
+        e, "vec_id", "embedding", dim=64, threshold=0.9
     ).orderBy("id_a", "id_b")
 
 

@@ -204,16 +204,16 @@ def q_running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_dedup_twin",
     oracle="""
-SELECT DISTINCT event_id, ts FROM events
+SELECT DISTINCT event_id FROM events
 """,
     tags=("events", "dedup"),
 )
 def q_stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the watermarked stream dedup
-    (``withWatermark().dropDuplicates([event_id, ts])``): projected to
-    the dedup keys so the result is deterministic."""
+    (``dropDuplicatesWithinWatermark([event_id])`` — id-only key):
+    projected to the dedup key so the result is deterministic."""
     e = _events(spark, sf_dir)
-    return e.select("event_id", "ts").dropDuplicates(["event_id", "ts"])
+    return e.select("event_id").distinct()
 
 
 @register(

@@ -182,14 +182,23 @@ def q_semi_join_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey, c.c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """,
     tags=("join", "anti"),
 )
 def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti join ≙ NOT EXISTS: customers with no orders at all."""
+    """left_anti join ≙ NOT EXISTS: customers with no URGENT orders.
+
+    Filtered on the order side so the fixture yields nonzero rows (the
+    round-1 no-orders-at-all variant matched zero customers — every
+    customer has orders — making the anti-join semantics untested).
+    """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

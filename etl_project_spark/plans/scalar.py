@@ -31,14 +31,20 @@ SELECT p_partkey,
        regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last_word,
        CONCAT(p_brand, '/', p_type) AS brand_type
 FROM part
-WHERE p_type LIKE '%BRASS%'
+WHERE p_type LIKE '%AR%'
 """,
     tags=("string",),
 )
 def q_string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIKE filter + upper/length/regexp_extract/concat (≙ S3/S5 idioms)."""
+    """LIKE filter + upper/length/regexp_extract/concat (≙ S3/S5 idioms).
+
+    Predicate '%AR%' matches the fixture corpus (STANDARD, LARGE) so
+    the projected expressions are value-checked on real rows — the
+    round-1 '%BRASS%' predicate matched zero rows and the oracle
+    comparison passed vacuously.
+    """
     p = _t(spark, sf_dir, "part")
-    return p.filter(F.col("p_type").like("%BRASS%")).select(
+    return p.filter(F.col("p_type").like("%AR%")).select(
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.length("p_name").alias("name_len"),

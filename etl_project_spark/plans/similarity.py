@@ -80,6 +80,33 @@ def q_knn_join_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_vec="embedding",
         right_vec="embedding",
         k=3,
+        strategy="broadcast",  # right side is known-small here
+    )
+    return out.orderBy("probe_id", "rank")
+
+
+@register(
+    "q_knn_join_lsh",
+    oracle=None,  # approximate; recall property-tested vs brute knn_join
+    tags=("similarity", "knn-join", "ann", "rows-only"),
+)
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed kNN join (large×large scale path): signature
+    equi-join candidates → exact rerank → top-3 per probe."""
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    others = e.filter(F.col("vec_id") >= 20)
+    out = SIM.knn_join(
+        probes.withColumnRenamed("vec_id", "probe_id"),
+        others.withColumnRenamed("vec_id", "neighbor_id"),
+        left_id="probe_id",
+        right_id="neighbor_id",
+        left_vec="embedding",
+        right_vec="embedding",
+        k=3,
+        strategy="lsh",
+        dim=64,
     )
     return out.orderBy("probe_id", "rank")
 

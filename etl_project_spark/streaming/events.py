@@ -126,13 +126,19 @@ def stream_session_windows(
 
 
 def stream_dedup_events(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
-    """Stateful exact dedup on event_id within the watermark horizon.
+    """Stateful exact dedup on event_id ALONE within the watermark horizon.
 
-    ``withWatermark().dropDuplicates([key, ts])`` bounds state: an id
-    seen again after the watermark has passed is treated as new — the
-    documented trade-off of bounded-state streaming dedup.
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) keys state on just
+    ``event_id`` while still expiring it at the watermark — so an
+    at-least-once redelivery with a jittered timestamp (same id, ts a
+    few seconds off) IS removed, which plain
+    ``dropDuplicates([id, ts])`` would miss. An id seen again after the
+    watermark has passed is treated as new — the documented trade-off
+    of bounded-state streaming dedup.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def stream_static_join_segments(events: DataFrame, customers: DataFrame) -> DataFrame:

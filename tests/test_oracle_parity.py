@@ -16,6 +16,16 @@ ORACLE_BACKED = sorted(n for n, s in SPECS.items() if s.oracle)
 ROWS_ONLY = sorted(n for n, s in SPECS.items() if not s.oracle)
 
 
+#: Queries where an empty result at the smoke SF is the CORRECT answer
+#: (each must carry a comment justifying why empty is meaningful).
+#: Everything else must return rows — a 0-row "match" is vacuous and
+#: hides broken predicates (round-1 lesson: '%BRASS%' matched nothing).
+EXPECTED_EMPTY: set[str] = {
+    # T7 limit-0: zero rows IS the operator's contract (schema-only probe)
+    "q_limit0_schema_only",
+}
+
+
 @pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_oracle_parity(spark, name):
     spec = SPECS[name]
@@ -23,6 +33,11 @@ def test_oracle_parity(spark, name):
     odf = run_oracle(spec.oracle, SF_ORACLE)
     problems = compare(sdf, odf)
     assert not problems, f"{name}: " + "; ".join(problems[:5])
+    if name not in EXPECTED_EMPTY:
+        assert len(odf) > 0, (
+            f"{name}: oracle returned 0 rows — the comparison is vacuous; "
+            "fix the predicate or add to EXPECTED_EMPTY with justification"
+        )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

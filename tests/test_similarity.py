@@ -85,6 +85,58 @@ def test_knn_join_per_probe_ranking(spark, emb):
         assert [(r.score, r.neighbor_id) for r in rows] == want
 
 
+def test_knn_join_lsh_recall_vs_brute(spark, emb):
+    """Bucketed kNN join vs the exact broadcast path: every emitted
+    neighbor's score must equal the exact pairwise cosine (precision),
+    ranks are dense per probe, and aggregate recall of true top-3
+    neighbors clears 0.7 (16×5-bit OR-amplified signatures; the fixture
+    corpus has no high-cosine pairs, so this is the floor for ~0.5-0.6
+    cosine neighbors — deterministic given sha-seeded planes)."""
+    probes = emb.filter(F.col("vec_id") < 10)
+    others = emb.filter(F.col("vec_id") >= 10)
+    kwargs = dict(
+        left_id="probe_id", right_id="neighbor_id",
+        left_vec="embedding", right_vec="embedding", k=3,
+    )
+    l = probes.withColumnRenamed("vec_id", "probe_id")
+    r = others.withColumnRenamed("vec_id", "neighbor_id")
+    exact = SIM.knn_join(l, r, strategy="broadcast", **kwargs).collect()
+    approx = SIM.knn_join(l, r, strategy="lsh", dim=64, **kwargs).collect()
+
+    exact_scores = {(e.probe_id, e.neighbor_id): e.score for e in exact}
+    by_probe: dict[int, list] = {}
+    for a in approx:
+        by_probe.setdefault(a.probe_id, []).append(a)
+    for rows in by_probe.values():
+        rows.sort(key=lambda x: x.rank)
+        assert [x.rank for x in rows] == list(range(1, len(rows) + 1))
+    # precision: any pair also in the exact top-k must carry the same score
+    for a in approx:
+        key = (a.probe_id, a.neighbor_id)
+        if key in exact_scores:
+            assert a.score == exact_scores[key]
+    want = {(e.probe_id, e.neighbor_id) for e in exact}
+    got = {(a.probe_id, a.neighbor_id) for a in approx}
+    assert len(got & want) / len(want) >= 0.7
+
+
+def test_knn_join_auto_picks_broadcast_for_small_right(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 3)
+    others = emb.filter(F.col("vec_id") >= 3)
+    out = SIM.knn_join(
+        probes.withColumnRenamed("vec_id", "probe_id"),
+        others.withColumnRenamed("vec_id", "neighbor_id"),
+        left_id="probe_id", right_id="neighbor_id",
+        left_vec="embedding", right_vec="embedding", k=2,
+        strategy="auto",
+    ).collect()
+    # small right side → broadcast path → exact: every probe gets full k
+    counts = {}
+    for r in out:
+        counts[r.probe_id] = counts.get(r.probe_id, 0) + 1
+    assert set(counts.values()) == {2}
+
+
 def test_ivf_self_query_recall(spark, emb):
     """IVF with a real row's vector as query: the row itself is always
     in the probed cell (its own cell is the closest by construction),

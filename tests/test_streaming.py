@@ -61,6 +61,36 @@ def test_stream_session_windows_drain(spark, events_path):
         assert r.n_events >= 1
 
 
+def test_stream_dedup_removes_jittered_replays(spark, tmp_path):
+    """At-least-once redelivery: same event_id, timestamp jittered by a
+    few seconds. Id-only dedup (dropDuplicatesWithinWatermark) must
+    emit each id once — the (id, ts)-keyed formulation would leak the
+    replicas through."""
+    base = 1_700_000_000_000_000_000  # epoch nanos
+    rows = []
+    for eid in range(10):
+        for jitter_s in (0, 3, 7):  # original + two jittered replays
+            rows.append((eid, eid % 4, "click", base + (eid * 60 + jitter_s) * 10**9, 1.0, "{}"))
+    src = str(tmp_path / "replayed")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long, value double, props string"
+    ).repartition(2).write.parquet(src)
+
+    stream = SE.read_events_stream(spark, src)
+    q = (
+        SE.stream_dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    out = spark.sql("SELECT event_id, COUNT(*) AS n FROM dedup_replay GROUP BY 1").collect()
+    assert len(out) == 10
+    assert all(r.n == 1 for r in out)
+
+
 def test_stream_dedup_removes_nothing_on_unique_ids(spark, events_path):
     stream = SE.read_events_stream(spark, events_path)
     q = (

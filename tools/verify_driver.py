@@ -57,6 +57,13 @@ def main() -> int:
         )
     failed = []
     for name in names:
+        if name not in osql:
+            # rows-only query: the driver's weaker check — executes,
+            # stable schema, row count reported
+            df = qs[name](spark, SF)
+            cnt = df.count()
+            print(f"{name:45s} rows={cnt} (rows-only, no oracle)")
+            continue
         sp = canon(qs[name](spark, SF).toPandas())
         oc = canon(con.execute(osql[name]).fetchdf())
         ok = sp.shape == oc.shape and list(sp.columns) == list(oc.columns)
