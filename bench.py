@@ -71,15 +71,24 @@ def main() -> None:
         F.sum(_noop(F.col("vec_id")))
     ).collect()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        spec = specs[name]
-        t0 = time.perf_counter()
-        df = spec.builder(spark, SF_DIR)
-        # Force full evaluation of every column (count alone lets Spark
-        # prune projections); write.noop-style materialization.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run_all() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            spec = specs[name]
+            t0 = time.perf_counter()
+            df = spec.builder(spark, SF_DIR)
+            # Force full evaluation of every column (count alone lets Spark
+            # prune projections); write.noop-style materialization.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        return timings
+
+    timings = run_all()
+    # Second in-process pass: codegen/JIT compiled, shuffle files warm —
+    # the per-query cost a long-lived cluster session actually pays.
+    # (Cached plan fragments are NOT persisted between passes; each pass
+    # rebuilds and re-executes the full plan.)
+    steady = run_all()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -90,6 +99,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "steady_state": {
+                    "value": round(sum(steady.values()), 3),
+                    "queries": steady,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -743,40 +743,83 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_stratified_sample_docs",
-    oracle=None,  # engine-specific RNG; bounds proven in tests/test_sampling.py
-    tags=("sample", "rows-only"),
+    oracle="""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+WHERE lang IN ('en', 'es', 'fr', 'de')
+  AND bucket < CASE lang WHEN 'en' THEN 50 ELSE 25 END
+""",
+    tags=("sample",),
 )
 def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: per-language keep fractions via ``sampleBy``.
+    """Stratified sample: per-language keep fractions via md5-bucket
+    thresholds (en 50%, es/fr/de 25%).
 
-    The map-side Bernoulli filter never shuffles — at 100 TB the sample
-    is a scan-stage projection. Fixed seed keeps the run reproducible;
-    per-stratum fractions are how a pipeline rebalances a skewed
-    language mix before training.
+    Deterministic hash-stratified sampling — any engine agrees on the
+    kept set, so unlike ``sampleBy`` (engine-specific RNG, whose bounds
+    tests/test_sampling.py still proves) this IS oracle-checkable. The
+    map-side filter never shuffles — at 100 TB the sample is a
+    scan-stage projection; per-stratum fractions are how a pipeline
+    rebalances a skewed language mix before training.
     """
     d = _t(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    keep_pct = F.when(F.col("lang") == "en", 50).otherwise(25)
+    return (
+        d.filter(F.col("lang").isin("en", "es", "fr", "de"))
+        .filter(bucket < keep_pct)
+        .select("doc_id", "lang", "source")
+    )
 
 
 @register(
     "q_approx_distinct_users",
-    oracle=None,  # HLL++ sketch values are engine-specific; ±5% proven in tests
-    tags=("sketch", "rows-only"),
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+""",
+    tags=("sketch",),
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user counts per event type.
+    """HyperLogLog++ distinct-user counts per event type, value-checked.
 
     ``approx_count_distinct`` (rsd 2%) is the scale path for distinct
     counting: a fixed-size sketch merges map-side, so the shuffle
-    carries one sketch per group instead of every distinct value —
-    the exact COUNT(DISTINCT) twin (`q_distinct_agg_customers_per_status`)
-    shuffles each value once.
+    carries one sketch per group instead of every distinct value.
+    Raw sketch estimates are engine-specific, so the oracle contract
+    is the RELATIVE ERROR: the plan computes both the HLL estimate and
+    the exact count and emits ``within_5pct`` — the oracle hard-codes
+    TRUE, so the hash-compare fails iff the sketch drifts beyond 5%.
+    The estimate itself stays in the plan (not projected away), making
+    this a real value check of the sketch, portable across engines.
     """
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_5pct"),
     )
 
 

