@@ -111,6 +111,58 @@ class SyntheticShopFetcher(PageFetcher):
         return rows
 
 
+@dataclass
+class HttpFetcher(PageFetcher):
+    """Plain-HTTP JSON pagination — the non-synthetic fetcher (no
+    browser; ≙ the reference's Selenium loop, flows/etl.py:117-183,
+    for sites that expose the table as an endpoint).
+
+    Endpoint contract (relative to ``base_url``):
+
+    - ``GET {base_url}/meta``    → ``{"headers": [...], "total_rows": N,
+      "page_size": M}`` (≙ S2 header scan + S3 cardinality probe)
+    - ``GET {base_url}/page/{i}``→ JSON array of row-arrays for page i
+
+    Only ``base_url`` ships to executors (picklable); metadata is
+    fetched lazily and memoized per process — the driver hits ``/meta``
+    once at plan time, each executor at most once. Per-request retry
+    is deliberately left to Spark task retry (``spark.task.maxFailures``)
+    — the whole page range replays, which is the correct unit for a
+    re-scannable source.
+    """
+
+    base_url: str
+    timeout_s: float = 10.0
+
+    def _get_json(self, path: str):
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"{self.base_url}{path}", timeout=self.timeout_s
+        ) as resp:
+            return json.load(resp)
+
+    def _meta(self) -> dict:
+        cached = getattr(self, "_meta_doc", None)
+        if cached is None:
+            cached = self._get_json("/meta")
+            object.__setattr__(self, "_meta_doc", cached)
+        return cached
+
+    def headers(self) -> list[str]:
+        return list(self._meta()["headers"])
+
+    def total_rows(self) -> int:
+        return int(self._meta()["total_rows"])
+
+    def page_size(self) -> int:
+        return int(self._meta()["page_size"])
+
+    def fetch_page(self, page: int) -> Sequence[tuple]:
+        return [tuple(row) for row in self._get_json(f"/page/{page}")]
+
+
 # -- the data source --------------------------------------------------------
 
 class _PageRangePartition(InputPartition):
@@ -148,6 +200,8 @@ class PaginatedTableReader(DataSourceReader):
 class PaginatedTableDataSource(DataSource):
     """``spark.read.format("paginated_table")`` — options:
 
+    - ``base_url``: if set, pages come from :class:`HttpFetcher`'s JSON
+      endpoint contract; otherwise the synthetic fetcher is used
     - ``n_rows`` / ``rows_per_page``: synthetic fetcher sizing
     - ``max_concurrency``: partition cap (≙ SE_NODE_MAX_SESSIONS)
     """
@@ -157,6 +211,9 @@ class PaginatedTableDataSource(DataSource):
         return "paginated_table"
 
     def _fetcher(self) -> PageFetcher:
+        base_url = self.options.get("base_url")
+        if base_url:
+            return HttpFetcher(base_url=base_url)
         return SyntheticShopFetcher(
             n_rows=int(self.options.get("n_rows", 1000)),
             rows_per_page=int(self.options.get("rows_per_page", 100)),
