@@ -331,3 +331,310 @@ def q_disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_disc_price()), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H pattern wave 3: Q8/Q9/Q10/Q12/Q13/Q20 analogues. The corpus lacks
+# partsupp, l_shipmode, and commit/receipt dates, so Q9 uses p_retailprice
+# as the unit-cost proxy and Q12 defines "late" as shipped > 60 days after
+# the order date.
+#
+# Revenue sums here use EXACT decimal arithmetic: prices and discounts
+# carry 2 decimal digits, so DECIMAL(18,4) casts are lossless, products
+# and sums are exact, and ROUND(...) is deterministic — ROUND(SUM(double))
+# is order-dependent and flips on half-cent boundaries between engines
+# (observed: 378060.515 → .51 vs .52).
+# --------------------------------------------------------------------------
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,4)")
+
+
+def _dec_disc_price():
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(2,1)") - _dec("l_discount"))
+@register(
+    "q_nation_market_share",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                      ELSE 0 END), 2) AS DOUBLE) AS nation_volume,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_volume
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY EXTRACT(year FROM o.o_orderdate)
+""",
+    tags=("join", "multiway", "tpch-q8"),
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share inside a region per year (TPC-H Q8 shape).
+
+    Seven-table star join with TWO independent joins to the same dim
+    (customer-nation and supplier-nation) — the self-role-playing dim
+    pattern. Both nation joins and the region join broadcast; the only
+    shuffles are fact⋈fact (lineitem⋈orders) and the final year agg.
+    The share is emitted as the two ROUND(SUM)-stable volumes rather
+    than their ratio — division after rounding is oracle-safe, the
+    unrounded ratio is not (float boundary).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    asia = r.filter(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(asia), F.col("cn.n_regionkey") == asia.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+    )
+    disc = _dec_disc_price()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return vol.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("sn.n_name") == "NATION_2", disc).otherwise(zero)), 2
+        )
+        .cast("double")
+        .alias("nation_volume"),
+        F.round(F.sum(disc), 2).cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "q_profit_by_nation_year",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                      - CAST(0.5 AS DECIMAL(2,1))
+                        * CAST(p.p_retailprice AS DECIMAL(18,4))
+                        * CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY sn.n_name, EXTRACT(year FROM o.o_orderdate)
+""",
+    tags=("join", "multiway", "tpch-q9"),
+)
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit per supplier nation and year (TPC-H Q9 shape,
+    p_retailprice/2 standing in for the missing ps_supplycost).
+
+    The p_name LIKE filter prunes part BEFORE the join (pushed to the
+    scan), shrinking the build side; profit arithmetic runs inside
+    codegen on the joined rows. Shuffles: lineitem⋈orders plus the
+    final (nation, year) agg — part/supplier/nation all broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    profit = _dec_disc_price() - (
+        F.lit("0.5").cast("decimal(2,1)") * _dec("p_retailprice") * _dec("l_quantity")
+    )
+    return j.groupBy(
+        F.col("n_name").alias("supp_nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+
+
+@register(
+    "q_returned_item_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("join", "topk", "tpch-q10"),
+)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by lost (returned-item) revenue in a half-year
+    window (TPC-H Q10 shape).
+
+    Both filters push to their scans (returnflag on lineitem, the date
+    band on orders) before the fact⋈fact join; the top-20 compiles to
+    TakeOrderedAndProject — per-task heaps, no global sort. Ties break
+    on c_custkey so the LIMIT boundary is deterministic across engines.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_late_shipment_priority",
+    oracle="""
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_linestatus
+""",
+    tags=("join", "conditional-agg", "tpch-q12"),
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment counts split by order priority (TPC-H Q12 shape;
+    "late" = shipped > 60 days after the order date — the corpus has
+    no commit/receipt dates).
+
+    The lateness predicate references both join sides, so it evaluates
+    as a post-join filter inside codegen; the CASE-split double count
+    is one pass, map-side-combined. One fact⋈fact shuffle plus the
+    tiny linestatus agg.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_customer_order_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+    tags=("join", "outer", "histogram", "tpch-q13"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer count by number of qualifying orders (TPC-H Q13 shape).
+
+    The non-key join predicate (priority exclusion) must stay IN the
+    left-join condition — as a WHERE it would silently turn the outer
+    join inner and drop zero-order customers. Two aggregations: the
+    per-customer count (shuffle on custkey) then the tiny histogram.
+    COUNT(o_orderkey) counts matches only (NULL-safe), giving the
+    0-bucket for free.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "5-LOW"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_top_quantity_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, sold.total_qty
+FROM supplier s
+JOIN (
+  SELECT l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey
+) sold ON s.s_suppkey = sold.l_suppkey
+WHERE sold.total_qty > (
+  SELECT 1.05 * AVG(qty) FROM (
+    SELECT CAST(SUM(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_suppkey
+  )
+)
+""",
+    tags=("join", "subquery", "tpch-q20"),
+)
+def q_top_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers moving outsized recent volume (TPC-H Q20 shape adapted:
+    qualification is total quantity > 1.05× the all-supplier average —
+    the corpus has no partsupp availability to compare against, and its
+    per-supplier volumes are tight enough that 1.05 is the meaningful
+    cut; 1.2× selects nobody).
+
+    The per-supplier aggregate computes once and feeds both the join
+    and the scalar average (Catalyst reuses the exchange); the scalar
+    threshold broadcasts. l_quantity is integral in this corpus, so the
+    BIGINT cast keeps both engines in exact integer arithmetic.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    sold = li.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("total_qty")
+    )
+    threshold = sold.agg((F.avg("total_qty") * 1.05).alias("t"))
+    return (
+        s.join(sold, s.s_suppkey == sold.l_suppkey)
+        .join(F.broadcast(threshold))
+        .filter(F.col("total_qty") > F.col("t"))
+        .select("s_suppkey", "s_name", "total_qty")
+    )
