@@ -217,6 +217,34 @@ def q_stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join_twin",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       ROUND(p.value, 4) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 60 MINUTE
+""",
+    tags=("events", "interval-join"),
+)
+def q_stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: purchases
+    attributed to same-user clicks within the preceding hour
+    (streaming/events.py::stream_stream_click_purchase_join — same
+    condition, watermark-bounded state there)."""
+    from etl_project_spark.streaming.events import stream_stream_click_purchase_join
+
+    e = _events(spark, sf_dir)
+    return stream_stream_click_purchase_join(e)
+
+
+@register(
     "q_stream_static_join_twin",
     oracle="""
 SELECT c.c_mktsegment, e.event_type,

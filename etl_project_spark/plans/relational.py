@@ -610,6 +610,44 @@ def q_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_percentile_check",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       TRUE AS p50_within_2pct,
+       TRUE AS p95_within_2pct
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("sketch", "percentile"),
+)
+def q_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (KLL/GK-style sketch) value-checked against
+    the exact percentile in-plan — the same contract as
+    `q_approx_distinct_users`: the oracle pins the tolerance booleans
+    TRUE, so the hash-compare fails iff the sketch drifts beyond 2%.
+    At scale the sketch is the only option for high-cardinality
+    groups: fixed memory per group, map-side mergeable, one pass.
+    """
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("_a50"),
+        F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(1000)).alias("_a95"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("_e50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("_e95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    def _ok(a, e):
+        return (F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.02)
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        _ok("_a50", "_e50").alias("p50_within_2pct"),
+        _ok("_a95", "_e95").alias("p95_within_2pct"),
+    )
+
+
+@register(
     "q_having_rich_segments",
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n, ROUND(AVG(c_acctbal), 2) AS avg_bal

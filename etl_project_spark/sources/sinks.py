@@ -63,6 +63,22 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC columnar sink — same role as parquet for warehouses that
+    standardize on ORC (Hive ecosystems); identical pruning/pushdown
+    properties, built into Spark (no external package)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_text_format(
     df: DataFrame,
     path: str,

@@ -141,6 +141,58 @@ def stream_dedup_events(events: DataFrame, *, watermark: str = "2 hours") -> Dat
     )
 
 
+def stream_stream_click_purchase_join(
+    events: DataFrame, *, watermark: str = "2 hours", horizon_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to the click
+    that preceded them within ``horizon_minutes`` for the same user.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so each side's buffered state is evictable:
+    a click older than watermark + horizon can never match a future
+    purchase and is dropped. This is the canonical funnel/attribution
+    join — unbounded state without the time bound, bounded with it.
+    State shuffles on user_id (hash-spread, no hot key at scale).
+
+    Batch twin: plans/events.py::q_stream_stream_join_twin.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
 def stream_static_join_segments(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static enrichment join: per-segment event rollup.
 

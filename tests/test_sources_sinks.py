@@ -165,6 +165,29 @@ def test_csv_json_roundtrip(spark, tmp_path):
         assert sorted(tuple(r) for r in back.collect()) == want
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink roundtrip: values exact, and a filter on the readback
+    reaches the ORC scan as a pushed filter (same contract as parquet)."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.sources.sinks import write_orc
+    from tests.conftest import SF_ORACLE
+
+    src = read_table(spark, SF_ORACLE, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    write_orc(src, out)
+    back = spark.read.orc(out)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
+    plan = (
+        back.filter(F.col("s_suppkey") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "s_suppkey" in plan.split("PushedFilters")[1].split("]")[0]
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Hive-style partitioned parquet write → reads with a partition
     predicate must prune at planning time (PartitionFilters, not a

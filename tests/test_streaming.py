@@ -61,6 +61,32 @@ def test_stream_session_windows_drain(spark, events_path):
         assert r.n_events >= 1
 
 
+def test_stream_stream_join_matches_batch(spark, events_path):
+    """Stream-stream interval join drained over the full corpus must
+    equal the batch twin (same condition, no late data in the fixture
+    so the watermark drops nothing)."""
+    stream = SE.read_events_stream(spark, events_path)
+    q = (
+        SE.stream_stream_click_purchase_join(stream)
+        .writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+    from etl_project_spark.plans.registry import all_specs
+
+    batch = all_specs()["q_stream_stream_join_twin"].builder(spark, SF_ORACLE)
+    want = {(r.user_id, r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want
+    assert want  # fixture must actually produce attributed purchases
+
+
 def test_stream_dedup_removes_jittered_replays(spark, tmp_path):
     """At-least-once redelivery: same event_id, timestamp jittered by a
     few seconds. Id-only dedup (dropDuplicatesWithinWatermark) must
