@@ -41,6 +41,7 @@ BENCH_QUERIES = (
     "q_benchmark_contamination",
     "q_bm25_query_scores",
     "q_chunk_documents_overlap",
+    "q_training_corpus_pipeline",
 )
 
 

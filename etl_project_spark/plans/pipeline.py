@@ -87,3 +87,87 @@ register(
     doc="scan→union→dedup→enrich→join→agg in one plan (≙ flows/etl.py:289-311)",
     tags=("pipeline", "flagship"),
 )(build_flagship)
+
+
+_CORPUS_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+  WHERE n_chars >= 200
+), dedup AS (
+  SELECT doc_id, lang, source, t,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+  FROM norm
+), kept AS (
+  SELECT * FROM dedup WHERE rn = 1 AND source <> 'src0'
+), clean AS (
+  SELECT k.* FROM kept k
+  WHERE NOT EXISTS (SELECT 1 FROM norm b WHERE b.source = 'src0' AND b.t = k.t)
+), sampled AS (
+  SELECT * FROM clean
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        < CASE lang WHEN 'en' THEN 50 ELSE 25 END
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(t) - LENGTH(REPLACE(t, ' ', '')) + 1) AS BIGINT) AS total_tokens
+FROM sampled
+GROUP BY lang, source
+"""
+
+
+@register(
+    "q_training_corpus_pipeline",
+    oracle=_CORPUS_ORACLE,
+    tags=("pipeline", "llm", "dedup", "decontamination", "sample"),
+)
+def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus construction, end to end, as ONE lazy plan:
+
+        quality gate (n_chars ≥ 200)
+          → normalize (lower + whitespace collapse)
+          → exact dedup (keep min doc_id per normalized text)
+          → benchmark decontamination (drop docs whose text appears
+            in the 'src0' benchmark slice; drop the slice itself)
+          → stratified md5-bucket sample (en 50%, others 25%)
+          → per-(lang, source) doc + whitespace-token budget
+
+    The deterministic composite of the individually-tested stages —
+    fully oracle-checked (the LSH near-dup stages live in their own
+    queries; their candidate generation is not SQL-expressible).
+    Scale shape: the quality gate and normalization ride the scan; the
+    dedup window and the decontamination anti-join both hash-shuffle
+    on the normalized text (pre-hash to int64 if the strings are
+    long); the sample is a map-side filter; the final agg is tiny.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    norm = d.filter(F.col("n_chars") >= 200).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("t"),
+    )
+    rn = F.row_number().over(W.partitionBy("t").orderBy("doc_id"))
+    kept = (
+        norm.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("source") != "src0"))
+        .drop("rn")
+    )
+    bench = norm.filter(F.col("source") == "src0").select("t").distinct()
+    clean = kept.join(bench, "t", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    keep_pct = F.when(F.col("lang") == "en", 50).otherwise(25)
+    sampled = clean.filter(bucket < keep_pct)
+    tokens = F.size(F.split(F.col("t"), " ")).cast("bigint")
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens).alias("total_tokens"),
+    )

@@ -1101,3 +1101,44 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_quantity") * F.col("mult")), 2).alias("weighted_qty"),
         )
     )
+
+
+@register(
+    "q_null_safe_join_priorities",
+    oracle="""
+WITH o AS (
+  SELECT NULLIF(o_orderpriority, '5-LOW') AS pri,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), d AS (
+  SELECT DISTINCT NULLIF(o_orderpriority, '5-LOW') AS pri FROM orders
+)
+SELECT d.pri, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(o.price), 2) AS DOUBLE) AS total_price
+FROM o JOIN d ON o.pri IS NOT DISTINCT FROM d.pri
+GROUP BY d.pri
+""",
+    tags=("join", "null-safe"),
+)
+def q_null_safe_join_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` ≙ IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing, the semantics ETL needs when
+    joining on nullable business keys. The '5-LOW' priority is mapped
+    to NULL via NULLIF so the fixture actually exercises the NULL
+    bucket. ``<=>`` still hash-partitions (NULLs co-locate in one
+    bucket) — it stays an equi-join, not a cross+filter.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    d = o.select("pri").distinct()
+    return (
+        o.join(d.withColumnRenamed("pri", "d_pri"), o.pri.eqNullSafe(F.col("d_pri")))
+        .groupBy("d_pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+        )
+        .withColumnRenamed("d_pri", "pri")
+    )

@@ -131,6 +131,41 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_variant_event_props",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+                  THEN 1 END) AS n_missing_field
+FROM events
+GROUP BY event_type
+""",
+    tags=("json", "variant"),
+)
+def q_variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4).
+
+    ``parse_json`` builds a binary-encoded variant once per row;
+    ``variant_get`` / ``try_variant_get`` then extract typed fields
+    without re-parsing — at scale this beats repeated
+    ``get_json_object`` calls, which each re-parse the string. The
+    missing-path probe checks ``try_variant_get`` null semantics
+    (absent field → NULL, counted as 0 matches — same as the oracle's
+    json_extract_string on a missing key).
+    """
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_type",
+        F.variant_get(v, "$.k", "int").alias("_k"),
+        F.try_variant_get(v, "$.missing", "string").alias("_m"),
+    ).groupBy("event_type").agg(
+        F.sum("_k").alias("sum_k"),
+        F.count("_m").alias("n_missing_field"),
+    )
+
+
+@register(
     "q_array_funcs_embeddings",
     oracle="""
 SELECT vec_id,

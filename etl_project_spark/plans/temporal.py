@@ -12,6 +12,11 @@ from etl_project_spark.operators.temporal import asof_join, range_join
 from etl_project_spark.plans.registry import register
 from etl_project_spark.session import tune_session
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return read_table(spark, sf_dir, name)
+
 #: Price bands for the range join — disjoint, covering [0, inf).
 PRICE_BANDS = [
     ("budget", 0.0, 50_000.0),
@@ -102,4 +107,74 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("band_revenue"),
+    )
+
+
+@register(
+    "q_gapfill_hourly_user_values",
+    oracle="""
+WITH e AS (SELECT * FROM events WHERE user_id < 10),
+hourly AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS hr, ROUND(SUM(value), 4) AS hour_value
+  FROM e GROUP BY user_id, DATE_TRUNC('hour', ts)
+),
+span AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS lo, DATE_TRUNC('hour', MAX(ts)) AS hi FROM e),
+scaffold AS (
+  SELECT u.user_id, g.hr
+  FROM (SELECT DISTINCT user_id FROM e) u,
+       (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM span) g
+),
+j AS (
+  SELECT s.user_id, s.hr, h.hour_value
+  FROM scaffold s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+)
+SELECT user_id, hr,
+       COALESCE(last_value(hour_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value,
+       hour_value IS NOT NULL AS observed
+FROM j
+""",
+    tags=("temporal", "gapfill", "timeseries"),
+)
+def q_gapfill_hourly_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill: a dense hourly scaffold per
+    user (sequence + explode over the observed span), left-joined with
+    the hourly aggregate, missing hours carrying the last observed
+    value forward (``last(ignorenulls)`` over an unbounded-preceding
+    frame — exactly DuckDB's ``last_value IGNORE NULLS``).
+
+    Scale shape: the scaffold is rows_users × span_hours — generated,
+    never shuffled wide (the 1-row span broadcast-joins to the user
+    list); the fill window shuffles once on user_id. The standard
+    prep for ML feature matrices over sparse event streams.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.sum("value"), 4).alias("hour_value"))
+    span = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    users = e.select("user_id").distinct()
+    scaffold = users.join(F.broadcast(span)).select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    j = scaffold.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.coalesce(
+            F.last("hour_value", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("filled_value"),
+        F.col("hour_value").isNotNull().alias("observed"),
     )
