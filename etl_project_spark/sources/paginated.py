@@ -32,7 +32,12 @@ import math
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -197,6 +202,44 @@ class PaginatedTableReader(DataSourceReader):
             yield from partition.fetcher.fetch_page(page)
 
 
+class PaginatedStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming over the same page protocol: offset = next
+    unread page; each trigger consumes up to ``pages_per_trigger``.
+
+    The batch scan treats the table as finished; the stream treats it
+    as growing — new pages appear as new micro-batches, which is how a
+    live paginated endpoint (append-only listing, audit log, export
+    API) is actually consumed. Exhausted ⇒ empty batch at the same
+    offset (no busy spin); Spark checkpoints the page offset, so
+    restart resumes exactly where the last commit left off.
+    """
+
+    def __init__(self, fetcher: PageFetcher, pages_per_trigger: int):
+        self.fetcher = fetcher
+        self.pages_per_trigger = pages_per_trigger
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        first = int(start["page"])
+        n_pages = max(
+            1, math.ceil(self.fetcher.total_rows() / self.fetcher.page_size())
+        )
+        last = min(first + self.pages_per_trigger, n_pages)
+        rows: list[tuple] = []
+        for page in range(first, last):
+            rows.extend(self.fetcher.fetch_page(page))
+        return iter(rows), {"page": last}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Replay for recovery: deterministic pages make this exact.
+        rows: list[tuple] = []
+        for page in range(int(start["page"]), int(end["page"])):
+            rows.extend(self.fetcher.fetch_page(page))
+        return iter(rows)
+
+
 class PaginatedTableDataSource(DataSource):
     """``spark.read.format("paginated_table")`` — options:
 
@@ -228,6 +271,11 @@ class PaginatedTableDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return PaginatedTableReader(
             self._fetcher(), int(self.options.get("max_concurrency", 8))
+        )
+
+    def simpleStreamReader(self, schema: StructType) -> PaginatedStreamReader:
+        return PaginatedStreamReader(
+            self._fetcher(), int(self.options.get("pages_per_trigger", 1))
         )
 
 

@@ -12,14 +12,20 @@ from etl_project_spark.streaming.events import (
     stream_sliding_counts,
     stream_session_windows,
     stream_dedup_events,
+    stream_static_join_segments,
+    stream_stream_click_purchase_join,
     stream_user_running_totals,
+    stream_user_totals_tws,
 )
 
 __all__ = [
-    "stream_user_running_totals",
     "read_events_stream",
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_windows",
     "stream_dedup_events",
+    "stream_static_join_segments",
+    "stream_stream_click_purchase_join",
+    "stream_user_running_totals",
+    "stream_user_totals_tws",
 ]

@@ -243,6 +243,72 @@ def _has_aggregate(df: DataFrame) -> bool:
     return "Aggregate" in plan
 
 
+# -- custom stateful operator (transformWithStateInPandas, Spark 4) ---------
+
+def stream_user_totals_tws(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running totals on the Spark 4 arbitrary-state v2 API
+    (``transformWithStateInPandas``).
+
+    Same semantics as :func:`stream_user_running_totals` but on the
+    newer StatefulProcessor contract: typed ValueState handles, an
+    explicit init/close lifecycle, and (unlike the v1 API) support for
+    state TTL, timers, and multiple state variables per key — the seam
+    for session models, decaying counters, or online feature state.
+    State lives in the state store partitioned by user_id.
+
+    Environment note: executing this requires (a) the RocksDB state
+    store provider (``spark.sql.streaming.stateStore.providerClass``)
+    and (b) the ``protobuf`` package for the state-server protocol —
+    absent in this sandbox, so the integration test skips unless
+    protobuf imports; the v1 operator above is the tested path here.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql import types as T
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (0, 0.0)
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 # -- custom stateful operator (applyInPandasWithState) ----------------------
 
 RUNNING_STATE_SCHEMA = "n_events BIGINT, total_value DOUBLE"

@@ -245,3 +245,83 @@ def test_foreachbatch_incremental_merge(spark, events_path, tmp_path):
         for r in read_table(spark, SF_ORACLE, "events").groupBy("event_type").count().collect()
     }
     assert totals == want
+
+
+def test_stream_tws_running_totals_matches_batch(spark, events_path):
+    """transformWithStateInPandas (arbitrary-state v2): final per-user
+    totals must equal the batch aggregate — same check as the v1
+    applyInPandasWithState operator above.
+
+    Skips when protobuf is unavailable (the TWS state-server protocol
+    needs it; not shipped in this sandbox) — the v1 operator test above
+    covers the semantics either way."""
+    pytest.importorskip("google.protobuf")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = SE.read_events_stream(spark, events_path)
+    q = (
+        SE.stream_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM tws_totals"
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(events_path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("t"))
+        .collect()
+    )
+    for r in batch:
+        assert got[r.user_id] == (r.n, r.t)
+
+
+def test_paginated_source_streams_pages_as_microbatches(spark):
+    """The custom data source's streaming mode: pages become
+    micro-batches (offset = page cursor), draining exactly the rows the
+    batch scan would read."""
+    import time
+
+    from etl_project_spark.sources.paginated import (
+        SyntheticShopFetcher,
+        register_paginated_source,
+    )
+
+    register_paginated_source(spark)
+    stream = (
+        spark.readStream.format("paginated_table")
+        .option("n_rows", 250)
+        .option("rows_per_page", 100)
+        .option("pages_per_trigger", 2)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paged_stream")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) AS n FROM paged_stream").collect()[0].n >= 250:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM paged_stream").collect())
+    fetcher = SyntheticShopFetcher(n_rows=250, rows_per_page=100)
+    want = sorted(row for p in range(3) for row in fetcher.fetch_page(p))
+    assert got == want
