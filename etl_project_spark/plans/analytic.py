@@ -631,3 +631,77 @@ def q_regression_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("price_qty_r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
     )
+
+
+@register(
+    "q_mode_median_aggs",
+    oracle="""
+SELECT l_returnflag,
+       mode(l_linestatus) AS status_mode,
+       ROUND(median(l_extendedprice), 4) AS price_median,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "mode", "median"),
+)
+def q_mode_median_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mode`` and ``median`` aggregates (Spark 3.4+ builtins).
+
+    ``mode(deterministic=True)`` pins tie-breaks to the lowest value so
+    both engines agree even if the fixture ever develops a tie (today
+    each group has a single clear winner). Median is the interpolated
+    0.5-quantile — same arithmetic as DuckDB's ``median``.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_linestatus", deterministic=True).alias("status_mode"),
+        F.round(F.median("l_extendedprice"), 4).alias("price_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_hll_sketch_rollup",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS merged_within_5pct
+FROM events
+GROUP BY event_type
+""",
+    tags=("sketch", "hll", "rollup"),
+)
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting via DataSketches HLL
+    (Spark 3.5+ ``hll_sketch_agg`` / ``hll_union_agg``).
+
+    The two-level shape is the point: per-(type, day) sketches build
+    in one pass, then MERGE to per-type totals without touching the
+    raw data again — the pattern that lets a 100 TB pipeline keep
+    daily sketch partitions and serve any rollup (weekly, all-time)
+    by unioning kilobyte-sized sketches. ``approx_count_distinct``
+    can't do this: its result is a number, not a mergeable state.
+    Oracle contract: exact distinct per type plus a pinned-TRUE 5%
+    tolerance flag on the merged estimate (sketch bytes are
+    engine-specific; the estimate's error is not).
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("_daily_exact"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users")) / F.col("exact_users")
+            <= 0.05
+        ).alias("merged_within_5pct"),
+    )

@@ -258,3 +258,32 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact against a
+    FILTERED dim must inject a runtime subquery into the fact's
+    PartitionFilters (dynamicpruning#...), so only matching partitions
+    are scanned — at 100 TB the difference between reading one date's
+    directory and the whole table when the filter is only known through
+    the dim."""
+    from etl_project_spark.catalog import read_table
+    from tests.conftest import SF_ORACLE
+
+    out = str(tmp_path / "orders_part")
+    orders = read_table(spark, SF_ORACLE, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(out)
+
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "critical"), ("5-LOW", "deferred")],
+        "o_orderpriority string, tier string",
+    ).filter(F.col("tier") == "critical")
+
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    joined = fact.join(dim, "o_orderpriority").groupBy("tier").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = {r.tier: r["count"] for r in joined.collect()}
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert rows == {"critical": want}
