@@ -705,3 +705,32 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("merged_within_5pct"),
     )
+
+
+@register(
+    "q_listagg_nations_per_region",
+    oracle="""
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("agg", "listagg"),
+)
+def q_listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``listagg``, Spark 4 ≙ SQL:2016 /
+    DuckDB ``string_agg``). The WITHIN-GROUP ordering makes the result
+    deterministic — unordered listagg is engine-dependent and would
+    never hash-match.
+    """
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations")
+        )
+    )

@@ -1142,3 +1142,44 @@ def q_null_safe_join_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("d_pri", "pri")
     )
+
+
+@register(
+    "q_fuzzy_supplier_name_pairs",
+    oracle="""
+SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+FROM supplier a
+JOIN supplier b
+  ON LENGTH(a.s_name) = LENGTH(b.s_name)
+ AND substr(a.s_name, 1, 12) = substr(b.s_name, 1, 12)
+ AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+""",
+    tags=("join", "fuzzy", "levenshtein"),
+)
+def q_fuzzy_supplier_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join: name pairs within edit distance 1.
+
+    The blocking keys (length + 12-char prefix) turn the O(n²)
+    all-pairs comparison into a hash equi-join whose blocks are the
+    only place the quadratic ``levenshtein`` runs — the standard
+    entity-resolution shape (block → compare → threshold). On this
+    corpus names share one prefix so one block carries the work; real
+    name data spreads blocks and the same plan scales. ``levenshtein``
+    is identical in both engines (unit-cost edit distance).
+    """
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.length("name_a") == F.length("name_b"))
+            & (F.substring("name_a", 1, 12) == F.substring("name_b", 1, 12))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("key_a", "key_b", "edit_dist")
+    )
