@@ -526,10 +526,20 @@ def hyperplane_tables_for_recall(
     """
     import math
 
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError(
+            f"target_recall must be in (0, 1) — exact recall needs an exact "
+            f"algorithm, not LSH; got {target_recall!r}"
+        )
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     p_table = p**planes_per_table
     if p_table >= 1.0:
         return 1
+    if p_table <= 0.0:
+        raise ValueError(
+            f"threshold {threshold!r} gives zero per-table collision "
+            "probability; no table count can reach the target recall"
+        )
     return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table)))
 
 
@@ -629,6 +639,8 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

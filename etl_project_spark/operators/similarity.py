@@ -178,6 +178,10 @@ def knn_join(
     scan) and picks ``broadcast`` iff it is under ``broadcast_threshold``
     rows; ``lsh`` requires ``dim``.
     """
+    if strategy not in ("auto", "broadcast", "lsh"):
+        raise ValueError(
+            f"knn_join strategy must be 'auto', 'broadcast', or 'lsh'; got {strategy!r}"
+        )
     if strategy == "auto":
         strategy = (
             "broadcast" if right.count() <= broadcast_threshold else "lsh"
@@ -254,6 +258,11 @@ def knn_join_lsh(
     planes = _hyperplane_signs(n_tables * planes_per_table, dim)
     sig_udf = hyperplane_table_sigs_udf(planes, n_tables)
 
+    # Persisted (evictable MEMORY_AND_DISK) because each side feeds both
+    # the posting list and the vector join-back; without it the Arrow
+    # signature UDF recomputes per use. Blocks age out under LRU; a
+    # long-lived session batching many joins can reclaim eagerly with
+    # spark.catalog.clearCache().
     lbase = left.select(
         F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"),
         sig_udf(F.col(left_vec)).alias("_sigs"),

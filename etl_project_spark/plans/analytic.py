@@ -689,7 +689,6 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
-        F.countDistinct("user_id").alias("_daily_exact"),
     )
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_est")

@@ -65,6 +65,14 @@ class PageFetcher:
         """Return the rows of one page, already extracted to strings."""
         raise NotImplementedError
 
+    def refresh(self) -> None:
+        """Invalidate any cached metadata (headers/total_rows).
+
+        The streaming reader calls this once per trigger so a growing
+        table's new pages are discovered; fetchers with no cache need
+        not override.
+        """
+
 
 @dataclass
 class SyntheticShopFetcher(PageFetcher):
@@ -155,6 +163,11 @@ class HttpFetcher(PageFetcher):
             object.__setattr__(self, "_meta_doc", cached)
         return cached
 
+    def refresh(self) -> None:
+        # Drop the memoized /meta so the next total_rows() re-probes —
+        # required by the streaming reader's growing-table contract.
+        object.__setattr__(self, "_meta_doc", None)
+
     def headers(self) -> list[str]:
         return list(self._meta()["headers"])
 
@@ -223,6 +236,7 @@ class PaginatedStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         first = int(start["page"])
+        self.fetcher.refresh()  # growing table: re-probe the page count
         n_pages = max(
             1, math.ceil(self.fetcher.total_rows() / self.fetcher.page_size())
         )

@@ -107,6 +107,45 @@ def test_http_fetcher_source_reads_fixture_server(spark):
         srv.server_close()
 
 
+def test_http_fetcher_refresh_discovers_growth():
+    """Streaming contract: refresh() must re-probe /meta so a growing
+    endpoint's new pages are discovered (the memoized metadata would
+    otherwise freeze total_rows at the first snapshot forever)."""
+    import http.server
+    import json
+    import threading
+
+    calls = {"n": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            calls["n"] += 1
+            body = json.dumps(
+                {"headers": ["a"], "total_rows": 10 * calls["n"], "page_size": 10}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    from etl_project_spark.sources.paginated import HttpFetcher
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        f = HttpFetcher(base_url=f"http://127.0.0.1:{srv.server_address[1]}")
+        assert f.total_rows() == 10
+        assert f.total_rows() == 10  # memoized between triggers
+        f.refresh()
+        assert f.total_rows() == 20  # re-probed after refresh
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_jdbc_sink_roundtrip_live(spark):
     """K1/K2 against a real database — env-gated because the sandbox has
     no JDBC driver jar or server. Recipe (documented in README):

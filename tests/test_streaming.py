@@ -260,6 +260,13 @@ def test_stream_tws_running_totals_matches_batch(spark, events_path):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    try:
+        _run_tws_assertions(spark, events_path)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _run_tws_assertions(spark, events_path):
     stream = SE.read_events_stream(spark, events_path)
     q = (
         SE.stream_user_totals_tws(stream)
