@@ -328,8 +328,16 @@ def ngram_jaccard_pairs(
     is the scalable inverted-index formulation: shuffle is on gram
     hash, and only pairs sharing ≥1 gram are ever materialized.
     """
-    inv = ngram_rows(ensure_parallelism(df), id_col, text_col, n=n).dropDuplicates(
-        ["_id", "_gram"]
+    # Grams are hashed to int64 (xxhash64) BEFORE the distinct and the
+    # self-join: the wide gram strings never shuffle, the dedup and the
+    # inverted-index join both move (id, 8-byte key) rows. A 64-bit
+    # collision merging two distinct grams of one document needs ~2^32
+    # distinct grams to become likely — far beyond any per-corpus gram
+    # count this runs on.
+    inv = (
+        ngram_rows(ensure_parallelism(df), id_col, text_col, n=n)
+        .select("_id", F.xxhash64("_gram").alias("_g64"))
+        .dropDuplicates(["_id", "_g64"])
     )
     sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = inv.alias("a")
@@ -337,7 +345,7 @@ def ngram_jaccard_pairs(
     shared = (
         a.join(
             b,
-            (F.col("a._gram") == F.col("b._gram")) & (F.col("a._id") < F.col("b._id")),
+            (F.col("a._g64") == F.col("b._g64")) & (F.col("a._id") < F.col("b._id")),
         )
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_inter"))
