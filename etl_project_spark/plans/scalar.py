@@ -443,3 +443,104 @@ def q_datetime_extract_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("q"),
         (F.weekday("o_orderdate") + 1).alias("iso_dow"),
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q_url_parse_docs",
+    oracle="""
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       lang AS lang_param
+FROM documents
+WHERE doc_id < 200
+""",
+    tags=("string", "url"),
+)
+def q_url_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_url`` decomposition (HOST / PATH / QUERY param).
+
+    URLs are constructed from document fields, so the oracle states the
+    expected decomposition directly — the check is that parse_url
+    inverts the construction exactly (Hive-compatible URL grammar).
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "q_safe_arithmetic",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) - COUNT(CASE WHEN o_orderkey % 10 <> 0 THEN 1 END) AS n_div_null,
+       COUNT(*) - COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_bad_ts,
+       ROUND(SUM(o_orderkey / 4.0), 2) AS qtr_key_sum
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("scalar", "try", "ansi"),
+)
+def q_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe ``try_*`` family under ANSI mode (Spark 4 default).
+
+    ``try_divide`` by zero and ``try_to_timestamp`` of malformed input
+    yield NULL instead of failing the job — the behavior a 100 TB batch
+    needs when one poisoned row must not kill a 6-hour run. NULL counts
+    and an exact-quarters sum (binary-exact, no rounding boundary) are
+    the oracle contract; the divisors/timestamps are derived from
+    orderkey parity so both engines see identical inputs.
+    """
+    o = _t(spark, sf_dir, "orders")
+    div = F.try_divide(
+        F.col("o_totalprice"),
+        F.when(F.col("o_orderkey") % 10 == 0, 0.0).otherwise(2.0),
+    )
+    ts = F.try_to_timestamp(
+        F.when(F.col("o_orderkey") % 2 == 0, "2024-01-01").otherwise("not-a-date")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        (F.count(F.lit(1)) - F.count(div)).alias("n_div_null"),
+        (F.count(F.lit(1)) - F.count(ts)).alias("n_bad_ts"),
+        F.round(F.sum(F.try_divide(F.col("o_orderkey"), F.lit(4))), 2).alias(
+            "qtr_key_sum"
+        ),
+    )
+
+
+@register(
+    "q_binary_hash_funcs",
+    oracle="""
+SELECT doc_id,
+       hex(encode(substr(text, 1, 8))) AS head_hex,
+       to_base64(encode(substr(text, 1, 8))) AS head_b64,
+       sha256(text) AS text_sha256,
+       md5(text) AS text_md5
+FROM documents
+WHERE doc_id < 100
+""",
+    tags=("binary", "hash"),
+)
+def q_binary_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/hex/base64 + cryptographic digests — the
+    content-addressing toolkit (cache keys, content ids, shard-stable
+    fingerprints). Both engines agree byte-for-byte on UTF-8 encode,
+    hex case, base64 alphabet, SHA-256 and MD5 hex digests.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    head = F.encode(F.substring("text", 1, 8), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.hex(head).alias("head_hex"),
+        F.base64(head).alias("head_b64"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5("text").alias("text_md5"),
+    )
