@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Scale sweep: execute EVERY registered query at a given SF and report
+timings — the per-round regression net behind BASELINE.md's "all
+queries execute clean, no scale cliffs" claim.
+
+Usage:  python tools/sweep.py [sf_dir] [slow_threshold_s]
+        (defaults: /root/testdata/sf0.1, 2.0)
+
+Prints one line per slow-or-failed query plus a total; exits nonzero if
+any query fails.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    slow = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.session import get_spark
+
+    spark = get_spark("sweep")
+    times: dict[str, float] = {}
+    failed: list[str] = []
+    for name, spec in all_specs().items():
+        t0 = time.perf_counter()
+        try:
+            # noop write forces full-column evaluation (count() lets
+            # Spark prune projections and would under-measure).
+            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            failed.append(name)
+            print(f"{name:45s} FAIL {type(e).__name__}: {str(e)[:140]}")
+    for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
+        if t > slow:
+            print(f"{name:45s} {t:6.2f}s")
+    print(
+        f"total: {round(sum(times.values()), 1)}s over {len(times)} queries "
+        f"({len(failed)} failed) at {sf_dir}"
+    )
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
