@@ -577,3 +577,70 @@ def q_udtf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.term, t.n "
         "FROM documents d, LATERAL top_terms(d.text) t"
     )
+
+
+@register(
+    "q_sequence_packing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         LENGTH(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))
+           - LENGTH(REPLACE(TRIM(regexp_replace(text, '\\s+', ' ', 'g')), ' ', ''))
+           + 1 AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 512.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT lang, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY lang, pack_id
+""",
+    tags=("text", "llm", "packing"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-size context windows
+    (512 whitespace tokens) by contiguous fill — running token count
+    per language, pack = floor(tokens-before-this-doc / window).
+
+    The training-data step after dedup/sampling: examples are packed
+    into context-length buckets so batches waste no padding. The
+    contiguous-fill formulation is one window cumsum per language
+    partition (deterministic doc_id order), shuffling each row once —
+    vs. bin-packing heuristics that are driver-side and unscalable. A
+    doc longer than the window spills across packs by construction,
+    matching common concat-and-chunk training pipelines.
+    """
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.length(norm)
+            - F.length(F.regexp_replace(norm, " ", ""))
+            + 1
+        ).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
