@@ -151,3 +151,21 @@ def test_ivf_self_query_recall(spark, emb):
     assigned = SIM.ivf_assign(emb, "embedding", cents)
     frac = assigned.filter(F.col("_cell").isin(list(range(4)))).count() / assigned.count()
     assert frac < 0.9
+
+
+def test_ivf_partitioned_layout_prunes_probe_scan(spark, emb, tmp_path):
+    """The IVF scale story made physical: writing the assigned table
+    partitioned by _cell turns the probe's cell filter into
+    planning-time partition pruning — the engine never reads the other
+    cells' files."""
+    cents = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=8)
+    out = str(tmp_path / "ivf_index")
+    SIM.ivf_assign(emb, "embedding", cents).write.partitionBy("_cell").parquet(out)
+
+    back = spark.read.parquet(out)
+    probe = back.filter(F.col("_cell").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "_cell" in plan.split("PartitionFilters")[1].split("]")[0]
+    # pruned scan reads a strict subset of the index
+    assert 0 < probe.count() < back.count()
