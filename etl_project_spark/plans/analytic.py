@@ -733,3 +733,90 @@ def q_listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nations")
         )
     )
+
+
+@register(
+    "q_grouping_id_totals",
+    oracle="""
+SELECT CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_total,
+       o_orderstatus,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), ())
+""",
+    tags=("agg", "grouping-sets"),
+)
+def q_grouping_id_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() marker distinguishing subtotal rows from real NULL
+    group keys — the disambiguation every rollup report needs (a NULL
+    status group and the grand-total row both print NULL without it)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets([["o_orderstatus"], []], "o_orderstatus").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("is_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select("is_total", "o_orderstatus", "n_orders")
+
+
+@register(
+    "q_lead_ignore_nulls_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_ev
+  FROM events WHERE user_id < 20
+)
+SELECT user_id, event_id,
+       lead(purchase_ev IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_purchase_id
+FROM flagged
+""",
+    tags=("window", "ignore-nulls"),
+)
+def q_lead_ignore_nulls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lead(..., ignoreNulls)``: for every event, the id of the
+    user's NEXT purchase (skipping non-purchase events) — the funnel
+    "time to next conversion" primitive, one window pass instead of a
+    self-join against the purchase subset."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "purchase_ev"
+        ),
+    )
+    # PySpark's lead() helper has no ignoreNulls parameter — the SQL
+    # expression form is the supported spelling.
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "lead(purchase_ev) IGNORE NULLS OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
+        ).alias("next_purchase_id"),
+    )
+
+
+@register(
+    "q_percentile_disc_prices",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.75) AS p75
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "percentile"),
+)
+def q_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (an actual data value, no interpolation) —
+    exact-value comparable across engines with no float arithmetic at
+    all, unlike the continuous variant which interpolates."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").alias("p75"),
+    )
