@@ -332,3 +332,69 @@ def test_paginated_source_streams_pages_as_microbatches(spark):
     fetcher = SyntheticShopFetcher(n_rows=250, rows_per_page=100)
     want = sorted(row for p in range(3) for row in fetcher.fetch_page(p))
     assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy: a row arriving AFTER the watermark has passed
+    its window is dropped deterministically. Two micro-batches through
+    one checkpoint: batch 1 establishes event-time ~T, batch 2 appends
+    a row 10 hours older than T (far beyond the 2h watermark) plus a
+    fresh row. The late row must not appear in any emitted window; the
+    fresh row's window must."""
+    base_ns = 1_700_000_000_000_000_000
+    hour_ns = 3600 * 10**9
+
+    def write_batch(rows, name):
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts long, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    src = str(tmp_path / "late_src")
+    sink = str(tmp_path / "late_sink")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def drain():
+        stream = SE.read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            SE.stream_tumbling_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # batch 1: 3 events at T and T+1h — advances the watermark to ~T+1h-2h
+    write_batch(
+        [(1, 1, "click", base_ns, 1.0, "{}"),
+         (2, 1, "click", base_ns + hour_ns, 1.0, "{}"),
+         (3, 1, "click", base_ns + hour_ns + 1, 1.0, "{}")],
+        "b1",
+    )
+    drain()
+    # batch 2: one VERY late row (T - 10h, beyond watermark) + one fresh
+    # row (T + 4h) that pushes the old windows past the watermark so
+    # append mode finalizes them.
+    write_batch(
+        [(4, 1, "click", base_ns - 10 * hour_ns, 99.0, "{}"),
+         (5, 1, "click", base_ns + 4 * hour_ns, 1.0, "{}")],
+        "b2",
+    )
+    drain()
+    # third drain with another advancing row finalizes remaining windows
+    write_batch([(6, 1, "click", base_ns + 8 * hour_ns, 1.0, "{}")], "b3")
+    drain()
+
+    out = spark.read.parquet(sink)
+    starts = sorted(r.win_start for r in out.select("win_start").collect())
+    import datetime
+
+    late_window = datetime.datetime.utcfromtimestamp((base_ns - 10 * hour_ns) / 1e9)
+    assert all(s.hour != late_window.hour or s.day != late_window.day for s in starts), starts
+    # the finalized early windows carry only the on-time rows
+    total = sum(r.n_events for r in out.collect())
+    assert total >= 3  # events 1-3 finalized; late event 4 never counted
+    assert not any(abs(r.total_value - 99.0) < 1e-9 for r in out.collect())
