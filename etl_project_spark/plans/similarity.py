@@ -63,11 +63,30 @@ def q_knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_knn_join_labels",
-    oracle=None,  # cross-join kNN; validated by property tests
-    tags=("similarity", "knn-join", "rows-only"),
+    oracle="""
+SELECT probe_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT p.vec_id AS probe_id,
+         o.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                      CAST(o.embedding AS DOUBLE[])), 4) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                 CAST(o.embedding AS DOUBLE[])), 4) DESC,
+                    o.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 20) p,
+       (SELECT * FROM embeddings WHERE vec_id >= 20) o
+)
+WHERE rank <= 3
+""",
+    tags=("similarity", "knn-join"),
 )
 def q_knn_join_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch kNN join: 3 nearest neighbors for each of the first 20 vectors."""
+    """Batch kNN join: 3 nearest neighbors for each of the first 20
+    vectors. The broadcast path is EXACT, so unlike the LSH variant it
+    is fully oracle-checkable (DuckDB cross join + cosine + row_number
+    — same 4-decimal rounding and id tie-break)."""
     tune_session(spark)
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 20)
