@@ -350,6 +350,48 @@ def deterministic_centroids(
     return [list(map(float, r[0])) for r in rows]
 
 
+def kmeans_refine(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    n_iter: int = 3,
+) -> list[list[float]]:
+    """Deterministic Lloyd refinement of IVF centroids.
+
+    Each round: assign every vector to its nearest centroid (one Arrow
+    matmul per batch — the same ``ivf_assign`` kernel), then take the
+    per-cell mean via a distributed aggregate. Only the ``n_cells ×
+    dim`` new centroid matrix ever reaches the driver (index-build
+    metadata, same size as the input centroids). Empty cells keep
+    their previous centroid so the cell count is stable. No RNG
+    anywhere — same input, same centroids, every run.
+
+    The build-time cost is ``n_iter`` passes over the vectors; the
+    payoff is tighter cells, i.e. fewer probes for the same recall at
+    query time — the standard IVF training loop (Lloyd 1982).
+    """
+    current = [list(map(float, c)) for c in centroids]
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, vec_col, current)
+        sums = (
+            assigned.groupBy("_cell")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.element_at(F.col(vec_col), i + 1).cast("double"))
+                        for i in range(len(current[0]))
+                    ]
+                ).alias("_sum"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        nxt = {int(r["_cell"]): [s / r["_n"] for s in r["_sum"]] for r in sums}
+        current = [nxt.get(i, c) for i, c in enumerate(current)]
+    return current
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,

@@ -169,3 +169,35 @@ def test_ivf_partitioned_layout_prunes_probe_scan(spark, emb, tmp_path):
     assert "_cell" in plan.split("PartitionFilters")[1].split("]")[0]
     # pruned scan reads a strict subset of the index
     assert 0 < probe.count() < back.count()
+
+
+def test_kmeans_refine_reduces_inertia_and_is_deterministic(spark, emb):
+    """Lloyd refinement must not increase inertia (mean cosine distance
+    to the assigned centroid) and must be bit-deterministic across
+    runs; refined centroids still answer self-queries at rank 1."""
+    def inertia(cents):
+        assigned = SIM.ivf_assign(emb, "embedding", cents)
+        from etl_project_spark.operators.dedup import cosine_similarity
+
+        cent_arr = F.array(*[
+            F.when(F.col("_cell") == i, F.array(*[F.lit(float(v)) for v in c]))
+            for i, c in enumerate(cents)
+        ])
+        # pick the matching centroid array per row, then cosine distance
+        withc = assigned.withColumn(
+            "_c", F.filter(cent_arr, lambda x: x.isNotNull())[0]
+        )
+        return withc.select(
+            F.avg(1 - cosine_similarity(F.col("embedding"), F.col("_c"))).alias("d")
+        ).collect()[0].d
+
+    seeds = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=8)
+    refined1 = SIM.kmeans_refine(emb, "embedding", seeds, n_iter=3)
+    refined2 = SIM.kmeans_refine(emb, "embedding", seeds, n_iter=3)
+    assert refined1 == refined2  # no RNG anywhere
+    assert len(refined1) == len(seeds)
+    assert inertia(refined1) <= inertia(seeds) + 1e-9
+
+    probe = emb.filter(F.col("vec_id") == 5).collect()[0]
+    out = SIM.ivf_topk(emb, "embedding", list(probe.embedding), refined1, k=5, n_probe=2).collect()
+    assert out[0].vec_id == 5 and out[0].score == 1.0
