@@ -110,3 +110,52 @@ def q_sql_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register_views(spark, sf_dir, "orders")
     return spark.sql(_SQL_FILTERED_AGGS)
+
+
+_SQL_LATERAL_TOP_ORDER = """
+SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS top_price
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 1) t
+WHERE c.c_custkey < 300
+"""
+
+
+@register(
+    "q_sql_lateral_top_order",
+    oracle=_SQL_LATERAL_TOP_ORDER,
+    tags=("sql", "lateral"),
+)
+def q_sql_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's single priciest
+    order — identical text in both engines. Catalyst decorrelates the
+    per-row subquery into a ranked join, not an O(rows) loop; the
+    deterministic (price, key) ordering pins the LIMIT 1 row.
+    """
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_LATERAL_TOP_ORDER)
+
+
+_SQL_GROUP_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+GROUP BY ALL
+"""
+
+
+@register(
+    "q_sql_group_by_all",
+    oracle=_SQL_GROUP_BY_ALL,
+    tags=("sql", "group-by-all"),
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (infer grouping keys from the non-aggregate select
+    list) — the modern-SQL convenience both engines implement with the
+    same inference rule."""
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_GROUP_BY_ALL)
