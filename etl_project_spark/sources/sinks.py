@@ -78,8 +78,13 @@ def compact_parquet(
 
     Reads the layout, coalesces to ``ceil(rows / target)`` partitions
     (coalesce: no shuffle), optionally sorts within partitions to
-    restore clustering for min/max stats, and atomically replaces the
-    directory via a staged write + rename. Returns the new file count.
+    restore clustering for min/max stats, and replaces the directory
+    via a staged write + rename. Returns the new file count.
+
+    The rename swap is atomic on POSIX/HDFS; object stores (S3/GCS)
+    have no atomic rename — there, point readers at the staged path
+    or use a table format with snapshot commits (Iceberg/Delta)
+    instead of this directory swap.
     """
     import math
     import os
