@@ -271,3 +271,62 @@ def q_stream_static_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "q_funnel_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel
+""",
+    tags=("events", "funnel"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users who viewed, then clicked AFTER the
+    first view, then purchased AFTER that click — strictly ordered
+    steps, not mere co-occurrence (the distinction that makes funnel
+    numbers honest).
+
+    Each step is a groupBy-min plus an equi-join back on user_id with
+    a time predicate — hash-partitioned on the user key throughout; the
+    three scalar counts broadcast into one result row. At 100 TB each
+    step's state is one timestamp per surviving user.
+    """
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
+        .join(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+    )
