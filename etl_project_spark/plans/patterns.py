@@ -131,12 +131,15 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_top_revenue_supplier",
     oracle="""
 WITH revenue AS (
-  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+SELECT s.s_suppkey, s.s_name,
+       CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
 FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """,
@@ -159,13 +162,17 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_disc_price()).alias("total_revenue"))
+        .agg(F.sum(_dec_disc_price()).alias("total_revenue"))
     )
     best = revenue.agg(F.max("total_revenue").alias("best"))
     return (
         revenue.join(F.broadcast(best), revenue.total_revenue == best.best)
         .join(s, F.col("l_suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
     )
 
 
@@ -175,7 +182,8 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        CAST(YEAR(l.l_shipdate) AS INTEGER) AS ship_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS volume
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
@@ -217,7 +225,7 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
-        .agg(F.round(F.sum(_disc_price()), 2).alias("volume"))
+        .agg(F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("volume"))
     )
 
 
@@ -294,7 +302,8 @@ def q_small_qty_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_disjunctive_band_revenue",
     oracle="""
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -328,7 +337,7 @@ def q_disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return j.filter(band).agg(
-        F.round(F.sum(_disc_price()), 2).alias("revenue"),
+        F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 

@@ -22,6 +22,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _dec(col: str):
+    """Lossless decimal view of a 2-decimal money/rate column.
+
+    ROUND(SUM(double-product), 2) is order-dependent and flips on
+    half-cent boundaries between engines (seen live: 378060.515 →
+    .51 vs .52); casting the 2-decimal inputs to DECIMAL(12,4) first
+    makes products and sums exact, so the final ROUND is deterministic.
+    (12,4) keeps three-factor products within both engines' 38-digit
+    cap.
+    """
+    return F.col(col).cast("decimal(12,4)")
+
+
+def _dec_disc_price():
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(2,1)") - _dec("l_discount"))
+
+
 # --------------------------------------------------------------------------
 # q01: TPC-H Q1-style pricing summary — the classic wide aggregate.
 # Physical shape: parquet scan with shipdate filter pushed down → partial
@@ -36,8 +53,11 @@ SELECT l_returnflag,
        l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                      * (1 + CAST(l_tax AS DECIMAL(7,4)))), 2) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_extendedprice), 4) AS avg_price,
        ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -51,15 +71,16 @@ GROUP BY l_returnflag, l_linestatus
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide groupBy aggregate with filter pushdown (TPC-H Q1 shape)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _dec_disc_price()
+    charge = disc_price * (F.lit(1).cast("decimal(2,1)") + F.col("l_tax").cast("decimal(7,4)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -78,7 +99,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -102,11 +124,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -121,7 +139,8 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_region_revenue",
     oracle="""
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -145,11 +164,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cust, o.o_custkey == cust.c_custkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue"))
     )
 
 
