@@ -820,3 +820,42 @@ def q_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
         F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").alias("p75"),
     )
+
+
+@register(
+    "q_bitmap_distinct_rollup",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users
+FROM events
+GROUP BY event_type
+""",
+    tags=("sketch", "bitmap", "rollup"),
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting via bitmaps (Spark 3.5
+    ``bitmap_construct_agg`` / ``bitmap_or_agg``).
+
+    Same two-level merge shape as the HLL rollup but lossless: dense
+    integer keys pack into fixed 4KB bitmap buckets built per
+    (type, day), OR-merged to per-type totals, popcounted. Where HLL
+    trades error for unbounded domains, bitmaps give exact counts when
+    keys are bounded ints (user ids, row ids) — the right tool below
+    ~billions of dense keys. The oracle is the plain exact distinct:
+    the bitmap pipeline must reproduce it bit-for-bit or the hash
+    compare fails (unlike the HLL query's tolerance contract).
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return (
+        daily.groupBy("event_type", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("exact_users"))
+    )
