@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.money import cents, disc_price_s4, money_sum, money_sum_exact
 from etl_project_spark.plans.registry import register
 from etl_project_spark.session import tune_session
 
@@ -162,16 +163,18 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_dec_disc_price()).alias("total_revenue"))
+        .agg(money_sum_exact(disc_price_s4()).alias("total_revenue_s4"))
     )
-    best = revenue.agg(F.max("total_revenue").alias("best"))
+    best = revenue.agg(F.max("total_revenue_s4").alias("best"))
     return (
-        revenue.join(F.broadcast(best), revenue.total_revenue == best.best)
+        revenue.join(F.broadcast(best), revenue.total_revenue_s4 == best.best)
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+            F.round(F.col("total_revenue_s4") / F.lit(10**4), 2)
+            .cast("double")
+            .alias("total_revenue"),
         )
     )
 
@@ -225,7 +228,7 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
-        .agg(F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("volume"))
+        .agg(money_sum(disc_price_s4(), 4).alias("volume"))
     )
 
 
@@ -337,7 +340,7 @@ def q_disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return j.filter(band).agg(
-        F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue"),
+        money_sum(disc_price_s4(), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -348,20 +351,12 @@ def q_disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as the unit-cost proxy and Q12 defines "late" as shipped > 60 days after
 # the order date.
 #
-# Revenue sums here use EXACT decimal arithmetic: prices and discounts
-# carry 2 decimal digits, so DECIMAL(18,4) casts are lossless, products
-# and sums are exact, and ROUND(...) is deterministic — ROUND(SUM(double))
-# is order-dependent and flips on half-cent boundaries between engines
-# (observed: 378060.515 → .51 vs .52).
+# Revenue sums here use EXACT scaled-integer arithmetic (plans/money.py):
+# 2-decimal columns become lossless cents-as-BIGINT, products stay in long
+# codegen, only the SUM runs in decimal(38,0) for overflow safety, one
+# exact divide + ROUND at the end — deterministic like the decimal
+# formulation round 2 used, without its per-row BigDecimal multiply.
 # --------------------------------------------------------------------------
-
-
-def _dec(col: str):
-    return F.col(col).cast("decimal(18,4)")
-
-
-def _dec_disc_price():
-    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(2,1)") - _dec("l_discount"))
 @register(
     "q_nation_market_share",
     oracle="""
@@ -412,15 +407,11 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
     )
-    disc = _dec_disc_price()
-    zero = F.lit(0).cast("decimal(18,4)")
+    disc = disc_price_s4()
+    nation_only = F.when(F.col("sn.n_name") == "NATION_2", disc).otherwise(F.lit(0))
     return vol.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.round(
-            F.sum(F.when(F.col("sn.n_name") == "NATION_2", disc).otherwise(zero)), 2
-        )
-        .cast("double")
-        .alias("nation_volume"),
-        F.round(F.sum(disc), 2).cast("double").alias("total_volume"),
+        money_sum(nation_only, 4).alias("nation_volume"),
+        money_sum(disc, 4).alias("total_volume"),
     )
 
 
@@ -464,13 +455,14 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
     )
-    profit = _dec_disc_price() - (
-        F.lit("0.5").cast("decimal(2,1)") * _dec("p_retailprice") * _dec("l_quantity")
-    )
+    # 0.5 * retail * qty at scale 10^4 = retail_cents * qty * 50; quantity
+    # is integral in this corpus so the whole profit stays in exact longs.
+    cost = cents("p_retailprice") * F.col("l_quantity").cast("long") * F.lit(50)
+    profit = disc_price_s4() - cost
     return j.groupBy(
         F.col("n_name").alias("supp_nation"),
         F.year("o_orderdate").alias("o_year"),
-    ).agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    ).agg(money_sum(profit, 4).alias("profit"))
 
 
 @register(
@@ -517,7 +509,7 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue"))
+        .agg(money_sum(disc_price_s4(), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.money import charge_s6, disc_price_s4, money_sum
 from etl_project_spark.plans.registry import register
 from etl_project_spark.session import tune_session
 
@@ -20,23 +21,6 @@ from etl_project_spark.session import tune_session
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     return read_table(spark, sf_dir, name)
-
-
-def _dec(col: str):
-    """Lossless decimal view of a 2-decimal money/rate column.
-
-    ROUND(SUM(double-product), 2) is order-dependent and flips on
-    half-cent boundaries between engines (seen live: 378060.515 →
-    .51 vs .52); casting the 2-decimal inputs to DECIMAL(12,4) first
-    makes products and sums exact, so the final ROUND is deterministic.
-    (12,4) keeps three-factor products within both engines' 38-digit
-    cap.
-    """
-    return F.col(col).cast("decimal(12,4)")
-
-
-def _dec_disc_price():
-    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(2,1)") - _dec("l_discount"))
 
 
 # --------------------------------------------------------------------------
@@ -71,16 +55,14 @@ GROUP BY l_returnflag, l_linestatus
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide groupBy aggregate with filter pushdown (TPC-H Q1 shape)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = _dec_disc_price()
-    charge = disc_price * (F.lit(1).cast("decimal(2,1)") + F.col("l_tax").cast("decimal(7,4)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            money_sum(disc_price_s4(), 4).alias("sum_disc_price"),
+            money_sum(charge_s6(), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -124,7 +106,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue"))
+        .agg(money_sum(disc_price_s4(), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -164,7 +146,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cust, o.o_custkey == cust.c_custkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_dec_disc_price()), 2).cast("double").alias("revenue"))
+        .agg(money_sum(disc_price_s4(), 4).alias("revenue"))
     )
 
 
