@@ -575,8 +575,6 @@ def embedding_near_dup_pairs(
     verify, so each surviving pair is scored once. The bucket join is a
     hash equi-join on (table, signature) — no cross join at any scale.
     """
-    from pyspark import StorageLevel
-
     from etl_project_spark.operators.similarity import (
         hyperplane_table_sigs_udf,
         pairwise_cosine_udf,
@@ -588,14 +586,18 @@ def embedding_near_dup_pairs(
         )
     planes = _hyperplane_signs(n_tables * planes_per_table, dim)
     sigs = hyperplane_table_sigs_udf(planes, n_tables)(F.col(vec_col))
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        sigs.alias("_sigs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Posting list: one row per (vector, table) keyed by the table's
     # signature — the equi-join key (_t, _sig) is skew-free by hashing.
-    posts = base.select("_id", F.posexplode("_sigs").alias("_t", "_sig"))
+    # NO persist: the self-join's two sides are the identical subtree,
+    # so exchange reuse executes the signature matmul + shuffle ONCE;
+    # the verify join-back below projects only (id, vec) and column
+    # pruning drops the UDF there.  Round 2 persisted (_id,_vec,_sigs)
+    # at MEMORY_AND_DISK without unpersisting — each bench pass leaked
+    # another copy and the second execution ran SLOWER than the first
+    # (BENCH_r02: cold 3.56 s, steady 7.20 s).
+    posts = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(sigs).alias("_t", "_sig")
+    )
     a = posts.alias("a")
     b = posts.alias("b")
     cand = (
@@ -608,8 +610,8 @@ def embedding_near_dup_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()  # a pair may collide in several tables — verify once
     )
-    va = base.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
-    vb = base.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -76,12 +76,19 @@ def brute_force_topk(
         F.col(id_col),
         F.round(cosine_score_udf(query_vec)(F.col(vec_col)), 4).alias("score"),
     )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject (per-task
+    # heaps); the rank window then runs over exactly k rows.  The
+    # constant partitionBy keeps semantics identical while avoiding the
+    # empty-partition-spec WindowExec warning ("moving all data to a
+    # single partition") — here "all data" IS k rows by construction.
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
         .withColumn(
             "rank",
-            F.row_number().over(W.orderBy(F.col("score").desc(), F.col(id_col))),
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy(F.col("score").desc(), F.col(id_col))
+            ),
         )
     )
 
@@ -160,6 +167,8 @@ def knn_join(
     k: int = 5,
     strategy: str = "auto",
     broadcast_threshold: int = 100_000,
+    broadcast_threshold_bytes: int = 64 << 20,
+    right_rows: int | None = None,
     dim: int | None = None,
 ) -> DataFrame:
     """Batch kNN join: for every left row, its k nearest right rows.
@@ -174,18 +183,28 @@ def knn_join(
       :func:`knn_join_lsh`). Approximate but shuffle-bounded — the
       scale path when both sides are large.
 
-    ``auto`` counts the right side once (index-build-time metadata, one
-    scan) and picks ``broadcast`` iff it is under ``broadcast_threshold``
-    rows; ``lsh`` requires ``dim``.
+    ``auto`` decides LAZILY — plan construction never triggers a Spark
+    job (at 100 TB an eager ``right.count()`` would full-scan the right
+    table just to pick a strategy).  Precedence: an explicit
+    ``right_rows`` hint (index-build-time metadata) is compared against
+    ``broadcast_threshold`` rows; otherwise Catalyst's optimized-plan
+    size statistic (file sizes for scans — driver-side, no job) is
+    compared against ``broadcast_threshold_bytes``.  ``lsh`` requires
+    ``dim``.
     """
     if strategy not in ("auto", "broadcast", "lsh"):
         raise ValueError(
             f"knn_join strategy must be 'auto', 'broadcast', or 'lsh'; got {strategy!r}"
         )
     if strategy == "auto":
-        strategy = (
-            "broadcast" if right.count() <= broadcast_threshold else "lsh"
-        )
+        if right_rows is not None:
+            small = right_rows <= broadcast_threshold
+        else:
+            size = int(
+                right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            small = size <= broadcast_threshold_bytes
+        strategy = "broadcast" if small else "lsh"
     if strategy == "lsh":
         if dim is None:
             raise ValueError("knn_join(strategy='lsh') requires dim=")
@@ -251,39 +270,37 @@ def knn_join_lsh(
     the approximation being bought. Left rows whose true k-th neighbor
     never collides return fewer than k rows (standard ANN semantics).
     """
-    from pyspark import StorageLevel
-
     from etl_project_spark.operators.dedup import _hyperplane_signs
 
     planes = _hyperplane_signs(n_tables * planes_per_table, dim)
     sig_udf = hyperplane_table_sigs_udf(planes, n_tables)
 
-    # Persisted (evictable MEMORY_AND_DISK) because each side feeds both
-    # the posting list and the vector join-back; without it the Arrow
-    # signature UDF recomputes per use. Blocks age out under LRU; a
-    # long-lived session batching many joins can reclaim eagerly with
-    # spark.catalog.clearCache().
-    lbase = left.select(
-        F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"),
-        sig_udf(F.col(left_vec)).alias("_sigs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    rbase = right.select(
-        F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec"),
-        sig_udf(F.col(right_vec)).alias("_sigs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # NO persist: the signature UDF appears only in the posting-list
+    # branch, and the vector join-back branch projects just (id, vec),
+    # so column pruning keeps the Arrow matmul out of it entirely — the
+    # expensive computation runs once per side regardless.  Round 2
+    # persisted these at MEMORY_AND_DISK and never unpersisted; in a
+    # session issuing many joins the leaked blocks competed with shuffle
+    # memory (ADVICE r2) and made repeat executions SLOWER than cold.
+    lpost = left.select(
+        F.col(left_id).alias("_lid"),
+        F.posexplode(sig_udf(F.col(left_vec))).alias("_t", "_sig"),
+    )
+    rpost = right.select(
+        F.col(right_id).alias("_rid"),
+        F.posexplode(sig_udf(F.col(right_vec))).alias("_t", "_sig"),
+    )
     # Posting lists carry ONLY ids — vectors are joined back after the
     # pair-distinct so the wide embedding column never rides the
     # n_tables-way exploded shuffle.
-    lpost = lbase.select("_lid", F.posexplode("_sigs").alias("_t", "_sig"))
-    rpost = rbase.select("_rid", F.posexplode("_sigs").alias("_t", "_sig"))
     cand = (
         lpost.join(rpost, ["_t", "_sig"])
         .select("_lid", "_rid")
         .distinct()  # collide once per pair
     )
     scored = (
-        cand.join(lbase.select("_lid", "_lvec"), "_lid")
-        .join(rbase.select("_rid", "_rvec"), "_rid")
+        cand.join(left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec")), "_lid")
+        .join(right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec")), "_rid")
         .select(
             "_lid",
             "_rid",

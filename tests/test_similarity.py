@@ -137,6 +137,33 @@ def test_knn_join_auto_picks_broadcast_for_small_right(spark, emb):
     assert set(counts.values()) == {2}
 
 
+def test_knn_join_auto_plan_construction_triggers_no_job(spark, emb):
+    """The auto strategy decision must be LAZY: building the plan may
+    read Catalyst statistics (driver-side) but must never launch a
+    Spark job — at 100 TB an eager right.count() is a full table scan
+    spent on picking a code path."""
+    probes = emb.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "probe_id")
+    others = emb.filter(F.col("vec_id") >= 3).withColumnRenamed("vec_id", "neighbor_id")
+    kwargs = dict(
+        left_id="probe_id", right_id="neighbor_id",
+        left_vec="embedding", right_vec="embedding", k=2,
+    )
+    dag = spark._jsc.sc().dagScheduler()
+    before = dag.numTotalJobs()
+    plan_stats = SIM.knn_join(probes, others, strategy="auto", **kwargs)
+    plan_hint = SIM.knn_join(
+        probes, others, strategy="auto", right_rows=10_000_000, dim=64, **kwargs
+    )
+    assert dag.numTotalJobs() == before  # no job from either construction
+    # and the decisions themselves are right: tiny right side →
+    # broadcast (exact, full k per probe); huge row hint → lsh path
+    counts: dict[int, int] = {}
+    for r in plan_stats.collect():
+        counts[r.probe_id] = counts.get(r.probe_id, 0) + 1
+    assert set(counts.values()) == {2}
+    assert "rank" in plan_hint.columns  # lsh path built without any scan
+
+
 def test_ivf_self_query_recall(spark, emb):
     """IVF with a real row's vector as query: the row itself is always
     in the probed cell (its own cell is the closest by construction),
