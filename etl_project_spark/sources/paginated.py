@@ -240,9 +240,13 @@ class PaginatedStreamReader(SimpleDataSourceStreamReader):
         n_pages = max(
             1, math.ceil(self.fetcher.total_rows() / self.fetcher.page_size())
         )
-        last = min(first + self.pages_per_trigger, n_pages)
+        # Never move the offset BACKWARD: a refresh may transiently
+        # report fewer total rows than already committed (server
+        # restart, eventually-consistent listing) — regressing would
+        # re-emit committed pages as duplicates on later triggers.
+        last = max(first, min(first + self.pages_per_trigger, n_pages))
         rows: list[tuple] = []
-        for page in range(first, last):
+        for page in range(first, last):  # empty when n_pages <= first
             rows.extend(self.fetcher.fetch_page(page))
         return iter(rows), {"page": last}
 

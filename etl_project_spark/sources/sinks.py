@@ -79,29 +79,46 @@ def compact_parquet(
     Reads the layout, coalesces to ``ceil(rows / target)`` partitions
     (coalesce: no shuffle), optionally sorts within partitions to
     restore clustering for min/max stats, and replaces the directory
-    via a staged write + rename. Returns the new file count.
+    via a staged write + two renames. Returns the new file count.
 
-    The rename swap is atomic on POSIX/HDFS; object stores (S3/GCS)
-    have no atomic rename — there, point readers at the staged path
-    or use a table format with snapshot commits (Iceberg/Delta)
-    instead of this directory swap.
+    LOCAL-FILESYSTEM ONLY. The swap is rename(live → .old), then
+    rename(staged → live), then delete .old: each rename is atomic, and
+    a crash between them leaves either the old data live or BOTH
+    directories on disk (recoverable), never a window with no live
+    directory (the round-2 rmtree-then-rename version had exactly that
+    window). Python's os/shutil cannot see hdfs:// or s3:// paths at
+    all, and object stores have no atomic rename anyway — for those,
+    use a table format with snapshot commits (Iceberg/Delta) instead of
+    a directory swap, so scheme-prefixed paths are rejected outright.
     """
     import math
     import os
     import shutil
 
+    if "://" in path:
+        raise ValueError(
+            f"compact_parquet swaps directories with os.rename and only "
+            f"works on the local filesystem; got scheme-prefixed path {path!r}. "
+            "Use a snapshot-committing table format (Iceberg/Delta) for "
+            "remote/object storage."
+        )
     df = spark.read.parquet(path)
     rows = df.count()
     n_files = max(1, math.ceil(rows / target_records_per_file))
-    staged = path.rstrip("/") + "._compact_tmp"
+    live = path.rstrip("/")
+    staged = live + "._compact_tmp"
+    old = live + "._compact_old"
     out = df.coalesce(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
-    os.rename(staged, path)
+    if os.path.exists(old):  # leftover from a previous crashed swap
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(staged, live)
+    shutil.rmtree(old)
     return len(
-        [f for f in os.listdir(path) if f.endswith(".parquet")]
+        [f for f in os.listdir(live) if f.endswith(".parquet")]
     )
 
 
