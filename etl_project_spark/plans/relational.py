@@ -1161,22 +1161,55 @@ def q_fuzzy_supplier_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The blocking keys (length + 12-char prefix) turn the O(n²)
     all-pairs comparison into a hash equi-join whose blocks are the
     only place the quadratic ``levenshtein`` runs — the standard
-    entity-resolution shape (block → compare → threshold). On this
-    corpus names share one prefix so one block carries the work; real
-    name data spreads blocks and the same plan scales. ``levenshtein``
-    is identical in both engines (unit-cost edit distance).
+    entity-resolution shape (block → compare → threshold).
     """
     s = _t(spark, sf_dir, "supplier")
-    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
-    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
+    return fuzzy_blocked_pairs(
+        s, key_col="s_suppkey", name_col="s_name", prefix_len=12, max_edit=1
+    )
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    *,
+    key_col: str,
+    name_col: str,
+    prefix_len: int = 12,
+    max_edit: int = 1,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted blocked fuzzy self-join: ``(key_a, key_b, edit_dist)``.
+
+    Skew: blocking keys follow real-name distributions, and on corpora
+    where every name shares one (length, prefix) the whole quadratic
+    comparison lands on ONE task.  The fix is the replicate-one-side
+    salt idiom (same as q_salted_skew_join): side A gets a
+    deterministic salt ``xxhash64(key) % n_salts``, side B is exploded
+    across all ``n_salts`` salts, and the join adds salt equality — so
+    every (a, b) pair still meets exactly once (at a's salt) but a hot
+    block's comparisons spread over ``n_salts`` tasks.  Cost: side B is
+    replicated ``n_salts``× through the shuffle, the standard price for
+    skew immunity; levenshtein output is identical to the unsalted
+    join's (oracle-checked).
+    """
+    a = df.select(
+        F.col(key_col).alias("key_a"),
+        F.col(name_col).alias("name_a"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts)).alias("_salt"),
+    )
+    b = df.select(
+        F.col(key_col).alias("key_b"),
+        F.col(name_col).alias("name_b"),
+    ).withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return (
         a.join(
             b,
             (F.length("name_a") == F.length("name_b"))
-            & (F.substring("name_a", 1, 12) == F.substring("name_b", 1, 12))
-            & (F.col("key_a") < F.col("key_b")),
+            & (F.substring("name_a", 1, prefix_len) == F.substring("name_b", 1, prefix_len))
+            & (F.col("key_a") < F.col("key_b"))
+            & (a["_salt"] == b["_salt"]),
         )
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= 1)
+        .filter(F.col("edit_dist") <= max_edit)
         .select("key_a", "key_b", "edit_dist")
     )

@@ -154,3 +154,90 @@ def test_embedding_near_dup_matches_bruteforce_ground_truth(spark):
         assert got_all >= want  # recall: no true pair silently dropped
         if threshold == 0.9:
             assert want == set() and got_all == set()
+
+
+def test_fuzzy_blocked_pairs_deskewed_and_exact(spark):
+    """Worst-case blocking skew: EVERY name shares one (length, prefix)
+    block. The salted join must (a) return exactly the pairs the naive
+    unsalted blocked join returns, and (b) spread the block's
+    comparisons over more than one shuffle partition — the round-2
+    formulation put them all on a single straggler task."""
+    from etl_project_spark.plans.relational import fuzzy_blocked_pairs
+
+    rows = [(i, f"SHARED-PREFIX-{i % 7}{(i * 13) % 10}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k int, nm string")
+
+    got = sorted(
+        (r.key_a, r.key_b, r.edit_dist)
+        for r in fuzzy_blocked_pairs(
+            df, key_col="k", name_col="nm", prefix_len=12, max_edit=1
+        ).collect()
+    )
+    a = df.select(F.col("k").alias("ka"), F.col("nm").alias("na"))
+    b = df.select(F.col("k").alias("kb"), F.col("nm").alias("nb"))
+    want = sorted(
+        (r.ka, r.kb, r.d)
+        for r in a.join(
+            b,
+            (F.length("na") == F.length("nb"))
+            & (F.substring("na", 1, 12) == F.substring("nb", 1, 12))
+            & (F.col("ka") < F.col("kb")),
+        )
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .filter(F.col("d") <= 1)
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+    # distribution: keep every candidate pair (max_edit huge) and count
+    # which shuffle partitions carry comparisons.  At fixture scale
+    # Spark would (correctly) broadcast and AQE would (correctly)
+    # coalesce the tiny shuffle — disable both so the test observes the
+    # partitioning a large cluster would see on the (block, salt) keys.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        cand = fuzzy_blocked_pairs(
+            df, key_col="k", name_col="nm", prefix_len=12, max_edit=10**6
+        ).withColumn("_pid", F.spark_partition_id())
+        n_parts = cand.select("_pid").distinct().count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert n_parts > 1, "hot block still rides a single task"
+    # and the shuffle KEY itself is non-constant: pairs span many salts
+    n_salts = (
+        fuzzy_blocked_pairs(
+            df, key_col="k", name_col="nm", prefix_len=12, max_edit=10**6
+        )
+        .select(F.pmod(F.xxhash64("key_a"), F.lit(16)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts > 8
+
+
+def test_connected_components_deep_chain_logarithmic_rounds(spark):
+    """A 1000-link chain has diameter 1000 — pure min-propagation needs
+    1000 rounds and would blow any sane budget. The pointer-jumping
+    step must collapse it within the default 15-round budget, labeling
+    every node with the chain's min id; a forest of two chains and a
+    triangle checks cross-component isolation."""
+    from etl_project_spark.operators import dedup as DD
+
+    chain = [(i, i + 1) for i in range(1000)]                    # 0..1000
+    chain2 = [(2000 + i, 2000 + i + 1) for i in range(500)]      # 2000..2500
+    tri = [(9001, 9002), (9002, 9003), (9001, 9003)]
+    pairs = spark.createDataFrame(chain + chain2 + tri, "id_a long, id_b long")
+
+    out = DD.connected_components(pairs, max_iter=15)
+    got = {r.id: r.cluster for r in out.collect()}
+    assert len(got) == 1001 + 501 + 3
+    assert all(got[i] == 0 for i in range(1001))
+    assert all(got[2000 + i] == 2000 for i in range(501))
+    assert got[9001] == got[9002] == got[9003] == 9001
