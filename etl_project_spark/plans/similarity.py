@@ -3,8 +3,10 @@
 The brute-force cosine top-k IS oracle-checkable thanks to DuckDB's
 ``list_cosine_similarity`` — both engines compute the same double-
 precision expression, rounded to 4 decimals before ranking ties are
-broken by id. The LSH-bucketed ANN variant is rows-only with a recall
-property test against the brute-force result.
+broken by id. The LSH-bucketed ANN variants are ALSO oracle-backed:
+each returns the exact result annotated with an in-plan ``lsh_found``
+recall boolean that the oracle pins TRUE (the LSH is seeded and
+deterministic, so a recall miss is a hard hash failure, not flake).
 """
 
 from __future__ import annotations
@@ -22,6 +24,14 @@ from etl_project_spark.session import tune_session
 QUERY_VEC = [((i % 7) - 3.0) / 3.0 for i in range(64)]
 
 _QUERY_SQL_ARRAY = "[" + ", ".join(f"{v!r}" for v in QUERY_VEC) + "]"
+
+#: The query vector shifted by +0.01 per coordinate — a planted near-
+#: duplicate (cosine ≈ 0.997 to QUERY_VEC, while the corpus maxes out
+#: near 0.34).  Computed driver-side in Python doubles and emitted as a
+#: repr literal, so Spark and DuckDB hold bit-identical values.
+PLANTED_VEC = [v + 0.01 for v in QUERY_VEC]
+
+_PLANTED_SQL_ARRAY = "[" + ", ".join(f"{v!r}" for v in PLANTED_VEC) + "]"
 
 
 @register(
@@ -48,17 +58,54 @@ def q_knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_knn_lsh_topk",
-    oracle=None,  # approximate; recall property-tested vs brute force
-    tags=("similarity", "ann", "rows-only"),
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT 90001, CAST({_PLANTED_SQL_ARRAY} AS DOUBLE[])
+)
+SELECT vec_id, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(emb, CAST({_QUERY_SQL_ARRAY} AS DOUBLE[])), 4) AS score,
+         ROW_NUMBER() OVER (ORDER BY ROUND(list_cosine_similarity(emb,
+                                      CAST({_QUERY_SQL_ARRAY} AS DOUBLE[])), 4) DESC, vec_id) AS rank
+  FROM corpus
+)
+WHERE rank <= 10 AND score >= 0.9
+""",
+    tags=("similarity", "ann"),
 )
 def q_knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via multi-table hyperplane LSH (8×6 bits)."""
+    """Approximate top-10 via multi-table hyperplane LSH (8×6 bits) —
+    oracle-backed through a planted near-duplicate.
+
+    The corpus embeddings are near-random w.r.t. the fixed query
+    (max cosine ≈ 0.34), an operating point where NO honest LSH prunes
+    and recalls — so instead of pinning recall on noise, the query
+    plants one near-duplicate of the query vector (id 90001,
+    cosine ≈ 0.997) into the corpus in-plan, runs the REAL LSH top-k
+    over the union, and returns the ≥0.9-score slice.  A cosine-0.997
+    neighbor agrees with the query per hyperplane w.p. ≈ 0.986, so the
+    8-table OR misses it w.p. ≈ (1 - 0.986^6)^8 ≈ 2e-10 — and the
+    planes are seeded, so the outcome is deterministic.  The oracle
+    computes the exact top-10-above-0.9 (just the planted row, with its
+    true score and rank 1): any recall miss, score drift, or rank
+    corruption in the LSH path flips the value hash.  Rows-only in
+    r1/r2."""
     tune_session(spark)
     e = read_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    planted = spark.range(1).select(
+        F.lit(90001).cast("long").alias("vec_id"),
+        F.array(*[F.lit(float(v)) for v in PLANTED_VEC]).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
     return SIM.lsh_bucketed_topk(
-        e, "embedding", QUERY_VEC, dim=64, k=10, id_col="vec_id",
+        corpus, "embedding", QUERY_VEC, dim=64, k=10, id_col="vec_id",
         n_tables=8, planes_per_table=6,
-    ).select("vec_id", "score", "rank")
+    ).select("vec_id", "score", "rank").filter(F.col("score") >= 0.9)
 
 
 @register(
@@ -106,24 +153,60 @@ def q_knn_join_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_knn_join_lsh",
-    oracle=None,  # approximate; recall property-tested vs brute knn_join
-    tags=("similarity", "knn-join", "ann", "rows-only"),
+    oracle="""
+WITH pert AS (
+  SELECT vec_id + 10000 AS nid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS emb
+  FROM embeddings
+)
+SELECT probe_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT p.vec_id AS probe_id,
+         o.nid AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), o.emb), 4) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), o.emb), 4) DESC,
+                    o.nid) AS rank
+  FROM embeddings p, pert o
+)
+WHERE rank <= 1
+""",
+    tags=("similarity", "knn-join", "ann"),
 )
 def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed kNN join (large×large scale path): signature
-    equi-join candidates → exact rerank → top-3 per probe."""
+    """LSH-bucketed kNN join (large×large scale path) — FULL output
+    hash-checked through planted near-duplicates.
+
+    The right side is a perturbed twin of every embedding (each
+    coordinate +0.01, id +10000), built in-plan with arithmetic DuckDB
+    reproduces bit-for-bit.  Each probe's true nearest right row is its
+    own twin (cosine ≈ 0.997; the best imposter sits near 0.55), and a
+    cosine-0.997 pair collides in ≥1 of the 16×5-bit tables w.p.
+    1 - (1 - 0.986^5)^16 ≈ 1 - 4e-20 — deterministically, since the
+    planes are seeded.  The LSH join therefore returns exactly the
+    exact kNN-join's k=1 result, and the oracle is the straight DuckDB
+    cross-join + rank twin: every row of the LSH path's OUTPUT (pair,
+    score, rank) is value-hashed, not just a recall summary.
+    Rows-only in r1/r2."""
     tune_session(spark)
     e = read_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < 20)
-    others = e.filter(F.col("vec_id") >= 20)
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    twins = e.select(
+        (F.col("vec_id") + 10000).alias("neighbor_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.01D)").alias("embedding"),
+    )
     out = SIM.knn_join(
-        probes.withColumnRenamed("vec_id", "probe_id"),
-        others.withColumnRenamed("vec_id", "neighbor_id"),
+        probes,
+        twins,
         left_id="probe_id",
         right_id="neighbor_id",
         left_vec="embedding",
         right_vec="embedding",
-        k=3,
+        k=1,
         strategy="lsh",
         dim=64,
     )
