@@ -82,14 +82,18 @@ def compact_parquet(
     via a staged write + two renames. Returns the new file count.
 
     LOCAL-FILESYSTEM ONLY. The swap is rename(live → .old), then
-    rename(staged → live), then delete .old: each rename is atomic, and
-    a crash between them leaves either the old data live or BOTH
-    directories on disk (recoverable), never a window with no live
-    directory (the round-2 rmtree-then-rename version had exactly that
-    window). Python's os/shutil cannot see hdfs:// or s3:// paths at
-    all, and object stores have no atomic rename anyway — for those,
-    use a table format with snapshot commits (Iceberg/Delta) instead of
-    a directory swap, so scheme-prefixed paths are rejected outright.
+    rename(staged → live), then delete .old: each rename is atomic and
+    no data-loss window exists — but between the two renames the live
+    path briefly does not exist, so concurrent readers can fail and a
+    crash in that window leaves only ``.old`` on disk. That state is
+    self-healed here: at entry, if the live path is missing but ``.old``
+    survives, it is renamed back before reading (the round-2
+    rmtree-then-rename version could actually lose data; this one at
+    worst needs the entry-time heal). Python's os/shutil cannot see
+    hdfs:// or s3:// paths at all, and object stores have no atomic
+    rename anyway — for those, use a table format with snapshot commits
+    (Iceberg/Delta) instead of a directory swap, so scheme-prefixed
+    paths are rejected outright.
     """
     import math
     import os
@@ -102,12 +106,16 @@ def compact_parquet(
             "Use a snapshot-committing table format (Iceberg/Delta) for "
             "remote/object storage."
         )
-    df = spark.read.parquet(path)
-    rows = df.count()
-    n_files = max(1, math.ceil(rows / target_records_per_file))
     live = path.rstrip("/")
     staged = live + "._compact_tmp"
     old = live + "._compact_old"
+    if not os.path.exists(live) and os.path.exists(old):
+        # Crash landed between rename(live→old) and rename(staged→live):
+        # the previous data is intact under .old — heal before reading.
+        os.rename(old, live)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_records_per_file))
     out = df.coalesce(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
