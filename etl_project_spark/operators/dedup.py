@@ -679,6 +679,12 @@ def connected_components(
     labels.count()
 
     changed = 0
+    # Handle to the round's checkpointed DataFrame: localCheckpoint
+    # blocks live on THAT DataFrame's RDD, so releasing them means
+    # calling .unpersist() on this handle — unpersisting a derived
+    # .select() is a no-op and would strand up to max_iter label-table
+    # snapshots in storage memory per call (the round-2 leak pattern).
+    prev_ckpt = None
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.dst == labels.id)
@@ -707,9 +713,12 @@ def connected_components(
             )
         ).localCheckpoint(eager=True)
         changed = nxt.filter(F.col("l") != F.col("ol")).count()
-        old = labels
+        if prev_ckpt is None:
+            labels.unpersist()  # the initial persisted label table
+        else:
+            prev_ckpt.unpersist()
+        prev_ckpt = nxt
         labels = nxt.select("id", "l")
-        old.unpersist()
         if changed == 0:
             break
     if changed != 0:
@@ -718,7 +727,8 @@ def connected_components(
         # the caller can raise max_iter (each extra round is two cheap
         # joins on an already-compressed label table).
         sym.unpersist()
-        labels.unpersist()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter"
@@ -727,5 +737,9 @@ def connected_components(
         eager=True
     )
     sym.unpersist()
-    labels.unpersist()
+    # max_iter >= 1 so at least one round ran and prev_ckpt owns the
+    # final round's blocks; result is independently checkpointed above,
+    # so the round's snapshot can be released now.
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
     return result

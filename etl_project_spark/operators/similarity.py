@@ -191,6 +191,18 @@ def knn_join(
     size statistic (file sizes for scans — driver-side, no job) is
     compared against ``broadcast_threshold_bytes``.  ``lsh`` requires
     ``dim``.
+
+    Caveats of the statistics fallback (pass ``right_rows`` to avoid
+    both): without CBO column stats, Catalyst barely shrinks size
+    estimates through filters/projections, so a small-but-derived right
+    side can be overestimated and auto then picks the *approximate*
+    LSH path where exact broadcast would have been both possible and
+    cheaper — a recall change, not just a plan change.  And the stats
+    probe needs the classic JVM-backed DataFrame; under Spark Connect
+    (no ``_jdf``) it is unavailable.  Whenever the probe is unusable or
+    auto would pick LSH without a usable ``dim``, auto therefore falls
+    back to the exact broadcast path (explicit ``strategy='lsh'`` still
+    raises if ``dim`` is missing — an explicit ask is a contract).
     """
     if strategy not in ("auto", "broadcast", "lsh"):
         raise ValueError(
@@ -200,10 +212,19 @@ def knn_join(
         if right_rows is not None:
             small = right_rows <= broadcast_threshold
         else:
-            size = int(
-                right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-            small = size <= broadcast_threshold_bytes
+            try:
+                size = int(
+                    right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+                small = size <= broadcast_threshold_bytes
+            except AttributeError:
+                # Spark Connect DataFrames have no _jdf; without any
+                # size signal prefer the exact path.
+                small = True
+        if not small and dim is None:
+            # auto would choose LSH but cannot (no dim): exact fallback
+            # beats raising from a code path the caller never named.
+            small = True
         strategy = "broadcast" if small else "lsh"
     if strategy == "lsh":
         if dim is None:

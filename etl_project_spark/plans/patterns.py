@@ -455,14 +455,17 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
     )
-    # 0.5 * retail * qty at scale 10^4 = retail_cents * qty * 50; quantity
-    # is integral in this corpus so the whole profit stays in exact longs.
-    cost = cents("p_retailprice") * F.col("l_quantity").cast("long") * F.lit(50)
-    profit = disc_price_s4() - cost
+    # 0.5 * retail * qty as exact longs without assuming integral
+    # quantity: both factors go through the lossless cents() view
+    # (retail and quantity each carry <= 2 decimals in this corpus), so
+    # retail_cents * qty_cents * 50 is the cost at scale 10^6; the
+    # discounted price (scale 10^4) lifts by 100 to match.
+    cost_s6 = cents("p_retailprice") * cents("l_quantity") * F.lit(50)
+    profit_s6 = disc_price_s4() * F.lit(100) - cost_s6
     return j.groupBy(
         F.col("n_name").alias("supp_nation"),
         F.year("o_orderdate").alias("o_year"),
-    ).agg(money_sum(profit, 4).alias("profit"))
+    ).agg(money_sum(profit_s6, 6).alias("profit"))
 
 
 @register(
