@@ -12,6 +12,7 @@ k-row heaps merged on the driver, no global sort at any scale.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 import numpy as np
@@ -78,16 +79,21 @@ def brute_force_topk(
     )
     # orderBy().limit(k) compiles to TakeOrderedAndProject (per-task
     # heaps); the rank window then runs over exactly k rows.  The
-    # constant partitionBy keeps semantics identical while avoiding the
-    # empty-partition-spec WindowExec warning ("moving all data to a
-    # single partition") — here "all data" IS k rows by construction.
+    # partition key is constant-VALUED (id % 1 == 0) but not constant-
+    # FOLDABLE, so Catalyst keeps it and WindowExec sees a non-empty
+    # partition spec — silencing the "moving all data to a single
+    # partition" warning that a literal (folded away) or empty spec
+    # triggers.  Here "all data" IS k rows by construction, so the
+    # single partition is the correct physical plan, not a smell.
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
         .withColumn(
             "rank",
             F.row_number().over(
-                W.partitionBy(F.lit(1)).orderBy(F.col("score").desc(), F.col(id_col))
+                W.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
+                    F.col("score").desc(), F.col(id_col)
+                )
             ),
         )
     )
@@ -211,6 +217,17 @@ def knn_join(
     if strategy == "auto":
         if right_rows is not None:
             small = right_rows <= broadcast_threshold
+            if not small and dim is None:
+                # The caller affirmatively told us the right side is too
+                # big to broadcast; silently cross-joining it anyway can
+                # blow the broadcast size limit or OOM executors with an
+                # opaque failure. Demand the missing LSH parameter.
+                raise ValueError(
+                    f"knn_join(strategy='auto'): right_rows={right_rows} exceeds "
+                    f"broadcast_threshold={broadcast_threshold}, so auto needs the "
+                    "LSH path — pass dim= (vector dimensionality), or force "
+                    "strategy='broadcast' to accept the O(|L|*|R|) cross join."
+                )
         else:
             try:
                 size = int(
@@ -221,10 +238,20 @@ def knn_join(
                 # Spark Connect DataFrames have no _jdf; without any
                 # size signal prefer the exact path.
                 small = True
-        if not small and dim is None:
-            # auto would choose LSH but cannot (no dim): exact fallback
-            # beats raising from a code path the caller never named.
-            small = True
+            if not small and dim is None:
+                # Catalyst size estimates overestimate through filters /
+                # projections, so this is a weaker signal than an explicit
+                # right_rows hint: warn and take the exact path rather
+                # than raise from a code path the caller never named.
+                warnings.warn(
+                    "knn_join(strategy='auto'): plan statistics estimate the "
+                    "right side above broadcast_threshold_bytes but dim= was "
+                    "not given, so the LSH path is unavailable; falling back "
+                    "to the exact broadcast cross join. Pass dim= to enable "
+                    "LSH, or right_rows= for an authoritative size hint.",
+                    stacklevel=2,
+                )
+                small = True
         strategy = "broadcast" if small else "lsh"
     if strategy == "lsh":
         if dim is None:

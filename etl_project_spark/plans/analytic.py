@@ -546,7 +546,7 @@ def q_rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.unix_timestamp(F.col("ts")))
         .rangeBetween(-3599, W.currentRow)
     )
     return e.select(

@@ -90,7 +90,11 @@ def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp handles both TIMESTAMP_LTZ and TIMESTAMP_NTZ inputs;
+    # a direct cast-to-long is rejected for NTZ columns (parquet
+    # timestamp[us] with isAdjustedToUTC=false infers as NTZ on Spark 4).
+    ts_s = F.unix_timestamp(F.col("ts"))
+    gap_s = ts_s - F.lag(ts_s).over(w)
     flagged = e.withColumn(
         "new_session",
         F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0),

@@ -226,3 +226,42 @@ def q_knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(
         e, "embedding", QUERY_VEC, cents, k=10, id_col="vec_id", n_probe=4
     ).select("vec_id", "score", "rank")
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+WITH comp AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         CAST(UNNEST(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT label, pos,
+       ROUND(AVG(val), 4) AS centroid_val,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM comp GROUP BY label, pos
+""",
+    tags=("similarity", "centroid", "embedding"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, pos, mean).
+
+    The building block behind class prototypes, nearest-centroid
+    classification, and IVF-style cell statistics — computed as a pure
+    relational plan: posexplode the vector (in-codegen generator) and
+    hash-aggregate per (label, position). The map-side partial combine
+    collapses each partition to (n_labels × dim) rows before the one
+    shuffle, so 100 TB of vectors reduces to kilobytes of network
+    traffic; nothing touches the driver, unlike collect-based
+    centroid builds.
+    """
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    return comp.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 4).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -644,3 +644,79 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
     )
+
+
+@register(
+    "q_gopher_repetition_rules",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS term
+  FROM documents
+  WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), prof AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS INTEGER) AS n_tokens,
+         CAST(COUNT(*) AS INTEGER) AS n_distinct,
+         ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(tf), 4) AS distinct_ratio,
+         ROUND(CAST(MAX(tf) AS DOUBLE) / SUM(tf), 4) AS top_term_frac,
+         ROUND(SUM(LENGTH(term) * tf) / CAST(SUM(tf) AS DOUBLE), 4)
+           AS mean_word_len
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, distinct_ratio, top_term_frac,
+       mean_word_len,
+       CASE WHEN n_tokens BETWEEN 10 AND 100000
+             AND mean_word_len BETWEEN 2.0 AND 12.0
+             AND distinct_ratio >= 0.2
+             AND top_term_frac <= 0.2
+            THEN TRUE ELSE FALSE END AS keep
+FROM prof
+""",
+    tags=("text", "quality", "gopher"),
+)
+def q_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gate per document.
+
+    Reference-class rule set (Gopher / MassiveText filtering, Rae et
+    al. 2021 §A1.1) restricted to the signals that vary on this
+    corpus: token-count bounds, mean word length window, vocabulary
+    diversity (distinct/total ratio), and top-term dominance (the
+    "fraction of the doc that is its most common word" repetition
+    rule). Docs failing any rule are flagged, not dropped, so the
+    gate composes with downstream sampling.
+
+    Scale shape: one in-codegen explode → per-(doc, term) partial
+    hash agg (map-side combine) → per-doc agg. Both shuffles key on
+    doc_id-derived keys — uniform by construction, no skew; nothing
+    is collected and no window function is needed (MAX(tf) folds into
+    the per-doc aggregate).
+    """
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_tokens = F.sum("tf")
+    prof = tf.groupBy("doc_id").agg(
+        n_tokens.cast("int").alias("n_tokens"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / n_tokens, 4).alias("distinct_ratio"),
+        F.round(F.max("tf") / n_tokens, 4).alias("top_term_frac"),
+        F.round(
+            F.sum(F.length("term") * F.col("tf")) / n_tokens.cast("double"), 4
+        ).alias("mean_word_len"),
+    )
+    keep = (
+        F.col("n_tokens").between(10, 100000)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("distinct_ratio") >= 0.2)
+        & (F.col("top_term_frac") <= 0.2)
+    )
+    return prof.select("*", keep.alias("keep"))

@@ -22,15 +22,17 @@ from pyspark.sql import types as T
 
 #: Schema of the events table (FIXTURES.md); file streams require an
 #: explicit schema — inference is a batch-only convenience. ``ts`` is
-#: declared long because the corpus stores TIMESTAMP(NANOS), which the
-#: session reads as epoch-nanos (``nanosAsLong`` conf, see session.py);
-#: :func:`read_events_stream` converts to a real timestamp.
+#: parquet ``timestamp[us]`` with ``isAdjustedToUTC=false``, which
+#: Spark 4 reads as TIMESTAMP_NTZ — declared as such so watermarks and
+#: window() operate on a real timestamp with no conversion step.
+#: (Earlier corpus drops stored TIMESTAMP(NANOS); the batch catalog's
+#: ``normalize_nanos_timestamps`` still handles that long-typed shape.)
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
@@ -53,7 +55,12 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Watermarks demand TIMESTAMP (LTZ) event time —
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise. The NTZ→LTZ cast
+    # interprets wall-clock in the session zone; tune_session pins UTC
+    # so batch twins (which aggregate the NTZ column directly) see the
+    # same instants.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 def stream_tumbling_counts(

@@ -137,6 +137,22 @@ def test_knn_join_auto_picks_broadcast_for_small_right(spark, emb):
     assert set(counts.values()) == {2}
 
 
+def test_knn_join_auto_large_hint_without_dim_raises(spark, emb):
+    """An explicit right_rows above the broadcast threshold is positive
+    evidence the right side must NOT be broadcast; with no dim= the LSH
+    path is unavailable, and silently cross-joining anyway would OOM at
+    scale — auto must fail loudly instead."""
+    l = emb.withColumnRenamed("vec_id", "probe_id")
+    r = emb.withColumnRenamed("vec_id", "neighbor_id")
+    with pytest.raises(ValueError, match="dim="):
+        SIM.knn_join(
+            l, r,
+            left_id="probe_id", right_id="neighbor_id",
+            left_vec="embedding", right_vec="embedding", k=2,
+            strategy="auto", right_rows=10_000_000,
+        )
+
+
 def test_knn_join_auto_plan_construction_triggers_no_job(spark, emb):
     """The auto strategy decision must be LAZY: building the plan may
     read Catalyst statistics (driver-side) but must never launch a

@@ -92,14 +92,21 @@ def test_stream_dedup_removes_jittered_replays(spark, tmp_path):
     few seconds. Id-only dedup (dropDuplicatesWithinWatermark) must
     emit each id once — the (id, ts)-keyed formulation would leak the
     replicas through."""
-    base = 1_700_000_000_000_000_000  # epoch nanos
+    import datetime
+
+    base = datetime.datetime(2023, 11, 14, 22, 13, 20)  # naive → NTZ
     rows = []
     for eid in range(10):
         for jitter_s in (0, 3, 7):  # original + two jittered replays
-            rows.append((eid, eid % 4, "click", base + (eid * 60 + jitter_s) * 10**9, 1.0, "{}"))
+            rows.append((
+                eid, eid % 4, "click",
+                base + datetime.timedelta(seconds=eid * 60 + jitter_s),
+                1.0, "{}",
+            ))
     src = str(tmp_path / "replayed")
     spark.createDataFrame(
-        rows, "event_id long, user_id long, event_type string, ts long, value double, props string"
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp_ntz, value double, props string",
     ).repartition(2).write.parquet(src)
 
     stream = SE.read_events_stream(spark, src)
@@ -341,13 +348,15 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     a row 10 hours older than T (far beyond the 2h watermark) plus a
     fresh row. The late row must not appear in any emitted window; the
     fresh row's window must."""
-    base_ns = 1_700_000_000_000_000_000
-    hour_ns = 3600 * 10**9
+    import datetime
+
+    base_ts = datetime.datetime(2023, 11, 14, 22, 13, 20)  # naive → NTZ
+    hour = datetime.timedelta(hours=1)
 
     def write_batch(rows, name):
         spark.createDataFrame(
             rows,
-            "event_id long, user_id long, event_type string, ts long, value double, props string",
+            "event_id long, user_id long, event_type string, ts timestamp_ntz, value double, props string",
         ).coalesce(1).write.mode("append").parquet(src)
 
     src = str(tmp_path / "late_src")
@@ -369,9 +378,9 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 
     # batch 1: 3 events at T and T+1h — advances the watermark to ~T+1h-2h
     write_batch(
-        [(1, 1, "click", base_ns, 1.0, "{}"),
-         (2, 1, "click", base_ns + hour_ns, 1.0, "{}"),
-         (3, 1, "click", base_ns + hour_ns + 1, 1.0, "{}")],
+        [(1, 1, "click", base_ts, 1.0, "{}"),
+         (2, 1, "click", base_ts + hour, 1.0, "{}"),
+         (3, 1, "click", base_ts + hour + datetime.timedelta(microseconds=1), 1.0, "{}")],
         "b1",
     )
     drain()
@@ -379,20 +388,19 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # row (T + 4h) that pushes the old windows past the watermark so
     # append mode finalizes them.
     write_batch(
-        [(4, 1, "click", base_ns - 10 * hour_ns, 99.0, "{}"),
-         (5, 1, "click", base_ns + 4 * hour_ns, 1.0, "{}")],
+        [(4, 1, "click", base_ts - 10 * hour, 99.0, "{}"),
+         (5, 1, "click", base_ts + 4 * hour, 1.0, "{}")],
         "b2",
     )
     drain()
     # third drain with another advancing row finalizes remaining windows
-    write_batch([(6, 1, "click", base_ns + 8 * hour_ns, 1.0, "{}")], "b3")
+    write_batch([(6, 1, "click", base_ts + 8 * hour, 1.0, "{}")], "b3")
     drain()
 
     out = spark.read.parquet(sink)
     starts = sorted(r.win_start for r in out.select("win_start").collect())
-    import datetime
 
-    late_window = datetime.datetime.utcfromtimestamp((base_ns - 10 * hour_ns) / 1e9)
+    late_window = base_ts - 10 * hour
     assert all(s.hour != late_window.hour or s.day != late_window.day for s in starts), starts
     # the finalized early windows carry only the on-time rows
     total = sum(r.n_events for r in out.collect())
