@@ -196,15 +196,27 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = DD.shingle_rows(df, "doc_id", "text", k=12)
         return rows.select("_id", F.xxhash64("_gram").alias("_g"))
 
+    # Bench side: distinct hashed grams from the (by nature small)
+    # benchmark source — explicitly broadcast so the corpus side never
+    # shuffles for the join. Even at 100 TB of corpus, eval sets are
+    # MBs of grams.
     bench = (
         grams(d.filter(F.col("source") == "src0"))
         .select("_g")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+    # Corpus side: distinct (doc, gram) is one hash shuffle with map-
+    # side partial dedup; the broadcast hash join then scores hits map-
+    # side and the per-doc aggregate is the only other shuffle. Two
+    # formulations measured slower at sf0.1: the pre-broadcast version
+    # shuffled the corpus a third time for a sort-merge join (+10%
+    # warm), and folding set semantics into count_distinct aggregates
+    # halved the shuffle count but Expand doubled shuffle rows (+75%
+    # warm).
     corpus = grams(d.filter(F.col("source") != "src0")).distinct()
     return (
-        corpus.join(bench, "_g", "left")
+        corpus.join(F.broadcast(bench), "_g", "left")
         .groupBy(F.col("_id").alias("doc_id"))
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -260,3 +272,88 @@ def q_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
     return DD.connected_components(pairs)
+
+
+_CLUSTER_CTE = """
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), lbl(id, l) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, lbl.l FROM edges e JOIN lbl ON lbl.id = e.dst
+), clusters AS (
+  SELECT id, MIN(l) AS cluster FROM lbl GROUP BY id
+)
+"""
+
+
+@register(
+    "q_dedup_canonical_docs",
+    oracle=_CLUSTER_CTE
+    + """
+, ranked AS (
+  SELECT c.cluster, c.id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, c.id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster) AS n_members
+  FROM clusters c JOIN documents d ON d.doc_id = c.id
+)
+SELECT cluster, id AS canonical_id, n_chars AS canonical_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""",
+    tags=("dedup", "graph", "canonical"),
+)
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical representative per near-dup cluster (keep-one dedup).
+
+    The decision step after clustering: inside every connected
+    component of the Jaccard pair graph keep the longest document
+    (ties to the smallest id) and record cluster size — downstream an
+    anti-join of members minus canonicals is the drop list. One extra
+    shuffle over `q_dedup_cluster_labels`: the labels join documents
+    on doc_id, then a per-cluster window ranks members; cluster
+    cardinality is bounded by near-dup group sizes, so no window
+    partition goes pathological at scale.
+    """
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    labels = DD.connected_components(pairs)
+    sized = labels.join(
+        d.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("n_chars").desc(), F.col("id"))
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(W.partitionBy("cluster")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("id").alias("canonical_id"),
+            F.col("n_chars").alias("canonical_chars"),
+            "n_members",
+        )
+    )

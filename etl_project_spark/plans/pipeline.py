@@ -171,3 +171,125 @@ def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tokens).alias("total_tokens"),
     )
+
+
+@register(
+    "q_train_val_test_split",
+    oracle="""
+WITH tagged AS (
+  SELECT lang, n_chars,
+         CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM tagged GROUP BY split, lang
+""",
+    tags=("pipeline", "llm", "split", "deterministic"),
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by key hash.
+
+    Holdout assignment must be a pure function of a stable key — not
+    row order, not an RNG — so re-runs, backfills, and other engines
+    agree on which side every document lands. Same md5-bucket idiom as
+    `q_hash_sample_documents`, three-way. The assignment itself is a
+    map-side expression (no shuffle); only the audit aggregate
+    shuffles, on the tiny (split, lang) key space.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_mixture_resample",
+    oracle="""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(n_lang) AS n_total, COUNT(*) AS n_langs FROM counts
+), rates AS (
+  SELECT c.lang, c.n_lang,
+         LEAST(1.0, (CAST(t.n_total AS DOUBLE) / t.n_langs) / c.n_lang) AS rate
+  FROM counts c CROSS JOIN tot t
+), kept AS (
+  SELECT d.lang
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+        < CAST(r.rate * 1000000 AS BIGINT)
+)
+SELECT r.lang, CAST(r.n_lang AS BIGINT) AS n_before,
+       CAST(COUNT(k.lang) AS BIGINT) AS n_after,
+       ROUND(r.rate, 6) AS target_rate
+FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+GROUP BY r.lang, r.n_lang, r.rate
+""",
+    tags=("pipeline", "llm", "sample", "mixture"),
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample each language toward a uniform target mixture.
+
+    The mixture-balancing step of corpus construction: compute each
+    language's share, derive a deterministic per-language acceptance
+    rate toward equal shares (capped at 1.0 — never up-sample), and
+    keep documents whose md5 bucket falls under the rate. The rate
+    table is rows-per-distinct-lang — broadcast by AQE — so the only
+    full-data operations are one aggregate for counts and one map-side
+    hash filter; the rate quantizes to millionths so both engines
+    compare identical integers, not raw doubles.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = counts.agg(
+        F.sum("n_lang").alias("n_total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("n_total").cast("double") / F.col("n_langs")) / F.col("n_lang"),
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    )
+    kept = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(bucket < (F.col("rate") * 1_000_000).cast("bigint"))
+        .select("lang")
+    )
+    kept_counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_raw"))
+    return (
+        rates.join(kept_counts, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_lang").alias("n_before"),
+            F.coalesce(F.col("n_after_raw"), F.lit(0)).alias("n_after"),
+            F.round("rate", 6).alias("target_rate"),
+        )
+    )

@@ -1213,3 +1213,157 @@ def fuzzy_blocked_pairs(
         .filter(F.col("edit_dist") <= max_edit)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+@register(
+    "q_data_quality_audit",
+    oracle="""
+SELECT 'orders_pk_unique' AS check_name,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+       )) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders_status_accepted_values',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_shipped_before_ordered',
+       CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+ORDER BY check_name
+""",
+    tags=("quality", "audit", "constraints"),
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: one row per constraint check.
+
+    The dbt-test / Deequ-style validation suite as a single lazy plan:
+    primary-key uniqueness, not-null, referential integrity (orphan
+    foreign keys via anti-join), accepted values, a range check, and a
+    cross-table temporal consistency check (items shipped before their
+    order was placed — the one that actually FIRES on this corpus, so
+    the audit demonstrably detects, not just passes) — each check an
+    independent aggregate unioned into one result, so one action
+    validates the table. Scale shape: the uniqueness check is a hash
+    aggregate on the key; the orphan and temporal checks are joins
+    that AQE broadcasts when a side fits; the scalar checks are
+    map-side conditional sums folded into single-row aggregates.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+    )
+    null_fk = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("n_violations")
+    ).select(F.lit("orders_custkey_not_null").alias("check_name"), "n_violations")
+    orphans = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_orphan_custkey").alias("check_name"), "n_violations")
+    )
+    accepted = o.agg(
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")).alias(
+            "n_violations"
+        )
+    ).select(
+        F.lit("orders_status_accepted_values").alias("check_name"), "n_violations"
+    )
+    positive = o.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("n_violations")
+    ).select(
+        F.lit("orders_totalprice_positive").alias("check_name"), "n_violations"
+    )
+    temporal = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(
+            F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("bigint")).alias(
+                "n_violations"
+            )
+        )
+        .select(
+            F.lit("lineitem_shipped_before_ordered").alias("check_name"),
+            "n_violations",
+        )
+    )
+    return (
+        dup_pk.unionByName(null_fk)
+        .unionByName(orphans)
+        .unionByName(accepted)
+        .unionByName(positive)
+        .unionByName(temporal)
+        .orderBy("check_name")
+    )
+
+
+@register(
+    "q_table_profile_orders",
+    oracle="""
+SELECT 'o_custkey' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_non_null,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+ORDER BY col_name
+""",
+    tags=("quality", "profile", "stats"),
+)
+def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: rows / non-null / distinct / min / max per column.
+
+    The schema-drift and data-health snapshot (pandas ``describe`` /
+    Deequ profiles) in long form — one row per column with extrema
+    cast to string so heterogeneous column types share one schema.
+    Each column profiles in its own single-row aggregate over one scan
+    branch; count_distinct shuffles only distinct values per column
+    (map-side partial dedup), and the union of three 1-row frames is
+    free. A 100-column table at 100 TB would profile in one pass with
+    grouping-free aggregates — no per-column driver round-trips.
+    """
+    o = _t(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        return o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        ).select(F.lit(col).alias("col_name"), "*")
+
+    return (
+        profile("o_custkey")
+        .unionByName(profile("o_orderstatus"))
+        .unionByName(profile("o_totalprice"))
+        .orderBy("col_name")
+    )
