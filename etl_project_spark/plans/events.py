@@ -334,3 +334,163 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click"))))
         .join(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
     )
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_type, value,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_ts
+  FROM events
+)
+SELECT DATE_TRUNC('hour', view_ts) AS view_hour,
+       COUNT(*) AS n_purchases,
+       ROUND(SUM(value), 4) AS attributed_value
+FROM tagged
+WHERE event_type = 'purchase' AND view_ts IS NOT NULL
+GROUP BY DATE_TRUNC('hour', view_ts)
+""",
+    tags=("events", "attribution", "window"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the user's most
+    recent preceding view, aggregated by the view's hour.
+
+    The marketing-analytics staple as ONE window pass — no self-join,
+    no as-of range scan: ``last_value(ignorenulls)`` over a trailing
+    frame carries the latest view timestamp forward within each user's
+    event stream (one shuffle on user_id, in-partition sort), then
+    purchases group by the attributed hour. Same shuffle count at any
+    scale; frame state is O(1) per row.
+    """
+    e = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_ts = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    tagged = e.withColumn("view_ts", view_ts)
+    return (
+        tagged.filter(
+            (F.col("event_type") == "purchase") & F.col("view_ts").isNotNull()
+        )
+        .groupBy(F.date_trunc("hour", "view_ts").alias("view_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "q_scd2_user_state_intervals",
+    oracle="""
+WITH changes AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS is_change
+  FROM events
+), starts AS (
+  SELECT user_id, ts AS valid_from, event_type AS state,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM changes WHERE is_change = 1
+)
+SELECT user_id, state, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM starts
+""",
+    tags=("events", "scd2", "window"),
+)
+def q_scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals from an event log.
+
+    The warehouse-ETL staple: collapse consecutive identical states
+    per user into validity intervals [valid_from, valid_to), open-
+    ended (NULL valid_to = current). Two window passes over ONE
+    partitioning (user_id, ordered by ts) — change detection via lag,
+    then interval close via lead over the change rows only — so Spark
+    plans a single shuffle and sorts once; no self-join, no
+    gaps-and-islands grouping subquery.
+    """
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn(
+        "is_change",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        ).otherwise(0),
+    ).filter(F.col("is_change") == 1)
+    starts = changes.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("event_type").alias("state"),
+        F.lead("ts")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("valid_to"),
+    )
+    return starts.select(
+        "user_id",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q_rolling_7d_distinct_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM du
+), contrib AS (
+  SELECT du.user_id, CAST(du.d + o * INTERVAL 1 DAY AS DATE) AS wd
+  FROM du, UNNEST(generate_series(0, 6)) AS u(o)
+)
+SELECT c.wd AS window_day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users_7d
+FROM contrib c JOIN days ON days.d = c.wd
+GROUP BY c.wd
+""",
+    tags=("events", "rolling", "distinct"),
+)
+def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day.
+
+    COUNT(DISTINCT) over a sliding frame has no window-function form
+    (distinct state isn't subtractable), and collect_set frames blow
+    memory — the scalable shape is: collapse to distinct (day, user)
+    pairs first (the only full-data shuffle, with map-side partial
+    dedup), explode each pair into the ≤7 window-days it serves, and
+    hash-aggregate the distinct count per window-day. Shuffle volume
+    after the collapse is days×users×7 — independent of raw event
+    count, so 100 TB of events reduces before the expansion. A
+    mergeable-sketch variant (HLL per day, merge 7) trades exactness
+    for one less shuffle — see q_hll_sketch_rollup.
+    """
+    e = _events(spark, sf_dir)
+    du = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "window_day")
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.date_add(F.col("d"), o) for o in range(7)])
+        ).alias("window_day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "window_day")
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+    )
