@@ -62,8 +62,29 @@ def q_key_dedup_orders_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_minhash_near_dup_pairs",
-    oracle=None,  # LSH banding + Jaccard verify is not ANSI-SQL; see tests
-    tags=("dedup", "lsh", "rows-only"),
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b,
+       ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) AS jaccard_sim
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.5
+""",
+    tags=("dedup", "lsh"),
 )
 def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, word-3-gram Jaccard ≥ 0.5.
@@ -72,10 +93,23 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prose runs ~0.2 (shared vocabulary), which floods LSH banding with
     noise-floor candidates at any realistic threshold; word-3-gram
     background is ~0.01 while true near-dups stay ≥0.5.
+
+    ORACLE-BACKED despite the probabilistic candidate stage: output =
+    (LSH candidates) ∩ (exact-Jaccard ≥ 0.5 verify), so it is always a
+    SUBSET of the exact pair set — and with 32 bands × 2 rows the
+    any-band collision probability at jaccard exactly 0.5 is
+    1-(1-0.25)^32 ≈ 0.9999, with true near-dups sitting well above the
+    threshold. The hash family is seedless/deterministic, so on a
+    fixed corpus equality with the exact inverted-index SQL is a fixed
+    fact, verified at sf0.001/0.01/0.1 (keys AND values) — a recall
+    miss would surface as a hard hash-compare failure, not flake.
+    Wider banding trades ~2× band-join rows for that guarantee; the
+    recall-vs-bruteforce property test in tests/test_dedup.py guards
+    the family independently of corpus.
     """
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
-        d, "doc_id", "text", n_hashes=64, bands=16, shingle_k=3,
+        d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
         threshold=0.5, use_token_ngrams=True, prefilter=False,
     ).orderBy("id_a", "id_b")
 

@@ -457,7 +457,7 @@ WITH du AS (
   SELECT du.user_id, CAST(du.d + o * INTERVAL 1 DAY AS DATE) AS wd
   FROM du, UNNEST(generate_series(0, 6)) AS u(o)
 )
-SELECT c.wd AS window_day,
+SELECT CAST(c.wd AS TIMESTAMP) AS window_day,
        CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users_7d
 FROM contrib c JOIN days ON days.d = c.wd
 GROUP BY c.wd
@@ -493,4 +493,8 @@ def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.join(F.broadcast(days), "window_day")
         .groupBy("window_day")
         .agg(F.count_distinct("user_id").alias("n_users_7d"))
+        # DATE collects as datetime.date but the DuckDB twin surfaces
+        # pandas Timestamps; emit midnight NTZ timestamps so both
+        # engines hand the comparator the same value type.
+        .withColumn("window_day", F.col("window_day").cast("timestamp_ntz"))
     )
