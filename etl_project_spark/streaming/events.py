@@ -364,3 +364,69 @@ def stream_user_running_totals(events: DataFrame, *, watermark: str = "2 hours")
             timeoutConf="NoTimeout",
         )
     )
+
+
+ATTRIBUTION_STATE_SCHEMA = "last_view_us BIGINT"
+ATTRIBUTION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, purchase_ts TIMESTAMP, view_ts TIMESTAMP, value DOUBLE"
+)
+
+
+def stream_attribution_last_touch(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming last-touch attribution: each purchase is credited to
+    the user's most recent view seen so far.
+
+    Batch twin: plans/events.py::q_attribution_last_touch (the
+    last_value-ignorenulls window). Streaming can't look back over an
+    unbounded frame, so the "latest view timestamp" becomes explicit
+    keyed state — 8 bytes per user, the smallest possible stateful
+    operator. Each micro-batch sorts its group slice by event time
+    (arrival order within a batch is not time order), advances the
+    state through views, and emits one attributed row per purchase
+    that has a preceding view. State is hash-partitioned by user_id
+    across executors; no global ordering is needed because attribution
+    only reads one user's own timeline.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    def attribute(key, pdfs, state: GroupState):
+        (last_view_us,) = state.get if state.exists else (None,)
+        out_user, out_pts, out_vts, out_val = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                ts_us = row.ts.value // 1000  # pandas ns → µs
+                if row.event_type == "view":
+                    if last_view_us is None or ts_us > last_view_us:
+                        last_view_us = ts_us
+                elif row.event_type == "purchase" and last_view_us is not None:
+                    out_user.append(key[0])
+                    out_pts.append(row.ts)
+                    out_vts.append(pd.Timestamp(last_view_us * 1000))
+                    out_val.append(float(row.value))
+        if last_view_us is not None:
+            state.update((last_view_us,))
+        yield pd.DataFrame(
+            {
+                "user_id": out_user,
+                "purchase_ts": out_pts,
+                "view_ts": out_vts,
+                "value": out_val,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            attribute,
+            outputStructType=ATTRIBUTION_OUTPUT_SCHEMA,
+            stateStructType=ATTRIBUTION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

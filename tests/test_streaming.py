@@ -406,3 +406,44 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     total = sum(r.n_events for r in out.collect())
     assert total >= 3  # events 1-3 finalized; late event 4 never counted
     assert not any(abs(r.total_value - 99.0) < 1e-9 for r in out.collect())
+
+
+def test_stream_attribution_matches_batch_window(spark, events_path):
+    """The stateful streaming attribution must agree with the batch
+    last_value-ignorenulls window on the same corpus: identical
+    (user, purchase_ts, view_ts, value) rows once the stream drains."""
+    stream = SE.read_events_stream(spark, events_path)
+    q = (
+        SE.stream_attribution_last_touch(stream)
+        .writeStream.format("memory")
+        .queryName("attribution")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.purchase_ts, r.view_ts, round(r.value, 6))
+        for r in spark.sql("SELECT * FROM attribution").collect()
+    }
+
+    from pyspark.sql import Window as W
+
+    e = spark.read.parquet(str(events_path))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_ts = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    want = {
+        (r.user_id, r.ts, r.view_ts, round(r.value, 6))
+        for r in e.withColumn("view_ts", view_ts)
+        .filter((F.col("event_type") == "purchase") & F.col("view_ts").isNotNull())
+        .select("user_id", "ts", "view_ts", "value")
+        .collect()
+    }
+    assert got == want
+    assert got  # non-vacuous: the corpus has view-preceded purchases
