@@ -206,3 +206,88 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_price"
         ),
     )
+
+
+#: Buenos Aires city center — the reference geocodes Argentine shops
+#: (flows/etl.py:218 appends ", ARGENTINA" to every query).
+_BA_LAT, _BA_LNG = -34.6037, -58.3816
+_EARTH_KM = 6371.0
+
+
+@register(
+    "q_haversine_distance_bands",
+    oracle=f"""
+WITH {_SRC_CTE},
+geo AS (
+  SELECT shop, bucket, src_lat, src_lng,
+         CAST(concat('0x', substr(md5(direccion || ', ' || localidad || ', ARGENTINA'), 1, 8)) AS BIGINT) AS gh
+  FROM rows_
+), coords AS (
+  SELECT shop,
+         CASE WHEN bucket < 7 THEN src_lat
+              WHEN bucket < 8 THEN NULL
+              ELSE ROUND(gh % 18000 / 100.0 - 90.0, 2) END AS lat,
+         CASE WHEN bucket < 7 THEN src_lng
+              WHEN bucket < 8 THEN NULL
+              ELSE ROUND(gh % 36000 / 100.0 - 180.0, 2) END AS lng
+  FROM geo
+), dist AS (
+  SELECT shop,
+         ROUND(2.0 * {_EARTH_KM} * ASIN(SQRT(
+             SIN(RADIANS(lat - ({_BA_LAT})) / 2.0) * SIN(RADIANS(lat - ({_BA_LAT})) / 2.0)
+           + COS(RADIANS({_BA_LAT})) * COS(RADIANS(lat))
+             * SIN(RADIANS(lng - ({_BA_LNG})) / 2.0) * SIN(RADIANS(lng - ({_BA_LNG})) / 2.0)
+         )), 1) AS km
+  FROM coords WHERE lat IS NOT NULL
+)
+SELECT CAST(FLOOR(km / 2000.0) AS BIGINT) AS band_2000km,
+       COUNT(*) AS n_shops,
+       MIN(km) AS min_km,
+       MAX(km) AS max_km
+FROM dist GROUP BY 1
+""",
+    tags=("enrich", "geo", "haversine"),
+)
+def q_haversine_distance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance profile of geocoded shops around Buenos
+    Aires, in 2000-km bands.
+
+    The analytical follow-on to the reference's geocoding stage: typed
+    (lat, lng) feed the haversine formula as pure codegen scalar math
+    (sin/cos/asin — no UDF), then a coarse hash aggregate. Distances
+    round to 0.1 km before banding/extrema so both engines compare the
+    same discretized values; band boundaries sit ~9 orders of
+    magnitude away from any ulp-level libm divergence. Map-side
+    expression + tiny aggregate — scale-free.
+    """
+    df = _scan(spark)
+    df = df.withColumn("needs_geo", F.col("Localizar") == "No disponible")
+    df = df.withColumn(
+        "__q",
+        F.concat_ws(", ", F.col("Dirección"), F.col("Localidad"), F.lit("ARGENTINA")),
+    )
+    enriched = enrich_with_service(
+        df, "__q", "geo", deterministic_geocoder, guard_col="needs_geo"
+    )
+    packed = F.when(F.col("needs_geo"), F.col("geo")).otherwise(
+        F.nullif(F.col("Localizar"), F.lit(""))
+    )
+    lat, lng = split_latlng(packed)
+    with_coords = enriched.select(lat.alias("lat"), lng.alias("lng")).filter(
+        F.col("lat").isNotNull()
+    )
+    dphi = F.radians(F.col("lat") - F.lit(_BA_LAT)) / 2.0
+    dlmb = F.radians(F.col("lng") - F.lit(_BA_LNG)) / 2.0
+    a = F.sin(dphi) * F.sin(dphi) + F.cos(F.radians(F.lit(_BA_LAT))) * F.cos(
+        F.radians(F.col("lat"))
+    ) * F.sin(dlmb) * F.sin(dlmb)
+    km = F.round(2.0 * _EARTH_KM * F.asin(F.sqrt(a)), 1)
+    return (
+        with_coords.select(km.alias("km"))
+        .groupBy(F.floor(F.col("km") / 2000.0).cast("bigint").alias("band_2000km"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shops"),
+            F.min("km").alias("min_km"),
+            F.max("km").alias("max_km"),
+        )
+    )

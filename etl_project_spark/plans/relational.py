@@ -1367,3 +1367,56 @@ def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("o_totalprice"))
         .orderBy("col_name")
     )
+
+
+@register(
+    "q_winsorized_price_stats",
+    oracle="""
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+         quantile_cont(o_totalprice, 0.99) AS p99
+  FROM orders
+)
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o.o_totalprice), 4) AS raw_mean,
+       ROUND(AVG(LEAST(GREATEST(o.o_totalprice, b.p01), b.p99)), 4)
+         AS winsorized_mean,
+       CAST(SUM(CASE WHEN o.o_totalprice < b.p01 OR o.o_totalprice > b.p99
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+FROM orders o CROSS JOIN bounds b
+GROUP BY o.o_orderstatus
+""",
+    tags=("agg", "percentile", "robust-stats"),
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clamped) mean order value per status.
+
+    The robust-statistics step feature pipelines run before training on
+    heavy-tailed signals: clamp to global percentile bounds, then
+    aggregate. Two passes by necessity (the bounds are a global
+    statistic), but the bounds pass reduces to ONE row that re-enters
+    the plan as a broadcast — never a driver round-trip — and the
+    clamp itself is map-side scalar math on the second scan. Exact
+    interpolated percentile (≙ quantile_cont) keeps the oracle
+    value-comparable; swap approx_percentile at high cardinality.
+    """
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("p01"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    outlier = (F.col("o_totalprice") < F.col("p01")) | (
+        F.col("o_totalprice") > F.col("p99")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.sum(outlier.cast("bigint")).alias("n_clamped"),
+        )
+    )
