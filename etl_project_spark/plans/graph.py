@@ -1,0 +1,115 @@
+"""Graph-analytics queries over the order bipartite graph.
+
+The connected-components family (plans/dedup.py) covers undirected
+reachability; this module adds rank propagation. The distinguishing
+trick is EXACT integer arithmetic: iterative float ranking is
+summation-order-dependent (the q01 half-cent lesson, at every
+iteration), so ranks live in integer micro-units with floor-division
+contributions — bit-identical across engines AND partitionings, which
+is what lets an iterative algorithm be hash-oracle-checked at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+#: Supplier node ids are offset so both partitions share one id space.
+_SUPP_OFFSET = 1_000_000
+
+_PR_ITER_SQL = """
+r{k} AS (
+  SELECT e.dst AS id,
+         CAST(150000 + SUM((r{j}.r * 17) // (20 * deg.d)) AS BIGINT) AS r
+  FROM edges e
+  JOIN r{j} ON r{j}.id = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+
+
+def _pagerank_oracle(iters: int) -> str:
+    steps = ",".join(_PR_ITER_SQL.format(k=k, j=k - 1) for k in range(1, iters + 1))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s + {_SUPP_OFFSET} AS dst FROM pairs
+  UNION ALL
+  SELECT s + {_SUPP_OFFSET} AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+{steps}
+SELECT id AS node_id,
+       CASE WHEN id >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       r AS rank_units
+FROM r{iters}
+"""
+
+
+@register(
+    "q_pagerank_order_graph",
+    oracle=_pagerank_oracle(3),
+    tags=("graph", "pagerank", "iterative"),
+)
+def q_pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three PageRank iterations over the customer↔supplier graph, in
+    exact integer micro-units.
+
+    Graph: an undirected bipartite random-walk graph — one edge per
+    distinct (customer, supplier) trading pair from orders⋈lineitem,
+    materialized in both directions. Rank update is the standard
+    damped form r' = 0.15 + 0.85·Σ r(u)/deg(u), but evaluated as
+    ``150000 + Σ (r·17) div (20·deg)`` on BIGINT micro-units: floor
+    division makes every contribution exact, so the aggregate is
+    order-independent and the DuckDB oracle hash-matches an
+    *iterative* algorithm — impossible with doubles, where each
+    iteration compounds summation-order noise.
+
+    Scale shape: the driver loop only composes the lazy plan (3
+    unrolled join+agg rounds, no action, nothing collected); each
+    round is an equi-join of edges against the previous rank table,
+    shuffling on node id — uniform by hashing. Every node has degree
+    ≥ 1 by construction, so no dangling-mass term is needed.
+    """
+    tune_session(spark)
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.col("c").alias("src"), (F.col("s") + _SUPP_OFFSET).alias("dst")
+    )
+    rev = pairs.select(
+        (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
+    )
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(F.col("src").alias("id"), F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(deg, "src")
+            .select("dst", F.expr("(r * 17) div (20 * d)").alias("contrib"))
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("id")).agg(
+            (F.lit(150_000) + F.sum("contrib")).cast("bigint").alias("r")
+        )
+    return ranks.select(
+        F.col("id").alias("node_id"),
+        F.when(F.col("id") >= _SUPP_OFFSET, "supplier")
+        .otherwise("customer")
+        .alias("node_type"),
+        F.col("r").alias("rank_units"),
+    )

@@ -47,6 +47,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.ingest",
     "etl_project_spark.plans.multimodal",
     "etl_project_spark.plans.temporal",
+    "etl_project_spark.plans.graph",
 )
 
 
