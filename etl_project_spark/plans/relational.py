@@ -1420,3 +1420,75 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(outlier.cast("bigint")).alias("n_clamped"),
         )
     )
+
+
+@register(
+    "q_key_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+), stats AS (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_rows,
+         ROUND(AVG(n), 4) AS avg_rows,
+         ROUND(MAX(n) / AVG(n), 4) AS skew_ratio
+  FROM per_key
+), top_keys AS (
+  SELECT key, CAST(n AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rnk
+  FROM per_key
+)
+SELECT t.rnk, t.key AS hot_key, t.n AS hot_rows,
+       s.n_keys, s.n_rows, s.max_rows, s.avg_rows, s.skew_ratio
+FROM top_keys t CROSS JOIN stats s
+WHERE t.rnk <= 5
+""",
+    tags=("diagnostics", "skew", "agg"),
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: the 5 heaviest join/agg keys plus
+    global distribution stats (max/avg skew ratio).
+
+    The pre-flight every large join deserves: before shuffling 100 TB
+    on a key, measure whether one key would own a straggler task. One
+    hash aggregate per key (map-side combine), a 1-row stats aggregate
+    broadcast back, and a top-5 via TakeOrderedAndProject — the
+    diagnostic itself never sorts or collects the key space. Feeds the
+    salting decision exercised in q_salted_skew_join/q_salted_skew_agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        F.round(F.avg("n"), 4).alias("avg_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+    top = (
+        per_key.orderBy(F.col("n").desc(), F.col("key"))
+        .limit(5)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                # constant-VALUED, non-foldable partition key: see
+                # operators/similarity.py::brute_force_topk
+                W.partitionBy(F.pmod(F.col("key"), F.lit(1))).orderBy(
+                    F.col("n").desc(), F.col("key")
+                )
+            ),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rnk",
+        F.col("key").alias("hot_key"),
+        F.col("n").alias("hot_rows"),
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        "avg_rows",
+        "skew_ratio",
+    )
