@@ -859,3 +859,75 @@ def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.bitmap_count("bm")).alias("exact_users"))
     )
+
+
+@register(
+    "q_monthly_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, MIN(DATE_TRUNC('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+), cohort_sizes AS (
+  SELECT cohort_month, COUNT(*) AS cohort_size
+  FROM firsts GROUP BY cohort_month
+), activity AS (
+  SELECT DISTINCT o_custkey, DATE_TRUNC('month', o_orderdate) AS active_month
+  FROM orders
+)
+SELECT f.cohort_month,
+       CAST(DATE_DIFF('month', f.cohort_month, a.active_month) AS INTEGER)
+         AS months_since,
+       COUNT(*) AS active_customers,
+       s.cohort_size,
+       ROUND(1.0 * COUNT(*) / s.cohort_size, 4) AS retention
+FROM activity a
+JOIN firsts f ON f.o_custkey = a.o_custkey
+JOIN cohort_sizes s ON s.cohort_month = f.cohort_month
+GROUP BY f.cohort_month, DATE_DIFF('month', f.cohort_month, a.active_month),
+         s.cohort_size
+""",
+    tags=("analytic", "cohort", "retention"),
+)
+def q_monthly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention: of customers whose first order fell in
+    month M, what fraction ordered again N months later.
+
+    The product-analytics staple as three hash aggregates and two
+    joins: first-order month per customer (one agg), cohort sizes (an
+    agg over THAT — rows ≙ months, trivially broadcast), distinct
+    (customer, active-month) pairs (one agg with map-side dedup), then
+    an equi-join on customer. months_between of two month-start
+    timestamps is integral by construction, so the bucket arithmetic
+    is exact — no day-fraction drift between engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("active_month")
+    ).distinct()
+    return (
+        activity.join(firsts, "o_custkey")
+        .join(F.broadcast(sizes), "cohort_month")
+        .groupBy(
+            "cohort_month",
+            F.months_between("active_month", "cohort_month")
+            .cast("int")
+            .alias("months_since"),
+            "cohort_size",
+        )
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+        .select(
+            "cohort_month",
+            "months_since",
+            "active_customers",
+            "cohort_size",
+            F.round(F.col("active_customers") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+    )
