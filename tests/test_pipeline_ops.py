@@ -105,3 +105,21 @@ def test_quality_audit_detects_planted_violations(spark):
     assert out["lineitem_shipped_before_ordered"] > 0
     assert out["orders_pk_unique"] == 0
     assert out["orders_orphan_custkey"] == 0
+
+
+def test_pagerank_hub_structure_and_mass(spark):
+    """Structural invariants of the integer PageRank: every node beats
+    the base rank, suppliers (100 hubs serving 1500 customers) carry
+    far higher rank than customers, and total mass stays below the
+    float ideal of n_nodes×1e6 (floor division only leaks downward)."""
+    rows = SPECS["q_pagerank_order_graph"].builder(spark, SF_ORACLE).collect()
+    assert rows
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        assert r.rank_units >= 150_000  # damping base is a floor
+        by_type.setdefault(r.node_type, []).append(r.rank_units)
+    assert set(by_type) == {"customer", "supplier"}
+    avg = {t: sum(v) / len(v) for t, v in by_type.items()}
+    assert avg["supplier"] > 5 * avg["customer"]  # bipartite hub structure
+    total = sum(r.rank_units for r in rows)
+    assert total <= len(rows) * 1_000_000  # floor-div mass never inflates
