@@ -435,12 +435,24 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` on SimHash.
 
-    Pigeonhole blocking: split the 64-bit fingerprint into 4 16-bit
-    chunks; distance ≤ 3 ⇒ at least one chunk matches exactly, so an
-    equi-join per chunk finds all qualifying pairs without a cross
-    join. Exact Hamming (bit_count of xor) verifies candidates.
+    Pigeonhole blocking, COMPLETE by construction: the 64-bit
+    fingerprint splits into ``max_hamming + 1`` chunks, so any pair
+    within the bound has at least one chunk whose bits are all equal
+    (d differing bits cannot touch d+1 disjoint chunks) — the chunk
+    equi-join finds every qualifying pair without a cross join, and
+    exact Hamming (bit_count of xor) verifies candidates. Round-5 fix:
+    the old hardcoded 4×16-bit split only guaranteed completeness for
+    d ≤ 3 while the registered query asked for d ≤ 6, silently
+    dropping pairs at distances 4–6 (17 of 78 at sf0.01). Smaller
+    chunks admit more random collisions (2^-bits per chunk pair), but
+    candidates stay shuffle-bounded: equi-join on (chunk_idx, bits).
     """
     from pyspark import StorageLevel
+
+    n_chunks = min(max_hamming + 1, 16)
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
 
     # Fingerprints feed both sides of the chunk self-join — persist so
     # the mapInPandas pass runs once, not once per join side.
@@ -453,8 +465,10 @@ def simhash_near_dup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("_sim", 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftrightunsigned("_sim", offsets[c]).bitwiseAND(
+                        F.lit((1 << widths[c]) - 1)
+                    )
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("_chunk_idx", "_chunk"),

@@ -116,11 +116,40 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_simhash_near_dup_pairs",
-    oracle=None,
-    tags=("dedup", "simhash", "rows-only"),
+    oracle="""
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\\s+')) AS tok FROM docs
+), th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks
+), bits AS (
+  SELECT doc_id, p,
+         SUM(CAST((h >> p) & 1 AS BIGINT)) AS ones, COUNT(*) AS n
+  FROM th, UNNEST(generate_series(0, 63)) u(p) GROUP BY doc_id, p
+), fp AS (
+  SELECT doc_id, p, CAST(ones * 2 > n AS INT) AS bit FROM bits
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(CAST(a.bit != b.bit AS INT)) AS INTEGER) AS hamming
+  FROM fp a JOIN fp b ON a.p = b.p AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+""",
+    tags=("dedup", "simhash"),
 )
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with Hamming distance ≤ 6 of 64 bits."""
+    """SimHash near-dup pairs with Hamming distance ≤ 6 of 64 bits.
+
+    ORACLE-BACKED, and unlike the LSH families this needs no corpus
+    luck: with ``max_hamming + 1`` pigeonhole chunks the blocked join
+    is COMPLETE by theorem (6 differing bits cannot touch 7 disjoint
+    chunks), and the md5 token-hash majority-vote fingerprint is pure
+    deterministic arithmetic DuckDB replays bit-for-bit (token md5 →
+    per-position majority vote → exact per-pair Hamming). Round-5 fix:
+    the previous 4×16-bit blocking silently missed distances 4–6
+    (17 of 78 true pairs at sf0.01).
+    """
     d = _t(spark, sf_dir, "documents")
     return DD.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6).orderBy(
         "id_a", "id_b"
