@@ -206,6 +206,15 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Table count is auto-derived so analytic recall at the threshold is
     ≥ 0.99 (8 tables × 6 planes at 0.9).
+
+    Stays rows-only BY CHOICE, unlike minhash/simhash (round-5 oracle
+    conversions): the corpus embeddings are near-orthogonal random
+    vectors (max pairwise cosine ≈ 0.34), so the exact pair set at 0.9
+    is EMPTY at every SF — verified against a brute-force DuckDB
+    ``list_cosine_similarity`` self-join. A 0-rows-vs-0-rows oracle
+    would be a vacuous hash match (the round-1 lesson); the planted-
+    fixture recall/precision property tests in tests/test_dedup.py
+    carry the correctness load instead.
     """
     e = _t(spark, sf_dir, "embeddings")
     return DD.embedding_near_dup_pairs(
