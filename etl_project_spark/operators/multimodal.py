@@ -140,13 +140,22 @@ def decode_payload(payload: bytes, modality: str):
 
 def _fake_image_decoder(payload: bytes, modality: str) -> dict:
     """Deterministic stand-in decoder used to exercise the plumbing:
-    derives plausible dimensions/stats from payload bytes alone."""
-    h = _fnv1a64(payload or b"")
+    derives plausible dimensions/stats from payload bytes alone.
+
+    md5-based (not fnv) so an ANSI-SQL oracle can replay it exactly —
+    the two digest halves read as big-endian uint64s match DuckDB's
+    ``CAST('0x' || substr(md5(x), 1|17, 16) AS UBIGINT)``.
+    """
+    import hashlib
+
+    d = hashlib.md5(payload or b"").digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big")
     return {
-        "width": 16 + abs(h) % 1920,
-        "height": 16 + abs(h >> 11) % 1080,
-        "n_channels": 1 + abs(h >> 23) % 4,
-        "mean_luma": round(abs(h >> 31) % 256 / 255.0, 6),
+        "width": 16 + h1 % 1920,
+        "height": 16 + (h1 >> 11) % 1080,
+        "n_channels": 1 + h2 % 4,
+        "mean_luma": round((h2 >> 11) % 256 / 255.0, 6),
     }
 
 

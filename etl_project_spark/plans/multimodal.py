@@ -50,15 +50,40 @@ def q_multimodal_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_decoded_stats",
-    oracle=None,  # decode is the stubbed seam; fake decoder is property-tested
-    tags=("multimodal", "decode", "rows-only"),
+    oracle="""
+WITH img AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS h1,
+         CAST(('0x' || substr(md5(text), 17, 16)) AS UBIGINT) AS h2
+  FROM img
+), dec AS (
+  SELECT CAST(16 + h1 % 1920 AS INTEGER) AS width,
+         CAST(16 + (h1 >> 11) % 1080 AS INTEGER) AS height,
+         CAST(1 + h2 % 4 AS INTEGER) AS n_channels,
+         ROUND(CAST((h2 >> 11) % 256 AS DOUBLE) / 255.0, 6) AS mean_luma
+  FROM h
+)
+SELECT n_channels,
+       COUNT(*) AS n_images,
+       ROUND(AVG(width), 2) AS avg_width,
+       ROUND(AVG(height), 2) AS avg_height,
+       ROUND(AVG(mean_luma), 4) AS avg_luma
+FROM dec GROUP BY n_channels
+""",
+    tags=("multimodal", "decode"),
 )
 def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded-image metadata stats via the (stand-in) decoder.
 
     Exercises the full decode plumbing — Arrow batches, typed output
     schema, payload-local parallelism — with the deterministic fake;
-    a real decoder is a one-argument swap.
+    a real decoder is a one-argument swap. ORACLE-BACKED since round
+    5: the fake decoder derives its dimensions from the payload md5
+    (payloads are the documents' UTF-8 bytes), so DuckDB replays the
+    exact decode arithmetic in SQL — the hash now checks the entire
+    mapInPandas path end to end, not just that it runs.
     """
     mm = _mm(spark, sf_dir).filter(F.col("modality") == "image")
     decoded = MM.decode_images(mm, decoder=MM._fake_image_decoder)
