@@ -94,8 +94,18 @@ def q_pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = pairs.select(
         (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
     )
-    edges = fwd.unionByName(rev)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    from pyspark import StorageLevel
+
+    # The graph is read by every iteration: without persist each of the
+    # 3 rounds re-derives edges from the orders⋈lineitem join (explain
+    # showed 28 scans / 24 exchanges) — at 100 TB that's re-reading the
+    # fact tables per iteration. Caching edges+degrees once is the
+    # canonical iterative-graph pattern; blocks are node-id rows, tiny
+    # relative to the source tables.
+    edges = fwd.unionByName(rev).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ranks = deg.select(F.col("src").alias("id"), F.lit(1_000_000).cast("bigint").alias("r"))
     for _ in range(3):
         contrib = (

@@ -40,6 +40,17 @@ EXTRA_PLANS = (
     "q_grouped_agg_pandas_weighted_disc",
     "q_salted_skew_agg",
     "q_hash_sample_documents",
+    # round-5 additions
+    "q_pagerank_order_graph",
+    "q_monthly_cohort_retention",
+    "q_attribution_last_touch",
+    "q_scd2_user_state_intervals",
+    "q_rolling_7d_distinct_users",
+    "q_dedup_canonical_docs",
+    "q_data_quality_audit",
+    "q_key_skew_profile",
+    "q_mixture_resample",
+    "q_winsorized_price_stats",
 )
 
 
