@@ -159,3 +159,45 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     same inference rule."""
     _register_views(spark, sf_dir, "orders")
     return spark.sql(_SQL_GROUP_BY_ALL)
+
+
+#: Spark and DuckDB differ only in the integer-division operator
+#: (``div`` vs ``//``); everything else is shared text. Arithmetic is
+#: exact BIGINT cents with floor division, so seven levels of
+#: recursion stay bit-identical across engines — the same trick as
+#: plans/graph.py's integer PageRank.
+_SQL_RECURSIVE_BALANCE = """
+WITH RECURSIVE growth(c_custkey, period, bal_cents) AS (
+  SELECT c_custkey, 0, CAST(ROUND(c_acctbal * 100) AS BIGINT)
+  FROM customer WHERE c_acctbal > 0
+  UNION ALL
+  SELECT c_custkey, period + 1, bal_cents + (bal_cents * 5) {intdiv} 100
+  FROM growth WHERE period < 6
+)
+SELECT CAST(period AS INTEGER) AS period,
+       COUNT(*) AS n_accounts,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_cents,
+       CAST(MAX(bal_cents) AS BIGINT) AS max_cents
+FROM growth GROUP BY period
+"""
+
+
+@register(
+    "q_sql_recursive_compound_balance",
+    oracle=_SQL_RECURSIVE_BALANCE.format(intdiv="//"),
+    tags=("sql", "recursive-cte"),
+)
+def q_sql_recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): six periods of 5%
+    compound growth on positive account balances.
+
+    Exercises the engine's genuinely iterative SQL surface — each
+    recursion level reads the previous one (UNION ALL semantics; Spark
+    does not yet support distinct-UNION recursion). Balances compound
+    in exact BIGINT cents with floor division so every level is
+    bit-identical in both engines; the anchor's WHERE rides the
+    parquet scan, and each level is a map-side projection — no joins,
+    state bounded by the 7-level guard.
+    """
+    _register_views(spark, sf_dir, "customer")
+    return spark.sql(_SQL_RECURSIVE_BALANCE.format(intdiv="div"))
