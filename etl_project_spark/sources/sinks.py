@@ -63,6 +63,29 @@ def write_parquet(
     w.parquet(path)
 
 
+def backfill_partitions(
+    df: DataFrame, path: str, *, partition_by: list[str]
+) -> None:
+    """Idempotent partition backfill: overwrite ONLY the partitions
+    present in ``df``, leaving sibling partitions untouched.
+
+    The daily-pipeline repair primitive — rerunning one day must not
+    truncate the table. ``partitionOverwriteMode=dynamic`` scopes
+    overwrite-mode deletion to partitions the write produces (static
+    mode, the default, clears the whole table first). Set per-write
+    via the DataFrameWriter option so the session default is never
+    mutated. Caveat shared with compact_parquet: the swap is
+    rename-based — atomic per partition on HDFS/local, eventually
+    consistent on object stores without a committer.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -430,3 +430,67 @@ def stream_attribution_last_touch(
             timeoutConf="NoTimeout",
         )
     )
+
+
+SCD2_STATE_SCHEMA = "cur_state STRING, valid_from_us BIGINT"
+SCD2_OUTPUT_SCHEMA = (
+    "user_id BIGINT, state STRING, valid_from TIMESTAMP, valid_to TIMESTAMP"
+)
+
+
+def stream_scd2_user_state(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming SCD type-2: emit a closed validity interval each time
+    a user's event-type state changes.
+
+    Batch twin: plans/events.py::q_scd2_user_state_intervals. The
+    batch form closes intervals with lead(); a stream cannot look
+    ahead, so the closer is keyed state — (current state, its start) —
+    and each transition emits the interval it terminates. The still-
+    open interval lives only in state, exactly the CDC contract: a
+    dimension row is published once its successor arrives. State is
+    two fields per user, hash-partitioned; within-batch rows sort by
+    event time before folding so arrival order never reorders
+    transitions.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    def close_intervals(key, pdfs, state: GroupState):
+        cur, start_us = state.get if state.exists else (None, None)
+        out_state, out_from, out_to = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                ts_us = row.ts.value // 1000
+                if cur is None:
+                    cur, start_us = row.event_type, ts_us
+                elif row.event_type != cur:
+                    out_state.append(cur)
+                    out_from.append(pd.Timestamp(start_us * 1000))
+                    out_to.append(row.ts)
+                    cur, start_us = row.event_type, ts_us
+        if cur is not None:
+            state.update((cur, start_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_state),
+                "state": out_state,
+                "valid_from": out_from,
+                "valid_to": out_to,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            close_intervals,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -367,3 +367,30 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert after < before
     back = spark.read.parquet(out)
     assert sorted(tuple(r) for r in back.collect()) == want
+
+
+def test_backfill_overwrites_only_named_partitions(spark, tmp_path):
+    """Idempotent daily backfill: rewriting one day's partition must
+    not touch sibling days (dynamic partition overwrite), while plain
+    overwrite-mode would truncate the whole table."""
+    from etl_project_spark.sources.sinks import backfill_partitions, write_parquet
+
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0), (3, "2024-01-03", 30.0)],
+        "id long, day string, v double",
+    )
+    write_parquet(base, path, partition_by=["day"])
+
+    fixed = spark.createDataFrame(
+        [(2, "2024-01-02", 99.0)], "id long, day string, v double"
+    )
+    backfill_partitions(fixed, path, partition_by=["day"])
+
+    # partition values read back type-inferred (date), so compare as str
+    out = {(str(r.day), r.id): r.v for r in spark.read.parquet(path).collect()}
+    assert out == {
+        ("2024-01-01", 1): 10.0,  # untouched
+        ("2024-01-02", 2): 99.0,  # repaired
+        ("2024-01-03", 3): 30.0,  # untouched
+    }

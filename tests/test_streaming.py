@@ -447,3 +447,33 @@ def test_stream_attribution_matches_batch_window(spark, events_path):
     }
     assert got == want
     assert got  # non-vacuous: the corpus has view-preceded purchases
+
+
+def test_stream_scd2_closed_intervals_match_batch(spark, events_path):
+    """The streaming SCD2 closer must emit exactly the batch twin's
+    CLOSED intervals (the open interval stays in state — the CDC
+    publish-on-successor contract)."""
+    stream = SE.read_events_stream(spark, events_path)
+    q = (
+        SE.stream_scd2_user_state(stream)
+        .writeStream.format("memory")
+        .queryName("scd2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in spark.sql("SELECT * FROM scd2").collect()
+    }
+
+    from etl_project_spark.plans.registry import all_specs
+
+    batch = all_specs()["q_scd2_user_state_intervals"].builder(spark, SF_ORACLE)
+    want = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in batch.filter(F.col("valid_to").isNotNull()).collect()
+    }
+    assert got == want
+    assert got  # corpus produces real transitions
