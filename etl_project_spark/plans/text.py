@@ -720,3 +720,62 @@ def q_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("top_term_frac") <= 0.2)
     )
     return prof.select("*", keep.alias("keep"))
+
+
+@register(
+    "q_unigram_cross_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), lm AS (
+  SELECT term, COUNT(*) AS tf,
+         (SELECT COUNT(*) FROM toks) AS corpus_tokens
+  FROM toks GROUP BY term
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       ROUND(AVG(-LOG2(CAST(lm.tf AS DOUBLE) / lm.corpus_tokens)), 4)
+         AS cross_entropy_bits
+FROM toks t JOIN lm ON lm.term = t.term
+GROUP BY t.doc_id
+""",
+    tags=("text", "quality", "language-model"),
+)
+def q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus language
+    model — the perplexity-proxy quality signal (CCNet-style filtering
+    ranks documents by LM perplexity; a corpus-unigram model is its
+    degenerate, engine-native form).
+
+    Low bits = stereotypical word soup, high bits = rare-token-heavy
+    text; pipelines keep the middle band. Scale shape: one explode
+    feeds both the LM aggregate (term counts — the "model" stays a
+    DataFrame, never collected) and the scoring join; the corpus-total
+    denominator is a 1-row aggregate joined in as a broadcast via the
+    scalar subquery. Both shuffles key on term/doc hashes — skew-free.
+    """
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("corpus_tokens"))
+    lm = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(total))
+    )
+    bits = -F.log2(F.col("tf").cast("double") / F.col("corpus_tokens"))
+    return (
+        toks.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg(bits), 4).alias("cross_entropy_bits"),
+        )
+    )
