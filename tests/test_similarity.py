@@ -244,3 +244,26 @@ def test_kmeans_refine_reduces_inertia_and_is_deterministic(spark, emb):
     probe = emb.filter(F.col("vec_id") == 5).collect()[0]
     out = SIM.ivf_topk(emb, "embedding", list(probe.embedding), refined1, k=5, n_probe=2).collect()
     assert out[0].vec_id == 5 and out[0].score == 1.0
+
+
+def test_knn_join_auto_stats_large_without_dim_warns_and_stays_exact(spark, emb):
+    """The weaker statistics-based size signal must not raise (Catalyst
+    size estimates overestimate through projections) — it warns and
+    falls back to the exact broadcast path."""
+    import warnings as _warnings
+
+    l = emb.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "probe_id")
+    r = emb.filter(F.col("vec_id") >= 3).withColumnRenamed("vec_id", "neighbor_id")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = SIM.knn_join(
+            l, r,
+            left_id="probe_id", right_id="neighbor_id",
+            left_vec="embedding", right_vec="embedding", k=2,
+            strategy="auto", broadcast_threshold_bytes=1,  # force "large"
+        ).collect()
+    assert any("broadcast_threshold_bytes" in str(w.message) for w in caught)
+    counts: dict[int, int] = {}
+    for row in out:
+        counts[row.probe_id] = counts.get(row.probe_id, 0) + 1
+    assert set(counts.values()) == {2}  # exact fallback: full k per probe
