@@ -42,6 +42,9 @@ BENCH_QUERIES = (
     "q_bm25_query_scores",
     "q_chunk_documents_overlap",
     "q_training_corpus_pipeline",
+    # round-5 additions: iterative graph + cohort analytics families
+    "q_pagerank_order_graph",
+    "q_monthly_cohort_retention",
 )
 
 

@@ -779,3 +779,72 @@ def q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(bits), 4).alias("cross_entropy_bits"),
         )
     )
+
+
+@register(
+    "q_source_token_kl",
+    oracle="""
+WITH toks AS (
+  SELECT source,
+         UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), src_tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term
+), src_tot AS (
+  SELECT source, CAST(SUM(tf) AS BIGINT) AS src_tokens
+  FROM src_tf GROUP BY source
+), corpus_tf AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf,
+         (SELECT SUM(tf) FROM src_tf) AS corpus_tokens
+  FROM src_tf GROUP BY term
+)
+SELECT s.source,
+       t.src_tokens,
+       ROUND(SUM((CAST(s.tf AS DOUBLE) / t.src_tokens)
+                 * LOG2((CAST(s.tf AS DOUBLE) / t.src_tokens)
+                        / (CAST(c.ctf AS DOUBLE) / c.corpus_tokens))), 6)
+         AS kl_bits
+FROM src_tf s
+JOIN src_tot t ON t.source = s.source
+JOIN corpus_tf c ON c.term = s.term
+GROUP BY s.source, t.src_tokens
+""",
+    tags=("text", "distribution", "kl-divergence"),
+)
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    corpus distribution — the domain-shift / mixture-drift detector.
+
+    Data curation watches this number per ingest source: a source
+    whose KL(source‖corpus) jumps is changing vocabulary (spam influx,
+    format break, language drift). KL is finite by construction here —
+    every source term exists in the corpus distribution (P ≪ Q), so no
+    smoothing constant sneaks into the oracle comparison. Shape: one
+    explode → (source, term) hash agg; the per-source and corpus
+    totals are tiny aggregates re-joined broadcast; the scoring join
+    keys on term — skew-free, single pass over the raw tokens.
+    """
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+    )
+    src_tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    src_tot = src_tf.groupBy("source").agg(F.sum("tf").alias("src_tokens"))
+    corpus_total = src_tf.agg(F.sum("tf").alias("corpus_tokens"))
+    corpus_tf = (
+        src_tf.groupBy("term")
+        .agg(F.sum("tf").alias("ctf"))
+        .crossJoin(F.broadcast(corpus_total))
+    )
+    p = F.col("tf").cast("double") / F.col("src_tokens")
+    q = F.col("ctf").cast("double") / F.col("corpus_tokens")
+    return (
+        src_tf.join(F.broadcast(src_tot), "source")
+        .join(corpus_tf, "term")
+        .groupBy("source", "src_tokens")
+        .agg(F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"))
+    )
