@@ -750,11 +750,14 @@ def q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate, engine-native form).
 
     Low bits = stereotypical word soup, high bits = rare-token-heavy
-    text; pipelines keep the middle band. Scale shape: one explode
-    feeds both the LM aggregate (term counts — the "model" stays a
-    DataFrame, never collected) and the scoring join; the corpus-total
-    denominator is a 1-row aggregate joined in as a broadcast via the
-    scalar subquery. Both shuffles key on term/doc hashes — skew-free.
+    text; pipelines keep the middle band. Scale shape: the token
+    explode appears in both the LM branch (term counts — the "model"
+    stays a DataFrame, never collected) and the scoring branch; the
+    two aggregates differ, so the explode genuinely runs twice —
+    deliberately, since re-running an in-codegen split/explode is
+    cheaper at scale than materializing the exploded rows. The
+    corpus-total denominator is a 1-row broadcast. All shuffles key on
+    term/doc hashes — skew-free.
     """
     d = _docs(spark, sf_dir)
     toks = (
@@ -820,9 +823,10 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     format break, language drift). KL is finite by construction here —
     every source term exists in the corpus distribution (P ≪ Q), so no
     smoothing constant sneaks into the oracle comparison. Shape: one
-    explode → (source, term) hash agg; the per-source and corpus
-    totals are tiny aggregates re-joined broadcast; the scoring join
-    keys on term — skew-free, single pass over the raw tokens.
+    explode → (source, term) hash agg, and every later branch derives
+    from THAT aggregate (tokens are never re-exploded); the per-source
+    and corpus totals are tiny broadcast aggregates; the scoring join
+    keys on term — skew-free.
     """
     d = _docs(spark, sf_dir)
     toks = (

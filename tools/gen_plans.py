@@ -51,6 +51,12 @@ EXTRA_PLANS = (
     "q_key_skew_profile",
     "q_mixture_resample",
     "q_winsorized_price_stats",
+    "q_gopher_repetition_rules",
+    "q_unigram_cross_entropy",
+    "q_source_token_kl",
+    "q_haversine_distance_bands",
+    "q_asof_tolerance_error_before_purchase",
+    "q_sql_recursive_compound_balance",
 )
 
 
