@@ -449,7 +449,17 @@ def simhash_near_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    n_chunks = min(max_hamming + 1, 16)
+    if not (0 <= max_hamming <= 15):
+        # 16+ chunks of a 64-bit fingerprint would need <4-bit chunks
+        # whose collision rate makes blocking pointless, and silently
+        # clamping would reintroduce the exact silent-recall-loss bug
+        # the chunk formula exists to prevent.
+        raise ValueError(
+            f"simhash_near_dup_pairs supports max_hamming in [0, 15] "
+            f"(completeness needs max_hamming+1 disjoint chunks of a "
+            f"64-bit fingerprint); got {max_hamming}"
+        )
+    n_chunks = max_hamming + 1
     base, extra = divmod(64, n_chunks)
     widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]

@@ -205,10 +205,16 @@ def knn_join(
     LSH path where exact broadcast would have been both possible and
     cheaper — a recall change, not just a plan change.  And the stats
     probe needs the classic JVM-backed DataFrame; under Spark Connect
-    (no ``_jdf``) it is unavailable.  Whenever the probe is unusable or
-    auto would pick LSH without a usable ``dim``, auto therefore falls
-    back to the exact broadcast path (explicit ``strategy='lsh'`` still
-    raises if ``dim`` is missing — an explicit ask is a contract).
+    (no ``_jdf``) it is unavailable.
+
+    Missing-``dim`` policy scales with the strength of the size
+    signal: an explicit ``right_rows`` hint above the threshold is
+    positive evidence the right side must not be broadcast, so auto
+    RAISES rather than silently building an OOM-prone cross join; the
+    weaker statistics estimate (known to overestimate) triggers a
+    warning and an exact-broadcast fallback; the signal-less Spark
+    Connect case falls back silently. Explicit ``strategy='lsh'``
+    always raises without ``dim`` — an explicit ask is a contract.
     """
     if strategy not in ("auto", "broadcast", "lsh"):
         raise ValueError(

@@ -529,7 +529,7 @@ SELECT user_id, event_id,
        COUNT(*) OVER w AS n_last_hour,
        ROUND(SUM(value) OVER w, 4) AS value_last_hour
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
 """,
     tags=("window", "frame", "range", "events"),

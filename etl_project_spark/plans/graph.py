@@ -18,8 +18,10 @@ from etl_project_spark.catalog import read_table
 from etl_project_spark.plans.registry import register
 from etl_project_spark.session import tune_session
 
-#: Supplier node ids are offset so both partitions share one id space.
-_SUPP_OFFSET = 1_000_000
+# Supplier nodes live in NEGATIVE id space (-(s_suppkey + 1)) so the
+# two partitions can never collide at any scale factor — an additive
+# offset (the earlier design) silently merges nodes once customer keys
+# outgrow it (TPC-H custkeys pass 1M around SF 7).
 
 _PR_ITER_SQL = """
 r{k} AS (
@@ -40,15 +42,15 @@ WITH pairs AS (
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ),
 edges AS (
-  SELECT c AS src, s + {_SUPP_OFFSET} AS dst FROM pairs
+  SELECT c AS src, -(s + 1) AS dst FROM pairs
   UNION ALL
-  SELECT s + {_SUPP_OFFSET} AS src, c AS dst FROM pairs
+  SELECT -(s + 1) AS src, c AS dst FROM pairs
 ),
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
 {steps}
 SELECT id AS node_id,
-       CASE WHEN id >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+       CASE WHEN id < 0 THEN 'supplier' ELSE 'customer' END
          AS node_type,
        r AS rank_units
 FROM r{iters}
@@ -88,12 +90,9 @@ def q_pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    fwd = pairs.select(
-        F.col("c").alias("src"), (F.col("s") + _SUPP_OFFSET).alias("dst")
-    )
-    rev = pairs.select(
-        (F.col("s") + _SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
-    )
+    supp_id = -(F.col("s") + 1)
+    fwd = pairs.select(F.col("c").alias("src"), supp_id.alias("dst"))
+    rev = pairs.select(supp_id.alias("src"), F.col("c").alias("dst"))
     from pyspark import StorageLevel
 
     # The graph is read by every iteration: without persist each of the
@@ -118,7 +117,7 @@ def q_pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("id").alias("node_id"),
-        F.when(F.col("id") >= _SUPP_OFFSET, "supplier")
+        F.when(F.col("id") < 0, "supplier")
         .otherwise("customer")
         .alias("node_type"),
         F.col("r").alias("rank_units"),

@@ -236,7 +236,7 @@ WITH counts AS (
   SELECT d.lang
   FROM documents d JOIN rates r ON d.lang = r.lang
   WHERE CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
-        < CAST(r.rate * 1000000 AS BIGINT)
+        < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
 )
 SELECT r.lang, CAST(r.n_lang AS BIGINT) AS n_before,
        CAST(COUNT(k.lang) AS BIGINT) AS n_after,
@@ -280,7 +280,11 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         d.select("doc_id", "lang")
         .join(F.broadcast(rates), "lang")
-        .filter(bucket < (F.col("rate") * 1_000_000).cast("bigint"))
+        # Explicit floor on BOTH sides: Spark's double→bigint cast
+        # truncates but DuckDB's CAST rounds-to-nearest — without the
+        # shared FLOOR the two engines disagree on the acceptance
+        # threshold whenever frac(rate*1e6) >= 0.5.
+        .filter(bucket < F.floor(F.col("rate") * 1_000_000).cast("bigint"))
         .select("lang")
     )
     kept_counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_raw"))

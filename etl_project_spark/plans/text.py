@@ -22,6 +22,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
+def _ws_token_rows(d: DataFrame, key: str) -> DataFrame:
+    """Whitespace token rows ``(key, term)`` over non-empty documents —
+    the engine-side twin of the oracles' ``regexp_split_to_array`` CTE.
+    ONE definition feeds every token-distribution query (Gopher rules,
+    cross-entropy, per-source KL) so a tokenization tweak can never
+    reach one of them without the others (and their oracles) moving in
+    lockstep.
+    """
+    return d.filter(F.length(F.trim("text")) > 0).select(
+        key,
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    )
+
+
+
 # SQL fragment mirroring operators.text.token_count (CAST: duckdb len()
 # is BIGINT, Spark size() is INT — match Spark).
 _SQL_TOKEN_COUNT = (
@@ -695,13 +710,7 @@ def q_gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc aggregate).
     """
     d = _docs(spark, sf_dir)
-    toks = (
-        d.filter(F.length(F.trim("text")) > 0)
-        .select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
-        )
-    )
+    toks = _ws_token_rows(d, "doc_id")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_tokens = F.sum("tf")
     prof = tf.groupBy("doc_id").agg(
@@ -760,13 +769,7 @@ def q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     term/doc hashes — skew-free.
     """
     d = _docs(spark, sf_dir)
-    toks = (
-        d.filter(F.length(F.trim("text")) > 0)
-        .select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
-        )
-    )
+    toks = _ws_token_rows(d, "doc_id")
     total = toks.agg(F.count(F.lit(1)).alias("corpus_tokens"))
     lm = (
         toks.groupBy("term")
@@ -829,13 +832,7 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on term — skew-free.
     """
     d = _docs(spark, sf_dir)
-    toks = (
-        d.filter(F.length(F.trim("text")) > 0)
-        .select(
-            "source",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
-        )
-    )
+    toks = _ws_token_rows(d, "source")
     src_tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     src_tot = src_tf.groupBy("source").agg(F.sum("tf").alias("src_tokens"))
     corpus_total = src_tf.agg(F.sum("tf").alias("corpus_tokens"))

@@ -388,6 +388,15 @@ def stream_attribution_last_touch(
     that has a preceding view. State is hash-partitioned by user_id
     across executors; no global ordering is needed because attribution
     only reads one user's own timeline.
+
+    Cross-batch disorder contract: a purchase that arrives AFTER a
+    later view has already advanced the state (purchase_ts <
+    last_view) cannot be attributed correctly — the view it should
+    credit is gone. Such rows are DROPPED deterministically (the
+    watermark late-data policy), never credited to a future view.
+    Time-ordered sources and single-batch availableNow drains hit no
+    drops and match the batch twin exactly; out-of-order feeds lose
+    only the provably mis-attributable purchases.
     """
     import pandas as pd
 
@@ -403,7 +412,14 @@ def stream_attribution_last_touch(
                 if row.event_type == "view":
                     if last_view_us is None or ts_us > last_view_us:
                         last_view_us = ts_us
-                elif row.event_type == "purchase" and last_view_us is not None:
+                elif (
+                    row.event_type == "purchase"
+                    and last_view_us is not None
+                    # late-drop guard: state already advanced past this
+                    # purchase's time → attribution would credit a
+                    # FUTURE view; drop instead (see docstring).
+                    and last_view_us <= ts_us
+                ):
                     out_user.append(key[0])
                     out_pts.append(row.ts)
                     out_vts.append(pd.Timestamp(last_view_us * 1000))
@@ -453,6 +469,15 @@ def stream_scd2_user_state(
     two fields per user, hash-partitioned; within-batch rows sort by
     event time before folding so arrival order never reorders
     transitions.
+
+    Cross-batch disorder contract: a row older than the open
+    interval's start (possible when a later micro-batch carries
+    earlier event time, within the watermark) would close an INVERTED
+    interval (valid_from > valid_to); such rows are DROPPED
+    deterministically — the watermark late-data policy — so emitted
+    intervals always satisfy valid_from <= valid_to. Time-ordered
+    sources and single-batch availableNow drains hit no drops and
+    match the batch twin's closed intervals exactly.
     """
     import pandas as pd
 
@@ -467,6 +492,10 @@ def stream_scd2_user_state(
                 ts_us = row.ts.value // 1000
                 if cur is None:
                     cur, start_us = row.event_type, ts_us
+                elif ts_us < start_us:
+                    # late-drop guard: closing here would emit an
+                    # inverted interval (see docstring).
+                    continue
                 elif row.event_type != cur:
                     out_state.append(cur)
                     out_from.append(pd.Timestamp(start_us * 1000))
