@@ -477,3 +477,47 @@ def test_stream_scd2_closed_intervals_match_batch(spark, events_path):
     }
     assert got == want
     assert got  # corpus produces real transitions
+
+
+def test_stream_attribution_state_survives_restart(spark, tmp_path):
+    """A purchase arriving in a second drain (fresh query object, same
+    checkpoint) must be attributed to a view seen in the FIRST drain —
+    proving the keyed state round-trips through the state store."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "attr_src")
+    sink = str(tmp_path / "attr_sink")
+    ckpt = str(tmp_path / "attr_ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp_ntz, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = SE.read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            SE.stream_attribution_last_touch(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # drain 1: only a view — nothing emitted, state holds its ts
+    write_batch([(1, 7, "view", base, 0.0, "{}")])
+    drain()
+    # drain 2 (restart from checkpoint): purchase 30 min later
+    write_batch([(2, 7, "purchase", base + datetime.timedelta(minutes=30), 42.0, "{}")])
+    drain()
+
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.value) == (7, 42.0)
+    assert r.view_ts == base  # attributed to the pre-restart view
