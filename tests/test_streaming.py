@@ -521,3 +521,93 @@ def test_stream_attribution_state_survives_restart(spark, tmp_path):
     r = out[0]
     assert (r.user_id, r.value) == (7, 42.0)
     assert r.view_ts == base  # attributed to the pre-restart view
+
+
+def test_stream_attribution_drops_cross_batch_late_purchase(spark, tmp_path):
+    """Cross-batch event-time disorder: a purchase OLDER than a view
+    already folded into state must be dropped (late policy), never
+    credited to the future view."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "late_attr_src")
+    sink = str(tmp_path / "late_attr_sink")
+    ckpt = str(tmp_path / "late_attr_ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp_ntz, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = SE.read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            SE.stream_attribution_last_touch(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    write_batch([(1, 7, "view", base, 0.0, "{}")])
+    drain()
+    # batch 2: purchase 30 min BEFORE the already-seen view
+    write_batch([(2, 7, "purchase", base - datetime.timedelta(minutes=30), 9.0, "{}")])
+    drain()
+    # batch 3: an on-time purchase still works afterwards
+    write_batch([(3, 7, "purchase", base + datetime.timedelta(minutes=5), 5.0, "{}")])
+    drain()
+
+    out = spark.read.parquet(sink).collect()
+    assert [(r.value, r.view_ts) for r in out] == [(5.0, base)]
+
+
+def test_stream_scd2_never_emits_inverted_intervals_on_disorder(spark, tmp_path):
+    """A state row older than the open interval's start (cross-batch
+    disorder) is dropped; every emitted interval satisfies
+    valid_from <= valid_to."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "late_scd_src")
+    sink = str(tmp_path / "late_scd_sink")
+    ckpt = str(tmp_path / "late_scd_ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp_ntz, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = SE.read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            SE.stream_scd2_user_state(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    write_batch([(1, 7, "click", base, 0.0, "{}")])
+    drain()
+    # batch 2: a view BEFORE the open interval's start — must be dropped
+    write_batch([(2, 7, "view", base - datetime.timedelta(minutes=30), 0.0, "{}")])
+    drain()
+    # batch 3: a normal later transition closes the click interval
+    write_batch([(3, 7, "signup", base + datetime.timedelta(minutes=10), 0.0, "{}")])
+    drain()
+
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.state == "click" and r.valid_from == base
+    assert r.valid_to == base + datetime.timedelta(minutes=10)
+    assert r.valid_from <= r.valid_to
