@@ -159,3 +159,40 @@ def q_audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     mm = _mm(spark, sf_dir).filter(F.col("modality") == "audio")
     return MM.audio_waveform_stats(mm)
+
+
+@register(
+    "q_image_resize_batch",
+    oracle="""
+WITH img AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+), h AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS h1
+  FROM img
+)
+SELECT doc_id AS id,
+       CAST(16 + h1 % 1920 AS INTEGER) AS width,
+       CAST(16 + (h1 >> 11) % 1080 AS INTEGER) AS height,
+       CAST(64 AS INTEGER) AS out_width,
+       CAST(64 AS INTEGER) AS out_height,
+       MD5(text || '64x64') AS resized_md5
+FROM h
+""",
+    tags=("multimodal", "resize"),
+)
+def q_image_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image-resize stage over the image payloads (64×64 target).
+
+    Registry entry for the resize seam (operators/multimodal.py::
+    resize_images): Arrow batches in, payload consumed inside the
+    stage, resized-output hash + dimensions out — the blob never
+    shuffles. ORACLE-BACKED end to end since the stand-in decoder is
+    md5-arithmetic and the output hash is md5(payload ++ "WxH"), both
+    replayable in SQL over the ASCII payloads; a real decoder swaps in
+    via the ``decoder=`` argument with the identical plan shape.
+    """
+    mm = _mm(spark, sf_dir).filter(F.col("modality") == "image")
+    return MM.resize_images(
+        mm, out_width=64, out_height=64, decoder=MM._fake_image_decoder
+    )
