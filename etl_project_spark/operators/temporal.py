@@ -33,15 +33,27 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right_time <= left_time`` within the same key (inclusive).
+    """For each left row: columns of the nearest right row within the
+    same key — the latest with ``right_time <= left_time``
+    (``direction='backward'``, the default) or the earliest with
+    ``right_time >= left_time`` (``direction='forward'``); both
+    inclusive, matching pandas ``merge_asof`` semantics.
 
     Right-side ties on (key, time) must be resolved by the caller
     (pre-dedup) — carrying an arbitrary tied row would be
-    nondeterministic. ``tolerance``: optional max age (e.g.
-    ``F.expr("INTERVAL 30 DAYS")``); matches older than it become NULL.
+    nondeterministic. ``tolerance``: optional max distance (e.g.
+    ``F.expr("INTERVAL 30 DAYS")``); matches farther than it become
+    NULL. Either direction is ONE shuffle on the key + a local window
+    sort — forward simply runs the carry over a FOLLOWING frame with
+    the tie-order flipped (right rows sort after left rows at equal
+    timestamps so "at-or-after" stays inclusive).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join direction must be 'backward' or 'forward'; got {direction!r}"
+        )
     lt = F.col("_t")
     carried = [f"_v_{c}" for c in value_cols]
 
@@ -60,27 +72,48 @@ def asof_join(
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
 
-    # Sort puts a right row before left rows at the same timestamp →
-    # "at-or-before" is inclusive. One shuffle on _k; window sort local.
-    w = (
-        W.partitionBy("_k")
-        .orderBy("_t", "_side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    if direction == "backward":
+        # Sort puts a right row before left rows at the same timestamp →
+        # "at-or-before" is inclusive. One shuffle on _k; window sort local.
+        w = (
+            W.partitionBy("_k")
+            .orderBy("_t", "_side")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        match_t = F.last(
+            F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
+        ).over(w)
+    else:
+        # Mirror image: right rows sort AFTER left rows at the same
+        # timestamp (side desc) so "at-or-after" is inclusive, and the
+        # first right row in the FOLLOWING frame is the match.
+        w = (
+            W.partitionBy("_k")
+            .orderBy("_t", F.col("_side").desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        match_t = F.first(
+            F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
+        ).over(w)
+
     unioned = l_tagged.unionByName(r_tagged)
     with_carry = unioned.select(
         "_k",
         "_t",
         "_side",
         "_left_row",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
-        .over(w)
-        .alias("_match_t"),
+        *[carry(c).alias(c) for c in carried],
+        match_t.alias("_match_t"),
     )
     out = with_carry.filter(F.col("_side") == 1)
     if tolerance is not None:
-        stale = F.col("_match_t") < (lt - tolerance)
+        stale = (
+            F.col("_match_t") < (lt - tolerance)
+            if direction == "backward"
+            else F.col("_match_t") > (lt + tolerance)
+        )
         out = out.select(
             "_k", "_t", "_left_row", "_match_t",
             *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in carried],

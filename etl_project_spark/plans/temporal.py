@@ -243,3 +243,55 @@ def q_asof_tolerance_error_before_purchase(
         "error_ts",
         F.col("error_ts").isNotNull().alias("error_within_1h"),
     )
+
+
+@register(
+    "q_asof_forward_next_signup",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'signup'
+), right_dedup AS (
+  SELECT user_id, ts FROM r WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, p.ts,
+       s.ts AS next_signup_ts
+FROM p ASOF LEFT JOIN right_dedup s
+  ON p.user_id = s.user_id AND p.ts <= s.ts
+""",
+    tags=("join", "asof", "temporal", "forward"),
+)
+def q_asof_forward_next_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the user's EARLIEST
+    signup at-or-after it (pandas merge_asof direction='forward').
+
+    The mirror of the backward as-of — same single-shuffle
+    union-window formulation run over a FOLLOWING frame with the tie
+    order flipped; the oracle is DuckDB's ASOF with a <= condition,
+    which selects the forward match natively.
+    """
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("ts").alias("next_signup_ts"))
+    )
+    return asof_join(
+        purchases,
+        signups,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="next_signup_ts",
+        value_cols=["next_signup_ts"],
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "next_signup_ts")
