@@ -498,3 +498,87 @@ def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         # engines hand the comparator the same value type.
         .withColumn("window_day", F.col("window_day").cast("timestamp_ntz"))
     )
+
+
+@register(
+    "q_state_at_purchase",
+    oracle="""
+WITH activity AS (
+  SELECT * FROM events WHERE event_type <> 'purchase'
+), changes AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS is_change
+  FROM activity
+), intervals AS (
+  SELECT user_id, ts AS valid_from, event_type AS state,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM changes WHERE is_change = 1
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT i.state,
+       COUNT(*) AS n_purchases,
+       ROUND(SUM(p.value), 4) AS total_value
+FROM purchases p
+JOIN intervals i
+  ON i.user_id = p.user_id
+ AND i.valid_from <= p.ts
+ AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+GROUP BY i.state
+""",
+    tags=("events", "scd2", "interval-join"),
+)
+def q_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: revenue by the SCD2 state each purchase
+    happened in.
+
+    The dimension-lookup every warehouse does against a type-2 table
+    ("which plan/segment/state was the entity in at event time"),
+    composed entirely in-plan: validity intervals derive from the
+    user's NON-purchase activity via the SCD2 window (purchases are
+    the facts being looked up — deriving states from all events would
+    make every purchase trivially land in its own 'purchase' interval,
+    a vacuous answer), then purchases join on user plus interval
+    containment. Spark plans the user_id equality as the join key with
+    the containment as a post-join residual — intervals per user are
+    few, so the residual filters a handful of rows per match, not a
+    cross product. Intervals partition each user's activity timeline,
+    so a purchase matches at most one (purchases before any activity
+    drop out of the inner join).
+    """
+    e = _events(spark, sf_dir)
+    activity = e.filter(F.col("event_type") != "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = activity.withColumn(
+        "is_change",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        ).otherwise(0),
+    ).filter(F.col("is_change") == 1)
+    intervals = changes.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("event_type").alias("state"),
+        F.lead("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id")).alias(
+            "valid_to"
+        ),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    contained = (F.col("valid_from") <= F.col("ts")) & (
+        F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))
+    )
+    return (
+        purchases.join(intervals, "user_id")
+        .filter(contained)
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
