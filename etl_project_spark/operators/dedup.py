@@ -265,8 +265,12 @@ def minhash_near_dup_pairs(
     # sides) and rows feeds 2; without persist Spark re-executes the
     # shingle+signature stages once per branch (measured 5× recompute).
     # sig is tiny (n_docs × 64 longs); shingle rows spill to disk if big.
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    # Tracked for harness-side release (session.release_persists) — a
+    # builder can't unpersist caches its caller's action still needs.
+    from etl_project_spark.session import scoped_persist
+
+    sig = scoped_persist(sig, StorageLevel.MEMORY_AND_DISK)
+    rows = scoped_persist(rows, StorageLevel.MEMORY_AND_DISK)
     sig_arr = F.array(*[F.col(f"_h{j}") for j in range(n_hashes)])
     banded = sig.select(
         "_id",
@@ -465,9 +469,12 @@ def simhash_near_dup_pairs(
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
 
     # Fingerprints feed both sides of the chunk self-join — persist so
-    # the mapInPandas pass runs once, not once per join side.
-    sh = simhash_fingerprints(df, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # the mapInPandas pass runs once, not once per join side; tracked
+    # for harness-side release (session.release_persists).
+    from etl_project_spark.session import scoped_persist
+
+    sh = scoped_persist(
+        simhash_fingerprints(df, id_col, text_col), StorageLevel.MEMORY_AND_DISK
     )
     chunks = sh.select(
         "_id",
@@ -763,7 +770,11 @@ def connected_components(
     sym.unpersist()
     # max_iter >= 1 so at least one round ran and prev_ckpt owns the
     # final round's blocks; result is independently checkpointed above,
-    # so the round's snapshot can be released now.
+    # so the round's snapshot can be released now. The result's OWN
+    # checkpoint blocks must outlive this function (the caller's action
+    # reads them) — tracked for harness-side release instead.
     if prev_ckpt is not None:
         prev_ckpt.unpersist()
-    return result
+    from etl_project_spark.session import track_for_release
+
+    return track_for_release(result)

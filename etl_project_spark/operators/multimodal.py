@@ -125,17 +125,94 @@ DECODED_IMAGE_SCHEMA = T.StructType(
 
 
 def decode_payload(payload: bytes, modality: str):
-    """STUB — media decode seam.
+    """Media decode seam: REAL for uncompressed formats, honest stub
+    for codec formats.
 
-    Real implementation needs codec libraries (Pillow/ffmpeg/soundfile)
-    that are not available in this environment. The Spark-side contract
-    is fixed: called once per payload inside the Arrow batch loop of
-    :func:`decode_images`; returns a dict matching the decoded schema.
+    BMP (``BM`` magic) decodes for real via :func:`decode_bmp` — pure
+    byte arithmetic, no imaging library. Compressed formats (PNG/JPEG/
+    video) require codec libraries not present in this environment and
+    raise; plug a real codec into ``decode_images(decoder=...)`` — the
+    Spark plumbing is identical.
     """
+    if payload is not None and payload[:2] == b"BM":
+        return decode_bmp(payload, modality)
     raise NotImplementedError(
-        "media decode requires codec libraries; plug a real decoder into "
-        "decode_images(decoder=...) — the Spark plumbing is identical"
+        "compressed-media decode requires codec libraries; BMP decodes "
+        "natively — plug other decoders into decode_images(decoder=...)"
     )
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an ``(h, w, 3) uint8`` BGR array as a real uncompressed
+    24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 4-byte-padded
+    bottom-up rows) — the standard Windows DIB layout.
+
+    Used by the fixture side of the BMP pipeline so the decoder is
+    exercised against genuine format bytes, not a fake.
+    """
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    body = rows[::-1].tobytes()  # bottom-up row order
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,            # file header
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,  # info header
+    )
+    return header + body
+
+
+def decode_bmp(payload: bytes, modality: str = "image") -> dict:
+    """REAL image decoder for uncompressed 24-bit BMP — pure byte
+    arithmetic (struct header parse + numpy pixel math), no codec lib.
+
+    Parses the BITMAPFILEHEADER/BITMAPINFOHEADER fields it depends on
+    (pixel-array offset, signed width/height, bit depth, compression),
+    honors bottom-up vs top-down row order and 4-byte row padding, and
+    computes mean luma over the ACTUAL pixel bytes with the integer
+    ITU-R BT.601 weights ``(299·R + 587·G + 114·B) div 1000`` — exact
+    arithmetic, so an SQL oracle that knows the pixel-generation rule
+    replays the decoded stats bit-for-bit. Returns the
+    :func:`decode_images` decoder contract.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    h, w = abs(height), width
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=pixel_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    bgr = rows.astype(np.int64)
+    luma = (299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]) // 1000
+    mean = int(luma.sum()) / (h * w)
+    return {
+        "width": w,
+        "height": h,
+        "n_channels": 3,
+        # half-up at 4 decimals (SQL ROUND semantics, not banker's)
+        "mean_luma": math.floor(mean * 10_000 + 0.5) / 10_000,
+    }
 
 
 def _fake_image_decoder(payload: bytes, modality: str) -> dict:
@@ -216,6 +293,48 @@ def make_multimodal_table(docs: DataFrame) -> DataFrame:
             F.col("n_chars").alias("n_chars"),
             F.col("lang").alias("lang"),
         ).alias("meta"),
+    )
+
+
+def make_bmp_table(docs: DataFrame) -> DataFrame:
+    """Derive an image table with REAL BMP payloads from the documents
+    corpus: one ``(id, payload)`` row per image-modality doc
+    (``doc_id % 4 = 0``), each payload a genuine 24-bit BMP built by
+    :func:`encode_bmp`.
+
+    Dimensions and pixels are pure ``doc_id`` arithmetic so an SQL
+    oracle can replay the decoded stats without parsing bytes:
+    ``w = 4 + doc_id % 13``, ``h = 4 + (3·doc_id) % 11``, and channel
+    ``c ∈ {0:B, 1:G, 2:R}`` of pixel ``(x, y)`` is
+    ``(doc_id + 7·y + 3·x + 11·c) mod 256``. The BYTES are real —
+    the decoder must parse the actual header and pixel array (padding,
+    bottom-up rows) to recover these values.
+    """
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+
+    def build(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 13
+                h = 4 + (3 * doc_id) % 11
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((doc_id + 7 * y + 3 * x + 11 * c) % 256).astype(np.uint8)
+                ids.append(doc_id)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {"id": ids, "payload": payloads, "modality": "image"}
+            )
+
+    return (
+        docs.filter((F.col("doc_id") % 4) == 0)
+        .select("doc_id")
+        .mapInPandas(build, schema="id long, payload binary, modality string")
     )
 
 
@@ -353,6 +472,13 @@ def audio_waveform_stats(
     Arrow batch), no codec needed: level statistics are
     representation-agnostic, so unlike decode this path is NOT a stub.
     Emits narrow rows only; payloads never shuffle.
+
+    Empty/NULL payloads emit NO row (there is no waveform to profile):
+    this matches the per-sample aggregation an SQL twin performs — a
+    GROUP BY over zero samples produces zero groups — so the contract
+    is corpus-independent instead of relying on the corpus having no
+    empty audio (round-5 advice). Upstream profiling of empties is
+    :func:`extract_features`' job (``n_bytes = 0`` rows).
     """
     import math
 
@@ -371,16 +497,13 @@ def audio_waveform_stats(
                 a = np.frombuffer(
                     b"" if p is None else bytes(p), dtype=np.uint8
                 ).astype(np.float64)
+                if not a.size:
+                    continue  # no waveform → no row (see docstring)
                 ids.append(i)
                 ns.append(a.size)
-                if a.size:
-                    means.append(round4(float(a.mean())))
-                    peaks.append(int(a.max()))
-                    rms_out.append(round4(float(np.sqrt((a**2).mean()))))
-                else:
-                    means.append(0.0)
-                    peaks.append(0)
-                    rms_out.append(0.0)
+                means.append(round4(float(a.mean())))
+                peaks.append(int(a.max()))
+                rms_out.append(round4(float(np.sqrt((a**2).mean()))))
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),

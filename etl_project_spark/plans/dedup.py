@@ -1,12 +1,14 @@
 """Deduplication queries over ``documents`` and ``embeddings``.
 
-Exact dedup, the exact n-gram Jaccard inverted index, benchmark
-decontamination, and connected-component cluster labels are all
-oracle-checked (the last via a DuckDB recursive CTE). Only the
-genuinely approximate LSH families (MinHash, SimHash, embedding
-near-dup) are rows-only, with self-validating property tests in
-tests/test_dedup.py (dedup output ⊆ input, pair ordering id_a < id_b,
-LSH candidates ⊇ high-similarity pairs).
+EVERY query here is oracle-checked, including the approximate LSH
+families: MinHash via subset+exact-verify with analytic-recall-≈1
+banding, SimHash via pigeonhole-complete blocking, embedding near-dup
+via a planted-twin corpus whose exact pair set is non-empty and
+SQL-computable, and the connected-component / canonical-pick stages
+via DuckDB recursive CTEs. Property tests in tests/test_dedup.py
+additionally guard the operators on corpus-independent fixtures
+(dedup output ⊆ input, pair ordering id_a < id_b, LSH candidates ⊇
+high-similarity pairs).
 """
 
 from __future__ import annotations
@@ -118,8 +120,15 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_simhash_near_dup_pairs",
     oracle="""
 WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+-- Whitespace-normalize BEFORE splitting (collapse runs to one space,
+-- then TRIM, then split on the single space): Python str.split() never
+-- yields empty tokens, but splitting the raw text on \\s+ would emit
+-- an empty first token for text with a leading tab/newline (TRIM only
+-- strips spaces) — a latent vote-changing divergence (round-5 advice).
 toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\\s+')) AS tok FROM docs
+  SELECT doc_id,
+         unnest(regexp_split_to_array(TRIM(regexp_replace(t, '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM docs
 ), th AS (
   SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks
 ), bits AS (
@@ -198,27 +207,56 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_embedding_near_dup_pairs",
-    oracle=None,
-    tags=("dedup", "embedding", "rows-only"),
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.9
+""",
+    tags=("dedup", "embedding"),
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (multi-table LSH, cosine ≥ 0.9).
+    """Embedding-cosine near-dup pairs (multi-table LSH, cosine ≥ 0.9)
+    over a PLANTED corpus — ORACLE-BACKED since round 6 (rows-only in
+    r1–r5).
 
-    Table count is auto-derived so analytic recall at the threshold is
-    ≥ 0.99 (8 tables × 6 planes at 0.9).
-
-    Stays rows-only BY CHOICE, unlike minhash/simhash (round-5 oracle
-    conversions): the corpus embeddings are near-orthogonal random
-    vectors (max pairwise cosine ≈ 0.34), so the exact pair set at 0.9
-    is EMPTY at every SF — verified against a brute-force DuckDB
-    ``list_cosine_similarity`` self-join. A 0-rows-vs-0-rows oracle
-    would be a vacuous hash match (the round-1 lesson); the planted-
-    fixture recall/precision property tests in tests/test_dedup.py
-    carry the correctness load instead.
+    The natural corpus embeddings are near-orthogonal (max pairwise
+    cosine ≈ 0.34), so the exact pair set at 0.9 is empty and an
+    oracle over it would be a vacuous 0=0 match (the round-1 lesson).
+    Instead the query unions a perturbed twin of every vector (+0.01
+    per coordinate, id +10000 — arithmetic DuckDB replays bit-for-bit,
+    same device as q_knn_join_lsh): the exact pair set becomes exactly
+    the N (original, twin) pairs at cosine ≈ 0.997 (verified non-empty
+    and twin-only at sf0.001/0.01/0.1), while the natural background
+    stays far below threshold. The REAL LSH path runs over the union —
+    10 seeded tables × 6 planes (auto-derived for ≥0.99 recall at
+    0.9); a cosine-0.997 pair misses all tables w.p. ≈ 3e-9, and the
+    seeded hash family makes the outcome a fixed fact, so equality
+    with the brute-force oracle is deterministic. Any recall miss,
+    score drift, or extra candidate is a hard hash failure. The
+    recall/precision property tests in tests/test_dedup.py still guard
+    the operator on natural-corpus-shaped fixtures.
     """
     e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    twins = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.01D)").alias(
+            "embedding"
+        ),
+    )
     return DD.embedding_near_dup_pairs(
-        e, "vec_id", "embedding", dim=64, threshold=0.9
+        base.unionByName(twins), "vec_id", "embedding", dim=64, threshold=0.9
     ).orderBy("id_a", "id_b")
 
 

@@ -93,18 +93,19 @@ def q_pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_id = -(F.col("s") + 1)
     fwd = pairs.select(F.col("c").alias("src"), supp_id.alias("dst"))
     rev = pairs.select(supp_id.alias("src"), F.col("c").alias("dst"))
-    from pyspark import StorageLevel
+    from etl_project_spark.session import scoped_persist
 
     # The graph is read by every iteration: without persist each of the
     # 3 rounds re-derives edges from the orders⋈lineitem join (explain
     # showed 28 scans / 24 exchanges) — at 100 TB that's re-reading the
     # fact tables per iteration. Caching edges+degrees once is the
     # canonical iterative-graph pattern; blocks are node-id rows, tiny
-    # relative to the source tables.
-    edges = fwd.unionByName(rev).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # relative to the source tables. scoped_persist (r6): the builder
+    # can't unpersist its own caches pre-action, so they're tracked and
+    # released by the harness via session.release_persists — the fix
+    # for the round-5 "already cached / never unpersisted" finding.
+    edges = scoped_persist(fwd.unionByName(rev))
+    deg = scoped_persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
     ranks = deg.select(F.col("src").alias("id"), F.lit(1_000_000).cast("bigint").alias("r"))
     for _ in range(3):
         contrib = (

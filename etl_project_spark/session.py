@@ -43,6 +43,50 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: DataFrames persisted inside query builders, awaiting release by the
+#: harness (bench / long-lived sessions). A builder can't unpersist its
+#: own caches — they must stay live until the caller's action runs — so
+#: cache LIFETIME is the caller's job: run the action, then call
+#: :func:`release_persists`. One-shot sessions can ignore this (process
+#: exit frees everything); the round-5 verdict's CacheManager-warning /
+#: cache-growth finding is exactly what skipping it costs a long-lived
+#: session.
+_SCOPED_PERSISTS: list = []
+
+
+def scoped_persist(df, level=None):
+    """Persist ``df`` and track it for later :func:`release_persists`."""
+    from pyspark import StorageLevel
+
+    out = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _SCOPED_PERSISTS.append(out)
+    return out
+
+
+def track_for_release(df):
+    """Track an already-cached DataFrame (e.g. a ``localCheckpoint``
+    result) for :func:`release_persists` without re-persisting it."""
+    _SCOPED_PERSISTS.append(df)
+    return df
+
+
+def release_persists() -> int:
+    """Unpersist every tracked cache (non-blocking); returns the count.
+
+    Safe to call at any point after the caller's action has
+    materialized — idempotent, never raises.
+    """
+    n = 0
+    while _SCOPED_PERSISTS:
+        df = _SCOPED_PERSISTS.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     """Make ``etl_project_spark`` importable inside Python workers.
 

@@ -366,7 +366,7 @@ def stream_user_running_totals(events: DataFrame, *, watermark: str = "2 hours")
     )
 
 
-ATTRIBUTION_STATE_SCHEMA = "last_view_us BIGINT"
+ATTRIBUTION_STATE_SCHEMA = "last_view_us BIGINT, last_view_eid BIGINT"
 ATTRIBUTION_OUTPUT_SCHEMA = (
     "user_id BIGINT, purchase_ts TIMESTAMP, view_ts TIMESTAMP, value DOUBLE"
 )
@@ -390,42 +390,52 @@ def stream_attribution_last_touch(
     only reads one user's own timeline.
 
     Cross-batch disorder contract: a purchase that arrives AFTER a
-    later view has already advanced the state (purchase_ts <
-    last_view) cannot be attributed correctly — the view it should
-    credit is gone. Such rows are DROPPED deterministically (the
-    watermark late-data policy), never credited to a future view.
-    Time-ordered sources and single-batch availableNow drains hit no
-    drops and match the batch twin exactly; out-of-order feeds lose
-    only the provably mis-attributable purchases.
+    later view has already advanced the state (purchase before the
+    view in (ts, event_id) order) cannot be attributed correctly — the
+    view it should credit is gone. Such rows are DROPPED
+    deterministically (the watermark late-data policy), never credited
+    to a future view. Time-ordered sources and single-batch
+    availableNow drains hit no drops and match the batch twin exactly;
+    out-of-order feeds lose only the provably mis-attributable
+    purchases.
+
+    State is (last_view_us, last_view_eid): the event id rides along
+    so EQUAL-timestamp ties resolve by event id across batches exactly
+    as the batch twin's ``ORDER BY ts, event_id`` frame does — with
+    time alone in state, a later-batch purchase at a tied timestamp
+    was credited to a view the batch window places after it (round-5
+    advice). Ordering is lexicographic on (ts, event_id) everywhere.
     """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState
 
     def attribute(key, pdfs, state: GroupState):
-        (last_view_us,) = state.get if state.exists else (None,)
+        last_view_us, last_view_eid = state.get if state.exists else (None, None)
         out_user, out_pts, out_vts, out_val = [], [], [], []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             for row in pdf.itertuples():
                 ts_us = row.ts.value // 1000  # pandas ns → µs
+                key_now = (ts_us, int(row.event_id))
                 if row.event_type == "view":
-                    if last_view_us is None or ts_us > last_view_us:
-                        last_view_us = ts_us
+                    if last_view_us is None or key_now > (last_view_us, last_view_eid):
+                        last_view_us, last_view_eid = key_now
                 elif (
                     row.event_type == "purchase"
                     and last_view_us is not None
                     # late-drop guard: state already advanced past this
-                    # purchase's time → attribution would credit a
-                    # FUTURE view; drop instead (see docstring).
-                    and last_view_us <= ts_us
+                    # purchase's (ts, event_id) position → attribution
+                    # would credit a view the batch frame orders AFTER
+                    # the purchase; drop instead (see docstring).
+                    and (last_view_us, last_view_eid) < key_now
                 ):
                     out_user.append(key[0])
                     out_pts.append(row.ts)
                     out_vts.append(pd.Timestamp(last_view_us * 1000))
                     out_val.append(float(row.value))
         if last_view_us is not None:
-            state.update((last_view_us,))
+            state.update((last_view_us, last_view_eid))
         yield pd.DataFrame(
             {
                 "user_id": out_user,

@@ -98,3 +98,66 @@ def test_frame_sample_counts_match_length_arithmetic(spark, mm_table):
         for r in vids.select("id", F.octet_length("payload").alias("nb")).collect()
     }
     assert got == want
+
+
+def test_bmp_decode_real_roundtrip(spark):
+    """The BMP path is REAL decode: genuine header/pixel bytes in, and
+    the parser must invert the encoding exactly — including the 4-byte
+    row padding and bottom-up row order a naive slicer would get wrong."""
+    import math
+
+    import numpy as np
+
+    # width 3 → stride 12 (padding exercised); asymmetric h
+    px = (np.arange(5 * 3 * 3).reshape(5, 3, 3) % 256).astype(np.uint8)
+    payload = MM.encode_bmp(px)
+    assert payload[:2] == b"BM"
+    got = MM.decode_bmp(payload)
+    luma = (
+        299 * px[:, :, 2].astype(int)
+        + 587 * px[:, :, 1].astype(int)
+        + 114 * px[:, :, 0].astype(int)
+    ) // 1000
+    want_mean = math.floor(luma.sum() / luma.size * 1e4 + 0.5) / 1e4
+    assert got == {"width": 3, "height": 5, "n_channels": 3, "mean_luma": want_mean}
+    # dispatch: decode_payload routes BM magic to the real decoder
+    assert MM.decode_payload(payload, "image") == got
+
+
+def test_bmp_table_decodes_through_spark(spark):
+    """make_bmp_table → decode_images(decode_payload) end to end: the
+    decoded stats must equal the pixel-generation arithmetic for every
+    image doc (the same claim the q_bmp_decoded_stats oracle hashes)."""
+    import math
+
+    import numpy as np
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    bmp = MM.make_bmp_table(docs)
+    decoded = {r.id: r for r in MM.decode_images(bmp, decoder=MM.decode_payload).collect()}
+    ids = [r.doc_id for r in docs.filter("doc_id % 4 = 0").select("doc_id").collect()]
+    assert sorted(decoded) == sorted(ids)
+    for doc_id in ids[:20]:
+        w = 4 + doc_id % 13
+        h = 4 + (3 * doc_id) % 11
+        y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        base = doc_id + 7 * y + 3 * x
+        luma = (
+            299 * ((base + 22) % 256) + 587 * ((base + 11) % 256) + 114 * (base % 256)
+        ) // 1000
+        want = math.floor(luma.sum() / (w * h) * 1e4 + 0.5) / 1e4
+        r = decoded[doc_id]
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        assert r.mean_luma == want
+
+
+def test_audio_stats_skip_empty_payloads(spark):
+    """Empty/NULL audio payloads emit NO row (round-5 advice): the
+    contract must hold on a corpus that HAS empties, not by luck."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"")), (3, None)],
+        "id long, payload binary",
+    )
+    rows = MM.audio_waveform_stats(df).collect()
+    assert [r.id for r in rows] == [1]
+    assert rows[0].n_samples == 3 and rows[0].peak_level == ord("c")

@@ -197,13 +197,13 @@ def test_ivf_self_query_recall(spark, emb):
 
 
 def test_ivf_partitioned_layout_prunes_probe_scan(spark, emb, tmp_path):
-    """The IVF scale story made physical: writing the assigned table
-    partitioned by _cell turns the probe's cell filter into
-    planning-time partition pruning — the engine never reads the other
-    cells' files."""
+    """The IVF scale story made physical: ivf_write_index writes the
+    assigned table partitioned by _cell, and ivf_topk_indexed's probe
+    filter becomes planning-time partition pruning — the engine never
+    reads the other cells' files."""
     cents = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=8)
     out = str(tmp_path / "ivf_index")
-    SIM.ivf_assign(emb, "embedding", cents).write.partitionBy("_cell").parquet(out)
+    SIM.ivf_write_index(emb, "embedding", cents, out)
 
     back = spark.read.parquet(out)
     probe = back.filter(F.col("_cell").isin([0, 1]))
@@ -212,6 +212,46 @@ def test_ivf_partitioned_layout_prunes_probe_scan(spark, emb, tmp_path):
     assert "_cell" in plan.split("PartitionFilters")[1].split("]")[0]
     # pruned scan reads a strict subset of the index
     assert 0 < probe.count() < back.count()
+
+
+def test_ivf_topk_indexed_reads_only_probed_partitions(spark, emb, tmp_path):
+    """The round-5 gap closed: the indexed probe must (a) touch only
+    files under the n_probe probed cells' directories — asserted from
+    input_file_name(), i.e. the files the executed scan actually read,
+    not just the plan string — and (b) return exactly the in-flight
+    ivf_topk result (same centroids → same candidate set → identical
+    top-k)."""
+    cents = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=8)
+    out = str(tmp_path / "ivf_index")
+    SIM.ivf_write_index(emb, "embedding", cents, out)
+
+    n_probe = 2
+    probe_set = set(SIM.probe_cells(QUERY_VEC, cents, n_probe))
+    assert len(probe_set) == n_probe
+
+    index = spark.read.parquet(out)
+    pruned = index.filter(F.col("_cell").isin(list(probe_set)))
+    touched = {
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    cells_read = {
+        int(part.split("_cell=")[1].split("/")[0])
+        for f in touched
+        for part in [f]
+        if "_cell=" in f
+    }
+    assert cells_read == probe_set  # no file outside the probed cells
+
+    got = SIM.ivf_topk_indexed(
+        spark, out, "embedding", QUERY_VEC, cents, k=10, n_probe=n_probe
+    ).collect()
+    want = SIM.ivf_topk(
+        emb, "embedding", QUERY_VEC, cents, k=10, n_probe=n_probe
+    ).collect()
+    assert [(r.vec_id, r.score, r.rank) for r in got] == [
+        (r.vec_id, r.score, r.rank) for r in want
+    ]
 
 
 def test_kmeans_refine_reduces_inertia_and_is_deterministic(spark, emb):

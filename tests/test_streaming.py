@@ -611,3 +611,50 @@ def test_stream_scd2_never_emits_inverted_intervals_on_disorder(spark, tmp_path)
     assert r.state == "click" and r.valid_from == base
     assert r.valid_to == base + datetime.timedelta(minutes=10)
     assert r.valid_from <= r.valid_to
+
+
+def test_stream_attribution_cross_batch_ts_tie_resolves_by_event_id(spark, tmp_path):
+    """Equal-timestamp ties across batches resolve by event_id, exactly
+    like the batch twin's ORDER BY ts, event_id frame: a later-batch
+    purchase at the SAME ts as the state's view is credited only when
+    the view's event_id is smaller (round-5 advice — requires the
+    event id in state, not just the timestamp)."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    src = str(tmp_path / "tie_src")
+    sink = str(tmp_path / "tie_sink")
+    ckpt = str(tmp_path / "tie_ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp_ntz, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = SE.read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            SE.stream_attribution_last_touch(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # user 7: view eid 10 at ts T; user 8: view eid 50 at ts T
+    write_batch([(10, 7, "view", base, 0.0, "{}"),
+                 (50, 8, "view", base, 0.0, "{}")])
+    drain()
+    # later batch, SAME ts T: user 7's purchase eid 20 > view eid 10 →
+    # credited; user 8's purchase eid 40 < view eid 50 → the batch
+    # frame orders that view AFTER the purchase → dropped.
+    write_batch([(20, 7, "purchase", base, 11.0, "{}"),
+                 (40, 8, "purchase", base, 22.0, "{}")])
+    drain()
+
+    out = spark.read.parquet(sink).collect()
+    assert [(r.user_id, r.value, r.view_ts) for r in out] == [(7, 11.0, base)]

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Hash-compare named queries against their DuckDB oracles at ANY sf dir
+(verify_driver.py is pinned to the driver's sf0.01; LSH-family recall
+claims need checking at every SF the corpus ships).
+
+Usage: python tools/parity_sf.py <sf_dir> <query> [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns), ignore_index=True) if len(df) else df
+
+
+def main() -> int:
+    sf_dir, names = sys.argv[1], sys.argv[2:]
+    import duckdb
+    import pandas as pd
+
+    try:
+        pd.set_option("future.no_silent_downcasting", True)
+    except Exception:
+        pass
+
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.session import get_spark, release_persists
+
+    spark = get_spark("parity-sf", cpus=8, driver_memory="6g")
+    specs = all_specs()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failed = []
+    for name in names:
+        spec = specs[name]
+        if spec.oracle is None:
+            cnt = spec.builder(spark, sf_dir).count()
+            print(f"{name:45s} rows={cnt} (rows-only)")
+            release_persists()
+            continue
+        sp = canon(spec.builder(spark, sf_dir).toPandas())
+        release_persists()
+        oc = canon(con.execute(spec.oracle).fetchdf())
+        ok = sp.shape == oc.shape and list(sp.columns) == list(oc.columns)
+        if ok:
+            for c in sp.columns:
+                a, b = sp[c], oc[c]
+                if pd.api.types.is_numeric_dtype(a) or pd.api.types.is_numeric_dtype(b):
+                    same = (
+                        a.astype(float).fillna(-9e99).to_numpy()
+                        == b.astype(float).fillna(-9e99).to_numpy()
+                    ).all()
+                else:
+                    same = (
+                        a.astype(object).fillna("~") == b.astype(object).fillna("~")
+                    ).all()
+                if not same:
+                    ok = False
+                    break
+        print(f"{name:45s} shape={sp.shape} match={bool(ok)}")
+        if not ok:
+            failed.append(name)
+    print("FAILED:" if failed else "parity OK", failed or "")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

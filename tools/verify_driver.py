@@ -34,6 +34,15 @@ def main() -> int:
     import pandas as pd
     from pyspark.sql import SparkSession
 
+    # Opt into pandas' future fillna behavior (no silent downcasting):
+    # silences the FutureWarning the object-dtype fillna below would
+    # emit on every NULL-bearing comparison, and pins the semantics so
+    # a pandas upgrade can't change them under us (round-5 advice).
+    try:
+        pd.set_option("future.no_silent_downcasting", True)
+    except Exception:
+        pass  # option removed once the behavior becomes default
+
     import __spark_entry__ as mod
 
     spark = (
