@@ -45,6 +45,9 @@ BENCH_QUERIES = (
     # round-5 additions: iterative graph + cohort analytics families
     "q_pagerank_order_graph",
     "q_monthly_cohort_retention",
+    # round-6 additions: real media decode + global boilerplate scrub
+    "q_bmp_decoded_stats",
+    "q_boilerplate_ngram_scrub",
 )
 
 

@@ -450,6 +450,167 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode mono 8-bit unsigned PCM as a real RIFF/WAVE file
+    (``RIFF`` header, ``fmt `` chunk, ``data`` chunk) — the standard
+    canonical-WAV layout, no audio library involved.
+    """
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype=np.uint8).tobytes()
+    channels, bits = 1, 8
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes, modality: str = "audio") -> dict:
+    """REAL audio container decoder for uncompressed PCM WAV — walks
+    the RIFF chunk list (skipping unknown chunks with even-byte
+    padding, as the format requires), parses the ``fmt `` fields, and
+    computes waveform stats over the ``data`` chunk's actual samples.
+
+    Supports PCM (format 1) at 8-bit unsigned and 16-bit signed LE —
+    the two canonical raw encodings; anything compressed raises. Level
+    stats use the same half-up 4-decimal rounding as
+    :func:`audio_waveform_stats` so an SQL oracle that knows the
+    sample-generation rule replays them exactly.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only uncompressed PCM 8/16-bit WAV supported "
+            f"(format={audio_format}, bits={bits})"
+        )
+    if bits == 8:
+        a = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+    else:
+        a = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    n = a.size // max(channels, 1)
+
+    def round4(x: float) -> float:
+        return math.floor(x * 10_000 + 0.5) / 10_000
+
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(channels),
+        "bits_per_sample": int(bits),
+        "n_samples": int(n),
+        "mean_level": round4(float(a.mean())) if a.size else 0.0,
+        "peak_level": int(np.abs(a).max()) if a.size else 0,
+        "rms": round4(float(np.sqrt((a**2).mean()))) if a.size else 0.0,
+    }
+
+
+WAV_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("mean_level", T.DoubleType()),
+        T.StructField("peak_level", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    decoder=decode_wav,
+) -> DataFrame:
+    """Decode audio containers to typed waveform rows (Arrow-batched
+    ``mapInPandas`` — the audio twin of :func:`decode_images`).
+    Payloads are consumed inside the stage; only narrow rows shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                d = decoder(bytes(p) if p is not None else None, "audio")
+                d = {"id": int(i), **d}
+                out.append(d)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WAV_DECODED_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_DECODED_SCHEMA)
+
+
+def make_wav_table(docs: DataFrame) -> DataFrame:
+    """Audio table with REAL WAV payloads, one per audio-modality doc
+    (``doc_id % 4 = 1``): mono 8-bit PCM built by :func:`encode_wav`.
+
+    Sample values and rate are pure ``doc_id`` arithmetic so an SQL
+    oracle replays the decoded stats without parsing bytes:
+    ``n = 32 + (3·doc_id) % 57``, ``rate = 8000 + 250·(doc_id % 4)``,
+    ``sample[i] = (5·doc_id + 11·i) mod 256``. The bytes are real —
+    the decoder must walk the chunk list and parse ``fmt `` to recover
+    them.
+    """
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+
+    def build(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 32 + (3 * doc_id) % 57
+                rate = 8000 + 250 * (doc_id % 4)
+                samples = (5 * doc_id + 11 * np.arange(n)) % 256
+                ids.append(doc_id)
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame(
+                {"id": ids, "payload": payloads, "modality": "audio"}
+            )
+
+    return (
+        docs.filter((F.col("doc_id") % 4) == 1)
+        .select("doc_id")
+        .mapInPandas(build, schema="id long, payload binary, modality string")
+    )
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),

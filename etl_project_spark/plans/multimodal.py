@@ -208,6 +208,48 @@ def q_bmp_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_wav_decoded_stats",
+    oracle="""
+WITH aud AS (
+  SELECT doc_id,
+         32 + (3 * doc_id) % 57 AS n,
+         8000 + 250 * (doc_id % 4) AS rate
+  FROM documents WHERE doc_id % 4 = 1
+), s AS (
+  SELECT doc_id, rate, (5 * doc_id + 11 * i) % 256 AS v
+  FROM aud, UNNEST(generate_series(0, n - 1)) u(i)
+)
+SELECT doc_id AS id,
+       CAST(MAX(rate) AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8 AS INTEGER) AS bits_per_sample,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       FLOOR(AVG(CAST(v AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_level,
+       CAST(MAX(v) AS INTEGER) AS peak_level,
+       FLOOR(SQRT(AVG(CAST(v AS DOUBLE) * v)) * 10000 + 0.5) / 10000 AS rms
+FROM s GROUP BY doc_id
+""",
+    tags=("multimodal", "audio", "wav", "decode"),
+)
+def q_wav_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container decode end to end: build genuine RIFF/WAVE
+    payloads in-plan (operators/multimodal.py::make_wav_table →
+    encode_wav) and decode them with the pure-byte-arithmetic parser
+    (decode_wav: chunk walk with word-alignment, fmt-chunk field
+    parse, PCM sample extraction, waveform stats).
+
+    Second real modality after BMP (q_bmp_decoded_stats): the oracle
+    replays the sample-generation rule, never the bytes, so a hash
+    match proves the decoder correctly inverted the actual WAV
+    container encoding — a chunk-offset slip, fmt mis-parse, or
+    sample-width error changes every stat.
+    """
+    tune_session(spark)
+    wav = MM.make_wav_table(read_table(spark, sf_dir, "documents"))
+    return MM.decode_audio(wav, decoder=MM.decode_wav)
+
+
+@register(
     "q_image_resize_batch",
     oracle="""
 WITH img AS (

@@ -1,0 +1,293 @@
+"""Corpus-quality gates a pretraining pipeline runs before training:
+global boilerplate scrub, intra-document repetition gates, PII
+redaction, and per-source length-distribution profiling.
+
+All four are pure relational plans (explode + hash aggregate + equi-
+join — whole-stage codegen, no Python in the hot path) and all four
+are oracle-checked. Shuffle keys are hashed grams / doc ids — skew-
+free by hashing; nothing is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+#: Word n-grams, whitespace-normalized — the same normalization the
+#: dedup family uses (collapse \s+ runs, trim, lowercase).
+_NORM = "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "q_boilerplate_ngram_scrub",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[p : p + 3], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 3, 1))) AS u(p)
+), df AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS docs FROM grams GROUP BY g
+)
+SELECT grams.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN df.docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       ROUND(1.0 * SUM(CASE WHEN df.docs >= 3 THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS boiler_frac
+FROM grams JOIN df ON grams.g = df.g
+GROUP BY grams.doc_id
+""",
+    tags=("quality", "boilerplate", "text"),
+)
+def q_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global boilerplate detection, C4-style: a word 4-gram appearing
+    in ≥ 3 distinct documents is boilerplate; score each document by
+    how much of it is made of such spans (the scrub step then drops or
+    masks them — the score IS the decision input).
+
+    Plan shape at 100 TB: grams are xxhash64'd to 8-byte keys before
+    the doc-frequency aggregate and the join back (shuffles never
+    carry gram strings — same discipline as benchmark contamination);
+    doc-frequency is one hash aggregate with map-side partial combine;
+    the scoring join is an equi-join on the hashed gram. The oracle
+    replays it with string grams — collision odds at 64-bit are far
+    below rounding granularity.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    grams = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 3, 1)), "
+                    "p -> concat_ws(' ', slice(toks, p, 4)))"
+                )
+            ).alias("_gram"),
+        )
+        .select("doc_id", F.xxhash64("_gram").alias("_g"))
+    )
+    df_counts = (
+        grams.select("_g", "doc_id")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+    )
+    return (
+        grams.join(df_counts, "_g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_docs") >= 3).cast("long")).alias("n_boiler"),
+            F.round(
+                F.sum((F.col("_docs") >= 3).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+@register(
+    "q_doc_repetition_gates",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS t FROM documents
+), toks AS (
+  SELECT doc_id, UNNEST(t) AS tok FROM norm
+), tok_stats AS (
+  SELECT doc_id, SUM(cnt) AS n_tokens,
+         MAX(cnt) AS top_cnt
+  FROM (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok)
+  GROUP BY doc_id
+), grams AS (
+  SELECT doc_id, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), gram_stats AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         COUNT(DISTINCT g) AS n_distinct
+  FROM grams GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(1.0 * t.top_cnt / t.n_tokens, 6) AS top_token_frac,
+       CAST(g.n_grams AS BIGINT) AS n_grams,
+       ROUND(1.0 - 1.0 * g.n_distinct / g.n_grams, 6) AS dup_gram_frac
+FROM tok_stats t JOIN gram_stats g ON t.doc_id = g.doc_id
+""",
+    tags=("quality", "repetition", "text"),
+)
+def q_doc_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gates (the Gopher repetition filters):
+    most-frequent-token fraction and duplicate word-3-gram fraction per
+    document — the standard signals for machine-generated or looping
+    text.
+
+    All per-document work: explode + two hash aggregates keyed by
+    doc_id, re-joined on doc_id. Map-side combine collapses each
+    partition before the shuffle; no global state, so the plan is
+    embarrassingly document-parallel at any corpus size.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    tok_rows = d.select("doc_id", F.explode(toks).alias("tok"))
+    tok_stats = (
+        tok_rows.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+    grams = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 1)), "
+                "p -> concat_ws(' ', slice(toks, p, 3)))"
+            )
+        ).alias("g"),
+    )
+    gram_stats = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct("g").alias("n_distinct"),
+    )
+    return tok_stats.join(gram_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "n_grams",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 6).alias(
+            "dup_gram_frac"
+        ),
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+
+
+@register(
+    "q_pii_scrub_stats",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://ex.org/page' || doc_id ELSE '' END AS t
+  FROM documents
+), scrub AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t, '{_URL_RE}', '<URL>', 'g'),
+                        '{_EMAIL_RE}', '<EMAIL>', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS INTEGER) AS n_urls,
+       CAST(LENGTH(t) AS BIGINT) AS len_before,
+       CAST(LENGTH(clean) AS BIGINT) AS len_after
+FROM scrub
+""",
+    tags=("quality", "pii", "text"),
+)
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction stage: count and mask emails/URLs per document.
+
+    The corpus has no natural PII, so the query PLANTS deterministic
+    contact lines in-plan (doc_id arithmetic both engines replay — the
+    same non-vacuity device as the embedding near-dup twins), then runs
+    the REAL regex scrub over the result: ``regexp_count`` for the
+    counts and nested ``regexp_replace`` for the masking, all
+    JVM-side codegen. URL masking runs first so an address inside a
+    URL can't be double-masked. The oracle hash-checks counts AND
+    masked lengths, so a regex-semantics divergence (greediness, char
+    classes) between engines would surface as a value mismatch.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://ex.org/page"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_URL_RE)).alias("n_urls"),
+        F.length("t").cast("long").alias("len_before"),
+        F.length(clean).cast("long").alias("len_after"),
+    )
+
+
+@register(
+    "q_source_length_quantiles",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source
+""",
+    tags=("quality", "profiling", "quantiles"),
+)
+def q_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution: exact interpolated
+    quartiles + mean — the profiling step behind length-based quality
+    gates and mixture rebalancing.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same definition (linear interpolation at rank ``p·(n-1)``), so the
+    exact quantile is oracle-checkable — unlike ``approx_percentile``,
+    whose t-digest result depends on partitioning and can't be
+    hash-pinned. Exact percentile sorts per group; at 100 TB switch
+    the GATE to approx_percentile and keep this exact form for audits
+    (the gate's inputs tolerate sketch error; the audit's don't).
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -48,6 +48,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.multimodal",
     "etl_project_spark.plans.temporal",
     "etl_project_spark.plans.graph",
+    "etl_project_spark.plans.quality",
 )
 
 

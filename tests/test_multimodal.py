@@ -161,3 +161,64 @@ def test_audio_stats_skip_empty_payloads(spark):
     rows = MM.audio_waveform_stats(df).collect()
     assert [r.id for r in rows] == [1]
     assert rows[0].n_samples == 3 and rows[0].peak_level == ord("c")
+
+
+def test_wav_decode_real_roundtrip(spark):
+    """RIFF/WAVE parse is REAL: chunk walk (including skipping an
+    unknown odd-sized chunk with word-alignment padding), fmt field
+    parse, PCM sample extraction — against genuine container bytes."""
+    import math
+    import struct
+
+    import numpy as np
+
+    s = (5 * 9 + 11 * np.arange(59)) % 256
+    payload = MM.encode_wav(s, 8250)
+    got = MM.decode_wav(payload)
+    a = s.astype(float)
+    r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+    assert got == {
+        "sample_rate": 8250,
+        "n_channels": 1,
+        "bits_per_sample": 8,
+        "n_samples": 59,
+        "mean_level": r4(a.mean()),
+        "peak_level": int(a.max()),
+        "rms": r4(float(np.sqrt((a**2).mean()))),
+    }
+    # odd-sized unknown chunk between fmt and data must be skipped
+    extra = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    hacked = payload[:36] + extra + payload[36:]
+    hacked = hacked[:4] + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    assert MM.decode_wav(hacked) == got
+    # 16-bit signed path
+    s16 = np.array([-32768, 0, 32767, 100], dtype="<i2")
+    w16 = (
+        b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", 8) + s16.tobytes()
+    )
+    d16 = MM.decode_wav(w16)
+    assert (d16["bits_per_sample"], d16["n_samples"], d16["peak_level"]) == (16, 4, 32768)
+
+
+def test_wav_table_decodes_through_spark(spark):
+    """make_wav_table → decode_audio end to end matches the sample-rule
+    arithmetic (the q_wav_decoded_stats oracle's claim)."""
+    import math
+
+    import numpy as np
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    decoded = {r.id: r for r in MM.decode_audio(MM.make_wav_table(docs)).collect()}
+    ids = [r.doc_id for r in docs.filter("doc_id % 4 = 1").select("doc_id").collect()]
+    assert sorted(decoded) == sorted(ids)
+    for doc_id in ids[:15]:
+        n = 32 + (3 * doc_id) % 57
+        a = ((5 * doc_id + 11 * np.arange(n)) % 256).astype(float)
+        r = decoded[doc_id]
+        assert (r.sample_rate, r.n_channels, r.bits_per_sample, r.n_samples) == (
+            8000 + 250 * (doc_id % 4), 1, 8, n,
+        )
+        assert r.mean_level == math.floor(a.mean() * 1e4 + 0.5) / 1e4
+        assert r.peak_level == int(a.max())
