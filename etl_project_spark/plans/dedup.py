@@ -337,6 +337,104 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_dedup_new_batch",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT b.doc_id AS bid, h.doc_id AS hid, COUNT(*) AS ix
+  FROM grams b JOIN grams h ON b.g = h.g
+  WHERE b.source = 'src19' AND h.source <> 'src19'
+  GROUP BY b.doc_id, h.doc_id
+), scored AS (
+  SELECT i.bid, i.hid,
+         ROUND(1.0 * i.ix / (sb.sz + sh.sz - i.ix), 4) AS jac
+  FROM inter i
+  JOIN sizes sb ON i.bid = sb.doc_id
+  JOIN sizes sh ON i.hid = sh.doc_id
+), best AS (
+  SELECT bid, hid, jac,
+         ROW_NUMBER() OVER (PARTITION BY bid ORDER BY jac DESC, hid) AS rn
+  FROM scored
+)
+SELECT d.doc_id,
+       b.hid AS best_match_id,
+       COALESCE(b.jac, 0.0) AS best_jaccard,
+       COALESCE(b.jac, 0.0) >= 0.5 AS is_near_dup
+FROM (SELECT doc_id FROM documents WHERE source = 'src19') d
+LEFT JOIN best b ON b.bid = d.doc_id AND b.rn = 1
+""",
+    tags=("dedup", "incremental"),
+)
+def q_incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the continuous-ingestion shape: score every
+    NEW document (source ``src19`` stands in for the arriving batch)
+    against the HISTORICAL corpus (all other sources) and flag
+    near-dups (word-3-gram Jaccard ≥ 0.5) with their best historical
+    match.
+
+    Unlike the all-pairs self-join families, this is an asymmetric
+    batch×history join: the batch side is small relative to history
+    (the steady-state ratio at 100 TB — a day's crawl against years of
+    corpus), so the gram equi-join shuffles the batch fully but only
+    the MATCHING slice of history; per-batch-doc argmax is a window
+    over candidate matches, bounded by near-dup fan-in. Grams are
+    xxhash64'd before the join (no string shuffle). Docs with no
+    overlapping gram still emit a row (best_jaccard 0, no match) via
+    the left join — the downstream router needs a decision for every
+    new doc, not just dupes.
+    """
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        DD.ngram_rows(d.select("doc_id", "source", "text"), "doc_id", "text", n=3)
+        .join(d.select("doc_id", "source"), F.col("_id") == F.col("doc_id"))
+        .select(F.col("_id"), F.xxhash64("_gram").alias("_g"), "source")
+        .distinct()
+    )
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    gb = grams.filter(F.col("source") == "src19").select(
+        F.col("_id").alias("_bid"), "_g"
+    )
+    gh = grams.filter(F.col("source") != "src19").select(
+        F.col("_id").alias("_hid"), "_g"
+    )
+    inter = gb.join(gh, "_g").groupBy("_bid", "_hid").agg(
+        F.count(F.lit(1)).alias("_ix")
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("_id", "_bid").withColumnRenamed("_sz", "_szb"), "_bid")
+        .join(sizes.withColumnRenamed("_id", "_hid").withColumnRenamed("_sz", "_szh"), "_hid")
+        .select(
+            "_bid",
+            "_hid",
+            F.round(
+                F.col("_ix") / (F.col("_szb") + F.col("_szh") - F.col("_ix")), 4
+            ).alias("_jac"),
+        )
+    )
+    w = W.partitionBy("_bid").orderBy(F.col("_jac").desc(), F.col("_hid"))
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    batch_ids = d.filter(F.col("source") == "src19").select("doc_id")
+    return batch_ids.join(
+        best, batch_ids["doc_id"] == best["_bid"], "left"
+    ).select(
+        "doc_id",
+        F.col("_hid").alias("best_match_id"),
+        F.coalesce(F.col("_jac"), F.lit(0.0)).alias("best_jaccard"),
+        (F.coalesce(F.col("_jac"), F.lit(0.0)) >= 0.5).alias("is_near_dup"),
+    )
+
+
+@register(
     "q_dedup_cluster_labels",
     oracle="""
 WITH RECURSIVE norm AS (

@@ -256,6 +256,196 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_top_tokens_per_source",
+    oracle=f"""
+WITH norm AS (
+  SELECT source, regexp_split_to_array({_NORM}, ' ') AS t FROM documents
+), toks AS (
+  SELECT source, UNNEST(t) AS tok FROM norm
+), counts AS (
+  SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY source, tok
+), ranked AS (
+  SELECT source, tok, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok) AS rnk
+  FROM counts
+)
+SELECT source, tok, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+    tags=("quality", "heavy-hitters", "text"),
+)
+def q_top_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-5 tokens per source (count desc, token asc
+    ties) — the vocabulary-drift / boilerplate-vocabulary profile a
+    corpus dashboard tracks per ingestion source.
+
+    Explode → per-(source, token) hash aggregate with map-side combine
+    → per-source window over the AGGREGATED counts (cardinality =
+    vocabulary size, not token occurrences, so the window input is
+    small at any corpus scale). A 100 TB note: when per-source
+    vocabularies are huge, replace row_number with a per-partition
+    top-k heap (orderBy+limit per group via aggregate), but the
+    aggregate-then-rank shape already bounds the window side.
+    """
+    from pyspark.sql import Window as W
+
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    counts = (
+        d.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "tok", "cnt", "rnk")
+    )
+
+
+@register(
+    "q_vocab_growth_curve",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS t FROM documents
+), toks AS (
+  SELECT doc_id, UNNEST(t) AS tok FROM norm
+), first_seen AS (
+  SELECT tok, MIN(doc_id) // 100 AS fb FROM toks GROUP BY tok
+), newv AS (
+  SELECT fb AS bucket, COUNT(*) AS new_tokens FROM first_seen GROUP BY fb
+), tokc AS (
+  SELECT doc_id // 100 AS bucket, COUNT(*) AS n FROM toks GROUP BY 1
+)
+SELECT t.bucket,
+       CAST(SUM(t.n) OVER w AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(v.new_tokens, 0)) OVER w AS BIGINT) AS cum_vocab
+FROM tokc t LEFT JOIN newv v ON t.bucket = v.bucket
+WINDOW w AS (ORDER BY t.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("quality", "vocab", "text"),
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: cumulative distinct tokens
+    vs cumulative token count over the corpus in ingestion order,
+    bucketed per 100 docs — the profile that sizes tokenizer
+    vocabularies and detects corpus staleness (a flattening curve
+    means new data adds no new language).
+
+    Cumulative-distinct is NOT computed with a running set: each
+    token's FIRST bucket comes from one min-aggregate (the standard
+    distributed first-occurrence trick), new-vocabulary-per-bucket is
+    a count over that, and the cumulative curve is a prefix-sum window
+    over BUCKET rows — cardinality n_docs/100, so the unpartitioned
+    window is config-sized at any corpus scale (the raw token rows
+    never enter a window).
+    """
+    from pyspark.sql import Window as W
+
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    tok_rows = d.select("doc_id", F.explode(toks).alias("tok"))
+    first_seen = tok_rows.groupBy("tok").agg(
+        (F.min("doc_id") / 100).cast("long").alias("fb")
+    )
+    newv = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    tokc = tok_rows.groupBy((F.col("doc_id") / 100).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        tokc.join(newv, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_tokens"), F.lit(0))).over(w).alias(
+                "cum_vocab"
+            ),
+        )
+    )
+
+
+@register(
+    "q_token_packing_chunks",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, len(regexp_split_to_array({_NORM}, ' ')) AS n FROM documents
+), offs AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS off
+  FROM norm
+), spans AS (
+  SELECT doc_id, n, off, c AS chunk,
+         LEAST((c + 1) * 2048, off + n) - GREATEST(c * 2048, off) AS in_chunk
+  FROM offs,
+       UNNEST(generate_series(off // 2048, (off + n - 1) // 2048)) u(c)
+)
+SELECT chunk,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(in_chunk) AS BIGINT) AS n_tokens
+FROM spans GROUP BY chunk
+""",
+    tags=("quality", "packing", "text"),
+)
+def q_token_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the pretraining batcher's view: concatenate
+    all documents in corpus order and cut the token stream into fixed
+    2048-token training chunks; report how many documents each chunk
+    touches and how many tokens it holds (all 2048 except the tail).
+
+    The document→chunk span mapping is pure arithmetic once each doc
+    knows its global token OFFSET: a prefix-sum window ordered by
+    doc_id, then ``sequence(first_chunk, last_chunk)`` + explode to
+    materialize the span. The prefix sum is the one sequential
+    dependency; at 100 TB it becomes the standard two-pass scheme
+    (per-partition subtotal, driver-side cumulative of ~thousands of
+    subtotals broadcast back) — the window form here expresses the
+    same contract the oracle checks.
+    """
+    from pyspark.sql import Window as W
+
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    sized = d.select("doc_id", F.size(toks).alias("n"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    offs = sized.select(
+        "doc_id",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"),
+    )
+    spans = offs.select(
+        "doc_id",
+        "n",
+        "off",
+        F.explode(
+            F.sequence(
+                (F.col("off") / 2048).cast("long"),
+                ((F.col("off") + F.col("n") - 1) / 2048).cast("long"),
+            )
+        ).alias("chunk"),
+    ).select(
+        "chunk",
+        (
+            F.least((F.col("chunk") + 1) * 2048, F.col("off") + F.col("n"))
+            - F.greatest(F.col("chunk") * 2048, F.col("off"))
+        ).alias("in_chunk"),
+    )
+    return spans.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("in_chunk").alias("n_tokens"),
+    )
+
+
+@register(
     "q_source_length_quantiles",
     oracle="""
 SELECT source,
