@@ -778,3 +778,143 @@ def connected_components(
     from etl_project_spark.session import track_for_release
 
     return track_for_release(result)
+
+
+# -- Containment + prefix-filtered set-similarity join ---------------------
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directional n-gram containment pairs: C(A→B) = |A∩B| / |A|.
+
+    The asymmetric twin of :func:`ngram_jaccard_pairs` (Lee et al.'s
+    dedup paper uses both): containment catches a short document
+    swallowed whole by a longer one — a quote, a mirrored excerpt, a
+    page embedded in a crawl dump — where Jaccard stays low because
+    the union is dominated by the long side. Output rows are
+    DIRECTIONAL (``id_a`` is the contained side), so a (sub, super)
+    duplicate yields one high-containment row even when the reverse
+    direction is far below threshold.
+
+    Same inverted-index scale shape as the Jaccard family: grams are
+    xxhash64'd to 8-byte keys before the distinct and the self-join,
+    shuffle is on the gram hash, and only pairs sharing ≥1 gram ever
+    materialize. No cross join at any corpus size.
+    """
+    inv = (
+        ngram_rows(ensure_parallelism(df), id_col, text_col, n=n)
+        .select("_id", F.xxhash64("_gram").alias("_g64"))
+        .dropDuplicates(["_id", "_g64"])
+    )
+    sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a._g64") == F.col("b._g64")) & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    return (
+        shared.join(sa, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_inter") / F.col("_sz_a"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via PREFIX-FILTERED candidate
+    generation (Chaudhuri et al. 2006 / PPJoin's prefix principle).
+
+    Same answer as the plain inverted-index join, far fewer candidate
+    rows: order each document's grams by ascending global document
+    frequency (rarest first, ties by gram hash — one global total
+    order), keep only the first ``sz - floor(t·sz) + 1`` grams, and
+    self-join the PREFIXES. The prefix principle guarantees any pair
+    with Jaccard ≥ t shares ≥1 prefix gram under a common order, so
+    the candidate set is lossless; the exact verify join then computes
+    true Jaccard over the FULL gram sets. ``floor`` (not the canonical
+    ``ceil``) keeps the prefix one gram longer whenever t·sz is
+    fractional — immune to float representation of t·sz, still exact.
+
+    Scale: the candidate join moves only prefix rows — for t=0.5
+    roughly half the gram rows, and crucially the HOT grams (stopword
+    n-grams shared by everything) sort to the END of each document's
+    order, so the quadratic bucket blowup the plain inverted index
+    suffers on high-DF grams never enters candidate generation. The
+    DF table is a gram-keyed aggregate (map-side combined), and every
+    stage is an equi-join on 8-byte keys.
+    """
+    inv = (
+        ngram_rows(ensure_parallelism(df), id_col, text_col, n=n)
+        .select("_id", F.xxhash64("_gram").alias("_g64"))
+        .dropDuplicates(["_id", "_g64"])
+    )
+    sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    dfreq = inv.groupBy("_g64").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy("_df", "_g64")
+    prefix = (
+        inv.join(dfreq, "_g64")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "_id")
+        .filter(
+            F.col("_rk")
+            <= F.col("_sz") - F.floor(F.lit(float(threshold)) * F.col("_sz")) + 1
+        )
+        .select("_id", "_g64")
+    )
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("pa._g64") == F.col("pb._g64"))
+            & (F.col("pa._id") < F.col("pb._id")),
+        )
+        .select(F.col("pa._id").alias("id_a"), F.col("pb._id").alias("id_b"))
+        .distinct()
+    )
+    ga = inv.select(F.col("_id").alias("id_a"), "_g64")
+    gb = inv.select(F.col("_id").alias("id_b"), "_g64")
+    inter = (
+        candidates.join(ga, "id_a")
+        .join(gb, ["id_b", "_g64"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
+                4,
+            ).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

@@ -554,3 +554,52 @@ def ivf_topk_indexed(
     index = spark.read.parquet(path)
     candidates = index.filter(F.col("_cell").isin(probe))
     return brute_force_topk(candidates, vec_col, query_vec, k=k, id_col=id_col)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster-then-compare.
+
+    The Abbas et al. (2023) SemDeDup recipe re-expressed relationally:
+    assign every embedding to its nearest coarse centroid
+    (:func:`ivf_assign` — one Arrow matmul per batch against the
+    config-sized centroid matrix), then compute exact pairwise cosine
+    ONLY within each cell via a self-equi-join on ``_cell``. Pair cost
+    drops from O(n²) to O(Σ |cell|²) ≈ n²/k for balanced cells — the
+    property that makes semantic dedup feasible on a pretraining-scale
+    corpus, at the documented price that a near-dup pair split across
+    two cells is not examined (both engines in the parity check apply
+    the identical cell rule, so the trade-off itself is hash-checked).
+
+    Scale: the join shuffles on the int ``_cell`` key; skewed cells
+    respond to AQE skew-join splitting since the per-cell workload is
+    embarrassingly pair-parallel. Nothing is collected — the centroid
+    list is config-sized index metadata, exactly as in IVF.
+    """
+    from etl_project_spark.operators.dedup import cosine_similarity
+
+    assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = F.round(
+        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -565,3 +565,149 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "q_ngram_containment_pairs",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b,
+       ROUND(1.0 * s.inter / sa.sz, 4) AS containment
+FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
+WHERE ROUND(1.0 * s.inter / sa.sz, 4) >= 0.6
+""",
+    tags=("dedup", "ngram", "containment"),
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional word-3-gram containment pairs ≥ 0.6.
+
+    |A∩B| / |A| instead of Jaccard: catches a document contained in a
+    longer one (quotes, mirrored excerpts) that union-normalized
+    similarity misses. Exact inverted-index formulation — the SQL twin
+    rebuilds the same grams and the same asymmetric ratio, with rows
+    directional (id_a = the contained side).
+    """
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_jaccard_prefix_filter_pairs",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b,
+       ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) AS jaccard_sim
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.5
+""",
+    tags=("dedup", "ngram", "prefix-filter"),
+)
+def q_jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard ≥ 0.5 pairs via PREFIX-FILTERED candidates (PPJoin-style).
+
+    The oracle is deliberately the NAIVE exact inverted-index SQL: the
+    prefix filter is a lossless candidate-pruning theorem, so the
+    smarter plan must produce the bit-identical pair set — the
+    optimization itself is what the hash check verifies. Candidate
+    generation joins only each doc's rarest-gram prefix (hot grams
+    sort last and never enter the join), which is what keeps the
+    candidate count linear-ish as corpus frequency skew grows with
+    scale.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return DD.jaccard_prefix_filter_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_semantic_dedup_pairs",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+  FROM embeddings
+), cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, emb AS cvec
+  FROM (SELECT vec_id, emb FROM corpus
+        WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16)
+), assigned AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT c2.vec_id, c2.emb, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c2.vec_id
+             ORDER BY list_cosine_similarity(c2.emb, c.cvec) DESC, c.cell_id) AS rn
+    FROM corpus c2 CROSS JOIN cents c)
+  WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine_sim
+FROM assigned a
+JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.9
+""",
+    tags=("dedup", "embedding", "semantic"),
+)
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-compare near-dup pairs (cosine ≥ 0.9).
+
+    Same planted-twin corpus as `q_embedding_near_dup_pairs` (natural
+    corpus is near-orthogonal, so the exact pair set at 0.9 would be
+    vacuous), but a DIFFERENT pruning strategy: nearest-of-16-centroids
+    cell assignment (the IVF kernel, oracle-proven arithmetic), then
+    exact pairwise cosine within cells only. The oracle replays the
+    identical cell rule, so the cluster-pruning trade-off — a pair
+    split across cells is skipped — is itself hash-checked rather than
+    hand-waved. Complements the LSH family: SemDeDup prunes by data
+    geometry (k cells ⇒ ~n²/k pairs), LSH by analytic recall.
+    """
+    from etl_project_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    twins = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.01D)").alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(twins)
+    cents = SIM.deterministic_centroids(corpus, "embedding", "vec_id", n_cells=16)
+    return SIM.semantic_dedup_pairs(
+        corpus, "vec_id", "embedding", cents, threshold=0.9
+    ).orderBy("id_a", "id_b")

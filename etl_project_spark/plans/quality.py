@@ -481,3 +481,50 @@ def q_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct[2], 4).alias("p75"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "q_quality_weighted_sample",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source,
+         GREATEST(0.05, LEAST(1.0, n_chars / 2000.0)) AS w,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS u
+  FROM documents
+)
+SELECT doc_id, source, ROUND(w, 4) AS q_weight
+FROM scored
+WHERE u < CAST(FLOOR(w * 1000000) AS BIGINT)
+""",
+    tags=("sample", "quality", "deterministic"),
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: P(keep) ∝ length score.
+
+    The importance-sampling step of corpus curation — upweight long
+    documents, keep a floor probability for short ones — made
+    reproducible: acceptance compares a per-doc md5 uniform (the
+    engine-portable hash device from `q_hash_sample_documents`)
+    against the doc's weight, so any engine agrees on the exact kept
+    set; no RNG, no seed drift between runs or engines. ``FLOOR``
+    before the integer compare on BOTH sides because DuckDB's
+    double→BIGINT cast rounds while Spark's truncates.
+
+    Scale: a map-side filter — no shuffle, pushdown-friendly, and the
+    acceptance test reads only (doc_id, n_chars), never the payload.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    w = F.greatest(F.lit(0.05), F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0)))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    return (
+        d.withColumn("_w", w)
+        .withColumn("_u", u)
+        .filter(F.col("_u") < F.floor(F.col("_w") * 1000000).cast("bigint"))
+        .select("doc_id", "source", F.round(F.col("_w"), 4).alias("q_weight"))
+    )

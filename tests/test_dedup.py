@@ -241,3 +241,116 @@ def test_connected_components_deep_chain_logarithmic_rounds(spark):
     assert all(got[i] == 0 for i in range(1001))
     assert all(got[2000 + i] == 2000 for i in range(501))
     assert got[9001] == got[9002] == got[9003] == 9001
+
+
+def test_prefix_filter_equals_plain_inverted_index(spark, docs):
+    """The prefix filter is a lossless theorem: the PPJoin-style plan
+    must produce the bit-identical pair set to the naive inverted-index
+    join at the same threshold — on the real corpus slice, not a toy.
+    """
+    plain = {
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in DD.jaccard_prefix_filter_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert pref == plain and len(plain) > 0
+
+
+def test_prefix_filter_candidate_reduction(spark, docs):
+    """The point of the prefix filter: candidate pairs from prefix-gram
+    collisions must be strictly fewer than from all-gram collisions
+    (else the extra stage buys nothing)."""
+    from pyspark.sql import Window
+
+    inv = (
+        DD.ngram_rows(docs, "doc_id", "text", n=3)
+        .select("_id", F.xxhash64("_gram").alias("_g64"))
+        .dropDuplicates(["_id", "_g64"])
+    )
+    all_cand = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a._g64") == F.col("b._g64")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id"), F.col("b._id"))
+        .distinct()
+        .count()
+    )
+    sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    dfreq = inv.groupBy("_g64").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_g64")
+    prefix = (
+        inv.join(dfreq, "_g64")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "_id")
+        .filter(F.col("_rk") <= F.col("_sz") - F.floor(0.5 * F.col("_sz")) + 1)
+        .select("_id", "_g64")
+    )
+    pref_cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a._g64") == F.col("b._g64")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id"), F.col("b._id"))
+        .distinct()
+        .count()
+    )
+    assert pref_cand < all_cand
+
+
+def test_containment_directional_and_bounded(spark, docs):
+    pairs = DD.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6
+    ).collect()
+    assert len(pairs) > 0
+    seen = set()
+    for r in pairs:
+        assert r.id_a != r.id_b
+        assert 0.6 <= r.containment <= 1.0
+        seen.add((r.id_a, r.id_b))
+    # containment >= jaccard: every jaccard>=0.6 pair must appear in
+    # BOTH directions in the containment>=0.6 output
+    jac = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6).collect()
+    for r in jac:
+        assert (r.id_a, r.id_b) in seen and (r.id_b, r.id_a) in seen
+
+
+def test_semantic_dedup_pairs_same_cell_and_verified(spark):
+    """Pairs are (a) ordered, (b) above threshold with exact cosine,
+    (c) only within one centroid cell — the SemDeDup pruning contract."""
+    import numpy as np
+
+    from etl_project_spark.operators import similarity as SIM
+
+    emb = read_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    cents = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=8)
+    out = SIM.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", cents, threshold=0.3
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    C = np.array(cents)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def cell(v):
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        return int(np.argmax(vn @ Cn.T))
+
+    assert len(out) > 0
+    for r in out:
+        assert r.id_a < r.id_b
+        assert r.cosine_sim >= 0.3
+        a, b = vecs[r.id_a], vecs[r.id_b]
+        exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(exact - r.cosine_sim) < 1e-3
+        assert cell(a) == cell(b)
