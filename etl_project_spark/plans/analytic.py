@@ -931,3 +931,67 @@ def q_monthly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_mad_outlier_prices",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+  FROM lineitem GROUP BY l_returnflag
+), dev AS (
+  SELECT l.l_returnflag, l.l_extendedprice, med.m,
+         ABS(l.l_extendedprice - med.m) AS ad
+  FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+), mad AS (
+  SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad FROM dev
+  GROUP BY l_returnflag
+)
+SELECT dev.l_returnflag,
+       ROUND(ANY_VALUE(dev.m), 4) AS median_price,
+       ROUND(ANY_VALUE(mad.mad), 4) AS mad_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
+GROUP BY dev.l_returnflag
+""",
+    tags=("stats", "outlier", "robust"),
+)
+def q_mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation.
+
+    The robust twin of z-score outlier flagging
+    (`q_grouped_map_zscore_docs`): median/MAD are breakdown-resistant,
+    so a contaminated group can't hide its own outliers by inflating
+    the stddev — the standard screen for corrupt numeric feeds in a
+    data-quality gate. Flag = |x - median| > 3·MAD.
+
+    Two aggregate passes (median, then median-of-deviations) with the
+    tiny per-group stat broadcast back each time — the group keyspace
+    (3 flags) is config-sized, so both joins are broadcasts and the
+    lineitem scan is the only large input, read twice. Spark
+    `percentile` = DuckDB `quantile_cont` (same rank interpolation),
+    the device proven by `q_source_length_quantiles`.
+    """
+    tune_session(spark)
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("m")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "ad", F.abs(F.col("l_extendedprice") - F.col("m"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.expr("percentile(ad, 0.5D)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("m"), 4).alias("median_price"),
+            F.round(F.first("mad"), 4).alias("mad_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -582,3 +582,129 @@ def q_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "q_time_weighted_avg_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS t_us,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+  FROM events
+)
+SELECT user_id,
+       ROUND(SUM(value * (next_us - t_us)) / SUM(next_us - t_us), 4)
+         AS twa_value,
+       ROUND((MAX(next_us) - MIN(t_us)) / 1000000.0, 4) AS span_s
+FROM seq
+WHERE next_us IS NOT NULL
+GROUP BY user_id
+HAVING SUM(next_us - t_us) > 0
+""",
+    tags=("events", "temporal", "twa"),
+)
+def q_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user (TimescaleDB's
+    `time_weight('LOCF', ...)` semantics): each observation holds its
+    value until the next one, so the mean weights each reading by how
+    long it was current — the correct average for irregularly-sampled
+    gauges, where the arithmetic mean over-counts busy periods.
+
+    One window pass (lead over (ts, event_id) — the total order makes
+    equal-timestamp ties deterministic: tied readings get zero
+    duration) then a hash aggregate; shuffle ∝ users once, reused by
+    both the window and the groupBy since they share the user_id key.
+    Microsecond integer arithmetic end to end — no float time math to
+    diverge between engines.
+    """
+    e = _events(spark, sf_dir)
+    # TIMESTAMP_NTZ → µs: unix_micros needs LTZ, so go via the
+    # NTZ-safe cast chain used across this module.
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * (F.col("next_us") - F.col("t_us")))
+                / F.sum(F.col("next_us") - F.col("t_us")),
+                4,
+            ).alias("twa_value"),
+            F.round(
+                (F.max("next_us") - F.min("t_us")) / F.lit(1000000.0), 4
+            ).alias("span_s"),
+        )
+        .filter(F.col("twa_value").isNotNull())
+    )
+
+
+@register(
+    "q_session_window_value_sums",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   >= {SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_S} SECONDS AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM islands
+GROUP BY user_id, sess
+""",
+    tags=("events", "session-window"),
+)
+def q_session_window_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregates via the NATIVE `session_window` API
+    (batch form of the streaming session operator).
+
+    `q_sessionize_users` builds sessions by hand (gaps-and-islands);
+    this twin exercises Spark's built-in dynamic-gap session windows —
+    the same operator the streaming path uses with a watermark — and
+    pins its exact merge rule against an islands oracle: a new session
+    starts when the gap is ≥ 30 min (the session window [start,
+    last+gap) is end-EXCLUSIVE, so an event exactly at last+gap falls
+    outside — hence `>=`, unlike the hand-rolled query's documented
+    `>` contract). window.end = last_ts + gap, replayed as MAX(ts) +
+    INTERVAL in the oracle.
+
+    Scale: one shuffle on user_id, then per-key in-memory merge —
+    exactly the state layout the streaming twin keeps per key.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

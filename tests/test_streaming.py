@@ -61,6 +61,28 @@ def test_stream_session_windows_drain(spark, events_path):
         assert r.n_events >= 1
 
 
+def test_stream_session_windows_match_batch_twin(spark, events_path):
+    """Full equivalence with the oracle-backed batch twin: the
+    streaming session_window drained over the whole corpus must yield
+    the EXACT session set (boundaries, counts, sums) that
+    q_session_window_value_sums computes in batch — pinning that the
+    incremental merge and the batch merge share one gap rule."""
+    stream = SE.read_events_stream(spark, events_path)
+    _drain(SE.stream_session_windows(stream, gap="30 minutes"), "sessions_eq")
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.session_value)
+        for r in spark.sql("SELECT * FROM sessions_eq").collect()
+    }
+    from etl_project_spark.plans.registry import all_specs
+
+    batch = all_specs()["q_session_window_value_sums"].builder(spark, SF_ORACLE)
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_join_matches_batch(spark, events_path):
     """Stream-stream interval join drained over the full corpus must
     equal the batch twin (same condition, no late data in the fixture
