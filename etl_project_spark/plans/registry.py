@@ -49,6 +49,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.temporal",
     "etl_project_spark.plans.graph",
     "etl_project_spark.plans.quality",
+    "etl_project_spark.plans.timeseries",
 )
 
 

@@ -1,0 +1,422 @@
+"""Time-series analytics: OHLC bars, period-over-period growth, EWMA,
+sweep-line interval concurrency, transition matrices, histograms, RFM.
+
+The reference (a pandas scraping script, ``flows/etl.py``) has none of
+these; they round out the north-star analytic surface (SURVEY.md §2.5)
+with the time-series shapes a warehouse team actually runs. Every query
+is a declarative plan with an exact DuckDB oracle; each docstring
+carries the 100 TB physical-shape argument.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# OHLC resampling: the canonical time-series downsample (tick data ->
+# bars). first/last are argmin/argmax by (ts, event_id) — single-pass
+# hash aggregate, no window, no sort. At 100 TB this is one shuffle on
+# (event_type, hour) with map-side partial aggregation; the unique
+# event_id tiebreak makes open/close deterministic under equal ts.
+# --------------------------------------------------------------------------
+@register(
+    "q_ohlc_hourly_value",
+    oracle="""
+SELECT event_type,
+       DATE_TRUNC('hour', ts) AS bar_hour,
+       FIRST(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       LAST(value ORDER BY ts, event_id) AS close,
+       COUNT(*) AS volume,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY event_type, DATE_TRUNC('hour', ts)
+""",
+    tags=("timeseries", "ohlc", "resample"),
+)
+def q_ohlc_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to hourly OHLC bars per event type.
+
+    ``min_by``/``max_by`` on a (ts, event_id) struct give open/close in
+    the same single-pass aggregate as high/low/volume — no window sort,
+    no self-join. The streaming twin is a tumbling ``window(ts, '1
+    hour')`` with the identical aggregate list.
+    """
+    e = _t(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
+    ).agg(
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Period-over-period growth: aggregate-then-window. The lag runs over
+# the ~80-row monthly aggregate, not the base table, so the global
+# (unpartitioned) window is a deliberate post-reduction step — the
+# 100 TB rule is "never window the fact table globally", and this
+# plan reduces first (one hash-agg shuffle) before the tiny sort.
+# --------------------------------------------------------------------------
+@register(
+    "q_mom_revenue_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS month,
+         SUM(o_totalprice) AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT month,
+       ROUND(revenue, 2) AS revenue,
+       ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month), 4) AS growth_pct,
+       ROUND(100.0 * (revenue - LAG(revenue, 12) OVER (ORDER BY month))
+             / LAG(revenue, 12) OVER (ORDER BY month), 4) AS yoy_pct
+FROM monthly
+""",
+    tags=("timeseries", "growth", "window"),
+)
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth.
+
+    Hash-aggregate to monthly totals first (map-side combine), then
+    LAG(1) and LAG(12) over the month axis. Growth is computed on the
+    unrounded sums — a double sum differs between engines only at
+    ~1e-10 relative, far inside the 4-decimal rounding.
+    """
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("growth_pct"),
+        F.round(100.0 * (F.col("revenue") - prev12) / prev12, 4).alias("yoy_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: the classic CRM rollup. Recency/frequency/monetary
+# per customer (one hash-agg), quartile labels via NTILE, then a
+# segment-level rollup. The NTILE windows order the *customer-level*
+# aggregate (1 row per customer), tie-broken by the unique custkey so
+# both engines assign identical quartiles. At 100 TB the exact-NTILE
+# step becomes approx-quantile cut points + a broadcast range lookup —
+# same output contract, no global sort; the exact form is kept here
+# because it is oracle-checkable.
+# --------------------------------------------------------------------------
+@register(
+    "q_rfm_segments",
+    oracle="""
+WITH anchor AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         DATEDIFF('day', MAX(o_orderdate), (SELECT max_d FROM anchor)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(o_totalprice) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, monetary,
+         NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM rfm
+)
+SELECT CONCAT('R', r_q, 'F', f_q, 'M', m_q) AS segment,
+       COUNT(*) AS n_customers,
+       ROUND(AVG(monetary), 2) AS avg_monetary
+FROM scored
+GROUP BY 1
+""",
+    tags=("timeseries", "rfm", "segmentation"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of customers from their order history.
+
+    Recency anchored to the corpus max order date (scalar agg,
+    broadcast). Quartiles: best = 1 on every axis (most recent, most
+    frequent, highest spend), so 'R1F1M1' is the champion segment.
+    """
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("max_d"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("max_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(4).over(W.orderBy("recency_days", "o_custkey")).alias("r_q"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_q"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_q"),
+    )
+    return scored.groupBy(
+        F.concat(F.lit("R"), "r_q", F.lit("F"), "f_q", F.lit("M"), "m_q").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval concurrency with a DISTRIBUTED prefix sum. The
+# naive plan is a running sum over one global ordering — a single
+# reducer, dead at scale. This plan is the textbook two-phase scan:
+# (1) running sum WITHIN each month partition, (2) a carry-in per month
+# from the cumulative month totals (a ~#months-row window, broadcast
+# back). Identical answer, shuffle bounded by the month hash.
+# --------------------------------------------------------------------------
+@register(
+    "q_max_concurrent_open_orders",
+    oracle="""
+WITH iv AS (
+  SELECT o.o_orderkey, o.o_orderdate AS open_ts, MAX(l.l_shipdate) AS close_ts
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+  SELECT open_ts AS ts, 1 AS d, o_orderkey FROM iv
+  UNION ALL
+  SELECT close_ts AS ts, -1 AS d, o_orderkey FROM iv
+),
+running AS (
+  SELECT ts, SUM(d) OVER (ORDER BY ts, d DESC, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS open_now
+  FROM deltas
+)
+SELECT DATE_TRUNC('month', ts) AS month,
+       CAST(MAX(open_now) AS BIGINT) AS max_open
+FROM running
+GROUP BY 1
+""",
+    tags=("timeseries", "sweepline", "intervals"),
+)
+def q_max_concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously open orders per month (sweep line).
+
+    An order is open from o_orderdate until its last lineitem ships.
+    Opens sort before closes at equal timestamps (d DESC), so touching
+    intervals count as concurrent; the orderkey tiebreak makes the
+    running sum's row order deterministic (the per-month MAX is
+    invariant to permutations within an equal (ts, d) group).
+
+    Distributed prefix sum: in-month running totals + an exclusive
+    cumulative carry over the tiny month-total frame, joined back via
+    broadcast — no global ordering ever materializes.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+    )
+    deltas = iv.select(
+        F.col("o_orderdate").alias("ts"), F.lit(1).alias("d"), "o_orderkey"
+    ).unionAll(
+        iv.select(F.col("close_ts").alias("ts"), F.lit(-1).alias("d"), "o_orderkey")
+    )
+    deltas = deltas.withColumn("month", F.date_trunc("month", "ts"))
+    w_in = (
+        W.partitionBy("month")
+        .orderBy("ts", F.desc("d"), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    in_month = deltas.withColumn("run_in", F.sum("d").over(w_in))
+    totals = deltas.groupBy("month").agg(F.sum("d").alias("mtot"))
+    w_carry = W.orderBy("month").rowsBetween(W.unboundedPreceding, -1)
+    carry = totals.withColumn("carry", F.coalesce(F.sum("mtot").over(w_carry), F.lit(0)))
+    return (
+        in_month.join(F.broadcast(carry.select("month", "carry")), "month")
+        .groupBy("month")
+        .agg(F.max(F.col("run_in") + F.col("carry")).cast("long").alias("max_open"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over the event stream: P(next_type | type)
+# per user-ordered sequence. One shuffle on user_id for the LAG, one
+# hash-agg on the (prev, next) pair (25 output rows regardless of
+# corpus size), and the normalizing window runs over that tiny frame.
+# --------------------------------------------------------------------------
+@register(
+    "q_event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       COUNT(*) AS n_transitions,
+       ROUND(COUNT(*) * 1.0 /
+             SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS prob
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    tags=("timeseries", "markov", "sequence"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts and row-normalized probabilities.
+
+    The conditional probability divides by the per-prev_type total via
+    a window over the aggregated matrix (|types|² rows), not the raw
+    stream.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_row = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(w_row), 6
+        ).alias("prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram: embarrassingly parallel binning. Min/max are a
+# scalar aggregate broadcast to every task; the bin id is pure
+# arithmetic inside whole-stage codegen and the final agg is a 20-row
+# hash aggregate. (The equi-DEPTH twin is q_ntile_acctbal_quartiles /
+# q_percentiles_order_value.) Both engines evaluate the identical
+# double expression, so bin boundaries match bit-for-bit.
+# --------------------------------------------------------------------------
+@register(
+    "q_equiwidth_price_histogram",
+    oracle="""
+WITH b AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+)
+SELECT CAST(LEAST(FLOOR((l_extendedprice - b.lo) / ((b.hi - b.lo) / 20.0)), 19)
+            AS INTEGER) AS bin_id,
+       ROUND(MIN(l_extendedprice), 2) AS bin_min,
+       ROUND(MAX(l_extendedprice), 2) AS bin_max,
+       COUNT(*) AS n_items,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price
+FROM lineitem, b
+GROUP BY 1
+""",
+    tags=("timeseries", "histogram",),
+)
+def q_equiwidth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of lineitem extended price.
+
+    The top boundary value folds into the last bin (LEAST(..., 19)),
+    the standard closed-right convention for the max element.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    binned = li.crossJoin(F.broadcast(b)).withColumn(
+        "bin_id",
+        F.least(F.floor((F.col("l_extendedprice") - F.col("lo")) / width), F.lit(19))
+        .cast("integer"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA by left fold over the time-ordered per-user sequence. Both
+# engines seed the fold with the first observation and apply
+# acc*(1-α) + x*α in the identical order, so the doubles are
+# bit-identical before rounding. The collected array is bounded by
+# per-user activity (the partition key), never the corpus — the same
+# contract as every applyInPandas sequence op in this repo; a
+# segmented scan (running-sum trick in log space) is the fallback for
+# pathological single-key users.
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "q_ewma_user_value",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, LIST(value ORDER BY ts, event_id) AS vals
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(LEN(vals) AS BIGINT) AS n_events,
+       ROUND(LIST_REDUCE(vals,
+             (acc, x) -> acc * {1.0 - _EWMA_ALPHA} + x * {_EWMA_ALPHA}), 6)
+           AS ewma_value
+FROM ordered
+""",
+    tags=("timeseries", "ewma", "fold"),
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event value per user.
+
+    s₁ = x₁; sₙ = (1-α)·sₙ₋₁ + α·xₙ with α = 0.3; reports the final
+    smoothed value per user. Spark folds with F.aggregate over the
+    sorted array; DuckDB's LIST_REDUCE seeds with element 1 — the exact
+    same recurrence.
+    """
+    e = _t(spark, sf_dir, "events")
+    collected = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
+    )
+    a = _EWMA_ALPHA
+    return collected.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(
+            F.aggregate(
+                F.expr("slice(seq, 2, size(seq) - 1)"),
+                F.element_at("seq", 1)["value"].cast("double"),
+                lambda acc, x: acc * (1.0 - a) + x["value"] * a,
+            ),
+            6,
+        ).alias("ewma_value"),
+    )
