@@ -50,6 +50,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.graph",
     "etl_project_spark.plans.quality",
     "etl_project_spark.plans.timeseries",
+    "etl_project_spark.plans.linkage",
 )
 
 
