@@ -1,0 +1,131 @@
+"""Runtime-filter patterns: an explicit distributed Bloom-filter
+semi-join reduction.
+
+At 100 TB the dominant cost of a selective join is shuffling probe-side
+rows that can never match. Spark's AQE injects bloom runtime filters
+automatically in some shapes; this module builds the pattern explicitly
+— a bitmap the size of a config value, built with one aggregation over
+the small side, broadcast, and applied as a pre-shuffle filter — so the
+engine exposes it as a first-class, testable operator. The final answer
+always goes through the EXACT semi-join; the Bloom stage only discards
+guaranteed non-matches, so false positives cost work, never
+correctness (asserted in tests/test_linkage.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+#: Bitmap geometry: 2^16 bits = 1024 longs ≈ 8 KB broadcast; 3 hashes.
+_BLOOM_BITS = 1 << 16
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3
+
+
+def _pos_expr(key: str, seed: int) -> str:
+    """SQL text for the (key, seed) bit position inside the bitmap."""
+    return f"pmod(xxhash64({key}, {seed}), {_BLOOM_BITS})"
+
+
+def _word_col(key: str, seed: int) -> Column:
+    return F.expr(f"CAST({_pos_expr(key, seed)} / 64 AS INT)")
+
+
+def _mask_col(key: str, seed: int) -> Column:
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_pos_expr(key, seed)} % 64 AS INT))"
+    )
+
+
+def bloom_build(df: DataFrame, key: str) -> DataFrame:
+    """Aggregate the build side into a (word_idx, bits) bitmap table.
+
+    One explode of K seeds per build row, then a BIT_OR hash-agg keyed
+    on the word index — the result is ≤ _BLOOM_WORDS rows regardless
+    of build cardinality, i.e. broadcastable by construction.
+    """
+    seeded = df.select(
+        F.col(key),
+        F.explode(F.array(*[F.lit(s) for s in range(_BLOOM_K)])).alias("seed"),
+    )
+    pos = f"pmod(xxhash64({key}, seed), {_BLOOM_BITS})"
+    return (
+        seeded.select(
+            F.expr(f"CAST({pos} / 64 AS INT)").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_prefilter(probe: DataFrame, key: str, bloom: DataFrame) -> DataFrame:
+    """Keep only probe rows whose K bloom bits are all set.
+
+    K aliased broadcast joins against the tiny bitmap table — no
+    fan-out, no re-aggregation of the probe side; rows missing a word
+    (left join null) or with an unset bit are discarded before any
+    expensive downstream shuffle.
+    """
+    out = probe
+    for s in range(_BLOOM_K):
+        b = bloom.select(
+            F.col("word_idx").alias(f"w{s}"), F.col("bits").alias(f"b{s}")
+        )
+        out = (
+            out.join(F.broadcast(b), _word_col(key, s) == F.col(f"w{s}"), "left")
+            .where(
+                F.col(f"b{s}").isNotNull()
+                & (F.col(f"b{s}").bitwiseAND(_mask_col(key, s)) != 0)
+            )
+            .drop(f"w{s}", f"b{s}")
+        )
+    return out
+
+
+@register(
+    "q_bloom_prefilter_semi_join",
+    oracle="""
+SELECT l.l_returnflag,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM supplier s
+  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal > 9000
+)
+GROUP BY l.l_returnflag
+""",
+    tags=("join", "bloom", "runtime-filter"),
+)
+def q_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from rich-supplier lineitems, with an explicit Bloom
+    runtime filter ahead of the exact semi-join.
+
+    Build: suppliers with acctbal > 9000 → 8 KB bitmap. Probe:
+    lineitem keeps only rows passing all 3 hash checks, THEN the exact
+    broadcast left-semi join removes bloom false positives. The
+    aggregate is identical to the plain EXISTS oracle — the bloom
+    stage is provably answer-neutral.
+    """
+    tune_session(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9000)
+    bloom = bloom_build(supp, "s_suppkey")
+    candidates = bloom_prefilter(li, "l_suppkey", bloom)
+    exact = candidates.join(
+        F.broadcast(supp.select("s_suppkey")),
+        candidates.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -346,3 +346,115 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("val"), 4).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+@register(
+    "q_hard_negative_mining",
+    oracle=f"""
+WITH anchors AS (
+  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS a_emb, label AS a_label
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT a.a_id, e.vec_id AS neg_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.a_emb), 4)
+             AS score,
+         ROW_NUMBER() OVER (
+             PARTITION BY a.a_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                   a.a_emb), 4) DESC, e.vec_id)
+             AS rank
+  FROM anchors a JOIN embeddings e
+    ON e.label <> a.a_label
+)
+SELECT a_id, neg_id, score, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= 5
+""",
+    tags=("similarity", "hard-negatives", "contrastive"),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: for each anchor vector,
+    the 5 most-similar corpus vectors with a DIFFERENT label.
+
+    The mining recipe behind dense-retriever training (in-batch
+    negatives are easy; the useful ones are near-misses). The anchor
+    set is a broadcast (5 rows); scoring is the JVM zip_with cosine,
+    and the top-5 cut is a per-anchor window — with a realistic anchor
+    batch this is the brute-force kNN-join shape, and the LSH variant
+    (q_knn_join_lsh) is the 100 TB path for large anchor sets.
+    """
+    from etl_project_spark.operators.dedup import cosine_similarity
+
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    anchors = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("emb").alias("a_emb"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        e.join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
+        .select(
+            "a_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round(cosine_similarity(F.col("emb"), F.col("a_emb")), 4).alias("score"),
+        )
+    )
+    w = W.partitionBy("a_id").orderBy(F.desc("score"), "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("a_id", "neg_id", "score", "rank")
+    )
+
+
+@register(
+    "q_embedding_covariance",
+    oracle="""
+SELECT CAST(i AS INTEGER) AS dim_i, CAST(j AS INTEGER) AS dim_j,
+       ROUND(COVAR_POP(CAST(embedding[CAST(i AS INT)] AS DOUBLE),
+                       CAST(embedding[CAST(j AS INT)] AS DOUBLE)), 6) AS cov
+FROM embeddings, range(1, 9) r1(i), range(1, 9) r2(j)
+WHERE i <= j
+GROUP BY i, j
+""",
+    tags=("similarity", "covariance", "stats"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the first 8 embedding dims
+    (upper triangle, long form) — the input to PCA whitening.
+
+    For small fixed d the best plan is NO fan-out at all: project the
+    d components once and compute all d(d+1)/2 COVAR_POP aggregates in
+    a single pass (one scan, one 1-row shuffle), then unpivot
+    driver-free via stack(). For large d, switch to the posexplode
+    outer-product form of q_label_centroids — same output contract.
+    """
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    d = 8
+    comps = e.select(
+        *[F.element_at("embedding", i).cast("double").alias(f"x{i}") for i in range(1, d + 1)]
+    )
+    aggs = []
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            aggs.append(F.covar_pop(f"x{i}", f"x{j}").alias(f"c_{i}_{j}"))
+    one = comps.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, {j}, c_{i}_{j}" for i in range(1, d + 1) for j in range(i, d + 1)
+    )
+    n_pairs = d * (d + 1) // 2
+    return one.select(
+        F.expr(f"stack({n_pairs}, {stack_args}) AS (dim_i, dim_j, cov_raw)")
+    ).select(
+        F.col("dim_i").cast("integer").alias("dim_i"),
+        F.col("dim_j").cast("integer").alias("dim_j"),
+        F.round("cov_raw", 6).alias("cov"),
+    )

@@ -849,3 +849,54 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "src_tokens")
         .agg(F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"))
     )
+
+
+@register(
+    "q_distinct_ngram_ratio",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT source, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, len(t) - 2)) AS u(p)
+  WHERE len(t) >= 3
+)
+SELECT source,
+       COUNT(*) AS total_3grams,
+       COUNT(DISTINCT g) AS distinct_3grams,
+       ROUND(1.0 * COUNT(DISTINCT g) / COUNT(*), 6) AS distinct_ratio
+FROM grams
+GROUP BY source
+""",
+    tags=("text", "diversity", "ngram"),
+)
+def q_distinct_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity metric (n=3) per source: unique trigrams /
+    total trigrams — the standard repetitiveness gauge for generated
+    or scraped corpora (low ratio = templated text).
+
+    Trigrams via the same whitespace-normalized tokenizer as the
+    dedup family; one explode + one hash-agg per source with a
+    distinct-agg (partial aggregation keeps the shuffle keyed on
+    (source, gram), never materializing the corpus cross product).
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ").alias("t"),
+    ).where(F.size("t") >= 3)
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 2), p -> array_join(slice(t, p, 3), ' '))")
+        ).alias("g"),
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_3grams"),
+        F.countDistinct("g").alias("distinct_3grams"),
+        F.round(F.countDistinct("g") * 1.0 / F.count(F.lit(1)), 6).alias("distinct_ratio"),
+    )

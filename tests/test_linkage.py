@@ -87,3 +87,39 @@ def test_snm_no_python_udf(spark):
     spec = all_specs()["q_sorted_neighborhood_pairs"]
     plan = spec.builder(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_bloom_prefilter_prunes_and_is_answer_neutral(spark):
+    """The bloom stage must (a) discard a meaningful share of
+    non-matching probe rows pre-join and (b) never discard a true
+    match — candidates ⊇ exact matches, candidates ≪ probe."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.plans.runtime_filters import bloom_build, bloom_prefilter
+
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    supp = read_table(spark, SF_ORACLE, "supplier").where(F.col("s_acctbal") > 9000)
+    bloom = bloom_build(supp, "s_suppkey")
+    n_words = bloom.count()
+    assert n_words <= 1024, "bitmap table must stay broadcast-sized"
+
+    total = li.count()
+    candidates = bloom_prefilter(li, "l_suppkey", bloom)
+    n_cand = candidates.count()
+    true_matches = li.join(
+        F.broadcast(supp.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    n_true = true_matches.count()
+    assert n_true <= n_cand, "bloom dropped a true match — that's a correctness bug"
+    # with |build| ≪ 2^16 bits the FP rate is tiny; require real pruning
+    assert n_cand < total * 0.5, f"bloom pruned nothing: {n_cand}/{total}"
+    # false positives must be eliminated by the exact semi-join
+    n_after = candidates.join(
+        F.broadcast(supp.select("s_suppkey")),
+        candidates.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    ).count()
+    assert n_after == n_true
