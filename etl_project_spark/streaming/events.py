@@ -533,3 +533,38 @@ def stream_scd2_user_state(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def stream_ohlc_bars(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling OHLC bars per event type.
+
+    Batch twin: plans/timeseries.py::q_ohlc_hourly_value — the same
+    single-pass min_by/max_by aggregate list, swapped under a
+    watermarked window so late ticks beyond the watermark drop instead
+    of reopening a closed bar.
+    """
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("bar_hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "total_value",
+        )
+    )

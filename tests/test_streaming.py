@@ -680,3 +680,22 @@ def test_stream_attribution_cross_batch_ts_tie_resolves_by_event_id(spark, tmp_p
 
     out = spark.read.parquet(sink).collect()
     assert [(r.user_id, r.value, r.view_ts) for r in out] == [(7, 11.0, base)]
+
+
+def test_stream_ohlc_matches_batch_twin(spark, events_path):
+    """Every streaming OHLC bar must equal the batch q_ohlc_hourly_value
+    row for the same (hour, type) — open/close tie-handling included."""
+    stream = SE.read_events_stream(spark, events_path)
+    _drain(SE.stream_ohlc_bars(stream), "ohlc_bars")
+    got = {
+        (r.bar_hour, r.event_type): (r.open, r.high, r.low, r.close, r.volume, r.total_value)
+        for r in spark.sql("SELECT * FROM ohlc_bars").collect()
+    }
+    from etl_project_spark.plans.registry import all_specs
+
+    batch = all_specs()["q_ohlc_hourly_value"].builder(spark, SF_ORACLE)
+    want = {
+        (r.bar_hour, r.event_type): (r.open, r.high, r.low, r.close, r.volume, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
