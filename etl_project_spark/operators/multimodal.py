@@ -676,3 +676,80 @@ def audio_waveform_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing over REAL decoded pixels: 16-bit average-hash.
+# --------------------------------------------------------------------------
+def bmp_luma_grid(payload: bytes):
+    """Parse a 24-bit BMP payload to its ``(h, w)`` integer-luma array
+    (same header/stride/row-order handling as :func:`decode_bmp`)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    top_down = height < 0
+    h, w = abs(height), width
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=pixel_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    bgr = rows.astype(np.int64)
+    return (299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]) // 1000
+
+
+def ahash16(payload: bytes) -> int:
+    """16-bit average-hash of a BMP image: block-average the luma plane
+    onto a 4×4 grid, set bit ``cy·4 + cx`` iff that cell's mean luma
+    exceeds the image's global mean.
+
+    All-integer decision rule (``cell_sum · n_pixels > total_sum ·
+    cell_n`` — cross-multiplied, no floats), so an SQL oracle that
+    knows the pixel rule reproduces the hash exactly. Pixel ``(x, y)``
+    maps to cell ``((y·4)//h, (x·4)//w)`` — every cell is non-empty for
+    the fixture's w, h ≥ 4.
+    """
+    import numpy as np
+
+    luma = bmp_luma_grid(payload)
+    h, w = luma.shape
+    cy = (np.arange(h) * 4) // h
+    cx = (np.arange(w) * 4) // w
+    cell = cy[:, None] * 4 + cx[None, :]
+    cs = np.bincount(cell.ravel(), weights=luma.ravel(), minlength=16).astype(np.int64)
+    cn = np.bincount(cell.ravel(), minlength=16).astype(np.int64)
+    ts = int(luma.sum())
+    tn = h * w
+    bits = cs * tn > ts * cn
+    return int(sum(1 << j for j in range(16) if bits[j]))
+
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("phash", T.LongType())]
+)
+
+
+def phash_images(
+    df: DataFrame, *, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched perceptual-hash stage: ``(id, phash)`` per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": [int(i) for i in pdf[id_col]],
+                    "phash": [ahash16(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=PHASH_SCHEMA)

@@ -284,3 +284,65 @@ def q_image_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_images(
         mm, out_width=64, out_height=64, decoder=MM._fake_image_decoder
     )
+
+
+@register(
+    "q_image_phash_clusters",
+    oracle="""
+WITH img AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         4 + (3 * doc_id) % 11 AS h
+  FROM documents WHERE doc_id % 4 = 0
+), px AS (
+  SELECT doc_id, w, h, x, y,
+         (299 * ((doc_id + 7*y + 3*x + 22) % 256)
+        + 587 * ((doc_id + 7*y + 3*x + 11) % 256)
+        + 114 * ((doc_id + 7*y + 3*x) % 256)) // 1000 AS luma
+  FROM img,
+       UNNEST(generate_series(0, h - 1)) uy(y),
+       UNNEST(generate_series(0, w - 1)) ux(x)
+), cells AS (
+  SELECT doc_id, (y * 4) // h AS cy, (x * 4) // w AS cx,
+         SUM(luma) AS cs, COUNT(*) AS cn
+  FROM px GROUP BY doc_id, (y * 4) // h, (x * 4) // w
+), tot AS (
+  SELECT doc_id, SUM(luma) AS ts, COUNT(*) AS tn
+  FROM px GROUP BY doc_id
+), hashes AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN c.cs * t.tn > t.ts * c.cn
+                       THEN 1 << (c.cy * 4 + c.cx) ELSE 0 END) AS BIGINT) AS phash
+  FROM cells c JOIN tot t USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT phash,
+       COUNT(*) AS n_images,
+       MIN(doc_id) AS canonical_id
+FROM hashes
+GROUP BY phash
+""",
+    tags=("multimodal", "phash", "dedup"),
+)
+def q_image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate clusters over REAL decoded BMP
+    pixels: 16-bit average-hash (4×4 block means vs global mean,
+    integer cross-multiplied decision) → cluster rollup by hash.
+
+    The image-dedup crossover of the multimodal family: the payload is
+    genuine BMP bytes, the hash is computed from the decoded luma
+    plane (operators/multimodal.py::ahash16), and the oracle replays
+    the pixel-generation rule in SQL — any stride/row-order/BGR parse
+    slip or off-by-one in the 4×4 cell mapping changes hashes and
+    flips the cluster hash. Output is one row per distinct hash, so
+    cardinality is bounded by 2^16 regardless of corpus size; the
+    hamming-distance pair join over distinct hashes is q_simhash's
+    pigeonhole pattern applied to this table.
+    """
+    tune_session(spark)
+    bmp = MM.make_bmp_table(read_table(spark, sf_dir, "documents"))
+    hashes = MM.phash_images(bmp)
+    return hashes.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("id").alias("canonical_id"),
+    )

@@ -129,3 +129,68 @@ def q_bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "q_zorder_tile_rollup",
+    oracle="""
+WITH cells AS (
+  SELECT c_custkey,
+         CAST(FLOOR(ROUND(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || '/geo'), 1, 8)) AS BIGINT) % 2000 / 100.0 - 40.0, 2)) + 40 AS BIGINT) AS ca,
+         CAST(FLOOR(ROUND(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || '/geo'), 9, 8)) AS BIGINT) % 2000 / 100.0 - 60.0, 2)) + 60 AS BIGINT) AS cb
+  FROM customer
+),
+coded AS (
+  SELECT c_custkey,
+         (((ca >> 0) & 1) << 0)
+       | (((cb >> 0) & 1) << 1)
+       | (((ca >> 1) & 1) << 2)
+       | (((cb >> 1) & 1) << 3)
+       | (((ca >> 2) & 1) << 4)
+       | (((cb >> 2) & 1) << 5)
+       | (((ca >> 3) & 1) << 6)
+       | (((cb >> 3) & 1) << 7)
+       | (((ca >> 4) & 1) << 8)
+       | (((cb >> 4) & 1) << 9)
+       | (((ca >> 5) & 1) << 10)
+       | (((cb >> 5) & 1) << 11)
+       | (((ca >> 6) & 1) << 12)
+       | (((cb >> 6) & 1) << 13)
+       | (((ca >> 7) & 1) << 14)
+       | (((cb >> 7) & 1) << 15)
+           AS morton
+  FROM cells
+)
+SELECT CAST(morton AS BIGINT) AS morton,
+       COUNT(*) AS n_customers,
+       MIN(c_custkey) AS min_custkey
+FROM coded
+GROUP BY morton
+""",
+    tags=("layout", "zorder", "morton"),
+)
+def q_zorder_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) tile occupancy of the customer geo grid: the
+    interleaved code per 1°×1° cell and how many customers share each
+    z-tile.
+
+    The code itself is the point — the same bit-interleave expression
+    drives sources/sinks.py::write_zordered, whose file-pruning effect
+    is asserted in tests/test_sources_sinks.py; this query pins its
+    arithmetic against an SQL replay (both engines run identical
+    shift/AND/OR ops on the md5-derived cells).
+    """
+    from etl_project_spark.plans.linkage import _coord_spark
+    from etl_project_spark.sources.sinks import morton_interleave
+
+    tune_session(spark)
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.floor(_coord_spark(F.col("c_custkey"), 1, 40.0)) + 40).alias("ca"),
+        (F.floor(_coord_spark(F.col("c_custkey"), 9, 60.0)) + 60).alias("cb"),
+    )
+    coded = c.withColumn("morton", morton_interleave("ca", "cb", bits=8).cast("long"))
+    return coded.groupBy("morton").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_custkey").alias("min_custkey"),
+    )

@@ -208,3 +208,66 @@ def read_text_format(spark, path: str, *, format: str = "csv", schema=None):
     if format == "json":
         return r.json(path)
     raise ValueError(f"unsupported text format: {format!r}")
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering: multi-dimensional data layout.
+# --------------------------------------------------------------------------
+def morton_interleave(cell_a, cell_b, *, bits: int = 8):
+    """Interleave two ``bits``-wide non-negative int columns into a
+    single Morton code (a₀b₀a₁b₁…): locality in EITHER dimension maps
+    to locality in the code, which is what makes one range-partitioned
+    sort cluster BOTH dimensions at once.
+
+    Pure JVM bit arithmetic (shift/AND/OR), identical in ANSI SQL —
+    oracle-checkable.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.expr(
+                f"shiftleft(shiftright(CAST(({cell_a}) AS BIGINT), {i}) & 1, {2 * i})"
+            )
+        )
+        terms.append(
+            F.expr(
+                f"shiftleft(shiftright(CAST(({cell_b}) AS BIGINT), {i}) & 1, {2 * i + 1})"
+            )
+        )
+    return reduce(lambda x, y: x.bitwiseOR(y), terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cell_a: str,
+    cell_b: str,
+    *,
+    bits: int = 8,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Morton code of two pre-bucketed
+    dimension columns: repartitionByRange on the code (range, not hash
+    — neighbors in z-value land in the same file) + an in-partition
+    sort, so each parquet file covers a compact 2-D tile and min/max
+    row-group stats prune BOTH dimensions.
+
+    This is the layout story for selective 2-D scans at 100 TB: a box
+    predicate touches O(perimeter) files instead of every file, with
+    zero new runtime machinery — plain parquet + stats pruning.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("_z", morton_interleave(cell_a, cell_b, bits=bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

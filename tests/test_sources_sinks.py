@@ -394,3 +394,46 @@ def test_backfill_overwrites_only_named_partitions(spark, tmp_path):
         ("2024-01-02", 2): 99.0,  # repaired
         ("2024-01-03", 3): 30.0,  # untouched
     }
+
+
+def test_zorder_layout_clusters_2d_box_queries(spark, tmp_path):
+    """write_zordered must concentrate a 2-D box predicate's rows into
+    fewer files than a 1-D (primary-key-sorted) layout — the whole
+    point of the Morton interleave: min/max stats prune BOTH
+    dimensions, not just the leading sort key."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.plans.linkage import _coord_spark
+    from etl_project_spark.sources.sinks import write_zordered
+    from tests.conftest import SF_ORACLE
+
+    pts = read_table(spark, SF_ORACLE, "customer").select(
+        "c_custkey",
+        (F.floor(_coord_spark(F.col("c_custkey"), 1, 40.0)) + 40).alias("ca"),
+        (F.floor(_coord_spark(F.col("c_custkey"), 9, 60.0)) + 60).alias("cb"),
+    )
+    n_files = 8
+    z_path = str(tmp_path / "zordered")
+    lin_path = str(tmp_path / "linear")
+    write_zordered(pts, z_path, "ca", "cb", n_files=n_files)
+    (
+        pts.repartitionByRange(n_files, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.parquet(lin_path)
+    )
+
+    def files_touched(path):
+        df = spark.read.parquet(path).where(
+            (F.col("ca").between(4, 7)) & (F.col("cb").between(4, 7))
+        )
+        return df.select(F.input_file_name().alias("f")).distinct().count()
+
+    rows_z = spark.read.parquet(z_path).where(
+        (F.col("ca").between(4, 7)) & (F.col("cb").between(4, 7))
+    ).count()
+    assert rows_z > 0, "box predicate matched nothing — vacuous layout test"
+    z, lin = files_touched(z_path), files_touched(lin_path)
+    # custkey order is uncorrelated with geography: the box's rows smear
+    # over every linear file, but z-order packs them into a few tiles
+    assert z < lin, f"z-order touched {z} files vs linear {lin}"
