@@ -708,3 +708,75 @@ def q_session_window_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q_attribution_position_based",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         FIRST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER w AS first_view,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER w AS last_view,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_touches
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, CAST(n_touches AS BIGINT) AS n_touches,
+       first_view, last_view,
+       ROUND(value * CASE WHEN n_touches = 1 THEN 1.0 ELSE 0.4 END, 4)
+           AS first_credit,
+       ROUND(value * CASE WHEN n_touches = 1 THEN 0.0
+                          WHEN n_touches = 2 THEN 0.6
+                          ELSE 0.4 END, 4) AS last_credit,
+       ROUND(value * CASE WHEN n_touches >= 3 THEN 0.2 ELSE 0.0 END, 4)
+           AS middle_credit_total
+FROM tagged
+WHERE event_type = 'purchase' AND n_touches >= 1
+""",
+    tags=("events", "attribution", "multi-touch"),
+)
+def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each purchase
+    splits credit 40% first view / 40% last view / 20% across middles
+    (collapsing to 100% and 60/40 when there are 1 or 2 touches).
+
+    Still ONE window pass (same shuffle as last-touch attribution):
+    first/last/count over the trailing frame give every positional
+    quantity the credit rule needs — no per-touch explode, no
+    purchase-to-view range join, so the plan's cost is identical to
+    the single-touch version at any scale.
+    """
+    e = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.first(view_ts, ignorenulls=True).over(w).alias("first_view"),
+        F.last(view_ts, ignorenulls=True).over(w).alias("last_view"),
+        F.count(view_ts).over(w).alias("n_touches"),
+    )
+    n = F.col("n_touches")
+    v = F.col("value")
+    return tagged.filter((F.col("event_type") == "purchase") & (n >= 1)).select(
+        "event_id",
+        "user_id",
+        n.cast("long").alias("n_touches"),
+        "first_view",
+        "last_view",
+        F.round(v * F.when(n == 1, 1.0).otherwise(0.4), 4).alias("first_credit"),
+        F.round(
+            v * F.when(n == 1, 0.0).when(n == 2, 0.6).otherwise(0.4), 4
+        ).alias("last_credit"),
+        F.round(v * F.when(n >= 3, 0.2).otherwise(0.0), 4).alias("middle_credit_total"),
+    )

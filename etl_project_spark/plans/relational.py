@@ -1492,3 +1492,95 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_rows",
         "skew_ratio",
     )
+
+
+@register(
+    "q_cdc_apply_changes",
+    oracle="""
+WITH log AS (
+  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_orderstatus,
+         (CAST(ROUND(o_totalprice * 100) AS BIGINT) * 110 + 50) // 100
+  FROM orders WHERE o_custkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', o_orderstatus, CAST(NULL AS BIGINT)
+  FROM orders WHERE o_custkey % 7 = 0
+),
+latest AS (
+  SELECT o_orderkey,
+         ARG_MAX(op, seq) AS op,
+         ARG_MAX(o_orderstatus, seq) AS o_orderstatus,
+         ARG_MAX(price_c, seq) AS price_c
+  FROM log
+  GROUP BY o_orderkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_live,
+       CAST(SUM(price_c) AS DOUBLE) / 100.0 AS total_price
+FROM latest
+WHERE op <> 'D'
+GROUP BY o_orderstatus
+""",
+    tags=("cdc", "merge", "upsert"),
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: apply an insert/update/delete change stream
+    to a snapshot — latest op per key wins, deletes drop the row.
+
+    The log derives deterministically from orders (I for every key,
+    U (+10%) for custkey%3, D for custkey%7) so both engines replay
+    it. Compaction is ONE argmax hash-aggregate per key — no sort, no
+    window, no iterative merge: at 100 TB a day's CDC feed compacts
+    with a single shuffle keyed on the primary key, and the same plan
+    IS the foreachBatch body of the streaming upsert sink
+    (tests/test_streaming.py::test_foreachbatch_incremental_merge).
+
+    ARG_MAX over (op, status, price) picks each column at the same
+    max-seq row because seq is unique per key — column-wise argmax is
+    row-wise here by construction.
+    """
+    from etl_project_spark.plans.money import cents
+
+    o = _t(spark, sf_dir, "orders")
+    price_c = cents("o_totalprice")
+    ins = o.select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_orderstatus",
+        price_c.alias("price_c"),
+    )
+    # +10% rounded half-up to the cent, in pure long arithmetic — the
+    # money.py rule: ROUND(x*1.1, 2) on doubles flips on half-cent
+    # boundaries between engines, (c*110 + 50) div 100 never does.
+    upd = o.where(F.col("o_custkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        "o_orderstatus",
+        ((price_c * 110 + 50) / 100).cast("long").alias("price_c"),
+    )
+    dele = o.where(F.col("o_custkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        "o_orderstatus",
+        F.lit(None).cast("long").alias("price_c"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    latest = log.groupBy("o_orderkey").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("o_orderstatus", "seq").alias("o_orderstatus"),
+        F.max_by("price_c", "seq").alias("price_c"),
+    )
+    return (
+        latest.where(F.col("op") != "D")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            (F.sum("price_c").cast("double") / 100.0).alias("total_price"),
+        )
+    )
