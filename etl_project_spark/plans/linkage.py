@@ -391,3 +391,174 @@ def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("long").alias("n_shared_orders"),
         F.count(F.lit(1)).alias("n_partners"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules: support / confidence / lift over
+# co-purchased part pairs. Baskets dedup to DISTINCT (order, part)
+# first, so all three counts are order-counts; the pair join is keyed
+# on l_orderkey with constant per-key fan-out (≤ lines-per-order²).
+# --------------------------------------------------------------------------
+@register(
+    "q_copurchase_association_rules",
+    oracle="""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+item AS (
+  SELECT l_partkey, COUNT(*) AS c FROM basket GROUP BY l_partkey
+),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, p.c_ab AS support_orders,
+       ROUND(1.0 * p.c_ab / ia.c, 6) AS conf_a_to_b,
+       ROUND(1.0 * p.c_ab / ib.c, 6) AS conf_b_to_a,
+       ROUND(1.0 * p.c_ab * n.n_orders / (ia.c * ib.c), 6) AS lift
+FROM pair p
+JOIN item ia ON p.part_a = ia.l_partkey
+JOIN item ib ON p.part_b = ib.l_partkey, n
+""",
+    tags=("linkage", "association-rules", "market-basket"),
+)
+def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased parts: support (co-order
+    count ≥ 2), directional confidence, and lift.
+
+    The Apriori candidate-pair stage as pure relational algebra:
+    basket dedup → orderkey self-join (constant fan-out) → pair
+    hash-agg, then two broadcast-sized item-count joins and a 1-row
+    total. Confidence/lift are ratios of exact integer counts, so
+    parity is exact at any partitioning.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").alias("support_orders"),
+            F.round(F.col("c_ab") * 1.0 / F.col("ca"), 6).alias("conf_a_to_b"),
+            F.round(F.col("c_ab") * 1.0 / F.col("cb"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("c_ab") * 1.0 * F.col("n_orders") / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sparse cosine document pairs: the weighted (TF) analogue of the
+# n-gram Jaccard join. High-document-frequency terms are dropped
+# BEFORE the inverted-index join — the classic guard against the
+# quadratic hot-term posting list (a stopword shared by 50% of docs
+# would alone contribute |docs|²/4 candidate rows).
+# --------------------------------------------------------------------------
+@register(
+    "q_sparse_cosine_doc_pairs",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+    SELECT doc_id,
+           UNNEST(string_split(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+    FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+df AS (SELECT term, COUNT(*) AS d FROM tf GROUP BY term),
+kept AS (
+  SELECT tf.doc_id, tf.term, tf.tf
+  FROM tf JOIN df USING (term), nd
+  WHERE df.d <= 0.1 * nd.n
+),
+norms AS (SELECT doc_id, SQRT(SUM(tf * tf)) AS nrm FROM kept GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(dot / (x.nrm * y.nrm), 4) AS cosine_sim
+FROM dots JOIN norms x ON id_a = x.doc_id JOIN norms y ON id_b = y.doc_id
+WHERE ROUND(dot / (x.nrm * y.nrm), 4) >= 0.5
+""",
+    tags=("linkage", "cosine", "sparse", "dedup"),
+)
+def q_sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with TF-vector cosine ≥ 0.5 via an inverted-index
+    join (no dense vectors, no cross product).
+
+    TF counts are integers, so every dot product and norm is EXACT in
+    both engines regardless of summation order — cosine parity is
+    bit-level, not tolerance-based. The ≤10%-document-frequency guard
+    bounds each posting list, which bounds the join fan-out per term;
+    that (plus the ≥0.5 output threshold) is what keeps this shape
+    alive at corpus scale.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    nd = tf.agg(F.countDistinct("doc_id").alias("n"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
+    kept = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("d") <= 0.1 * F.col("n"))
+        .select("doc_id", "term", "tf")
+    )
+    norms = kept.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    nx = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    ny = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+    return (
+        dots.join(nx, "id_a")
+        .join(ny, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= 0.5)
+    )
