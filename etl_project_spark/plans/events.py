@@ -780,3 +780,81 @@ def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_credit"),
         F.round(v * F.when(n >= 3, 0.2).otherwise(0.0), 4).alias("middle_credit_total"),
     )
+
+
+@register(
+    "q_top_session_paths",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR DATE_DIFF('second', LAG(ts) OVER w, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_no,
+         ARRAY_TO_STRING(LIST(event_type ORDER BY ts, event_id)[1:3], '>') AS path,
+         COUNT(*) AS session_len
+  FROM numbered
+  GROUP BY user_id, session_no
+)
+SELECT path,
+       COUNT(*) AS n_sessions,
+       ROUND(AVG(session_len), 4) AS avg_session_len
+FROM paths
+GROUP BY path
+""",
+    tags=("events", "paths", "sessionize"),
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry paths: the first three event types of every
+    session (joined with '>'), with session counts and mean length —
+    the clickstream 'how do journeys start' rollup.
+
+    Reuses the gap-sessionization window, then per-session paths via
+    an ORDERED collect truncated to 3. The collected array is bounded
+    by session length (the 30-minute gap caps it in practice — the
+    same per-key-bounded contract as every sequence op here), and the
+    output space is ≤ |event_types|³ rows, so the final agg is
+    trivially small at any corpus size.
+    """
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp(F.col("ts"))
+    gap_s = ts_s - F.lag(ts_s).over(w)
+    numbered = e.withColumn(
+        "new_session",
+        F.when(gap_s.isNull() | (gap_s > SESSION_GAP_S), 1).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    paths = numbered.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("session_len"),
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("session_len"), 4).alias("avg_session_len"),
+    )

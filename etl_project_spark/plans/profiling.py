@@ -1,0 +1,218 @@
+"""Statistical data-profiling operators: Benford's-law digit audits,
+chi-square independence tests, and concentration (Gini) metrics.
+
+The auditing layer a warehouse team runs over financial-ish facts:
+anomaly screens that reduce 100 TB to a handful of test statistics.
+Every plan here is aggregate-first — the statistics are computed over
+tiny post-aggregation frames, never over the fact table with a global
+window.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Benford's law: the classic forensic-accounting screen. One hash-agg
+# to 9 rows; expected shares are compile-time constants (log10(1+1/d)
+# evaluated in the PLAN, identically in both engines' parsers is not
+# required — the literal is baked by Python and mirrored as the exact
+# same literal in the SQL text).
+# --------------------------------------------------------------------------
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_SQL_CASE = "CASE lead_digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "q_benford_digit_profile",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS lead_digit
+  FROM orders
+),
+counts AS (
+  SELECT lead_digit, COUNT(*) AS n FROM digits GROUP BY lead_digit
+),
+tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT lead_digit,
+       CAST(n AS BIGINT) AS n_orders,
+       ROUND(1.0 * n / t, 6) AS obs_share,
+       ROUND({_BENFORD_SQL_CASE}, 6) AS benford_share,
+       ROUND(POW(1.0 * n / t - {_BENFORD_SQL_CASE}, 2)
+             / ({_BENFORD_SQL_CASE}), 6) AS chi2_contrib
+FROM counts, tot
+""",
+    tags=("profiling", "benford", "audit"),
+)
+def q_benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals vs Benford's law,
+    with per-digit chi-square contributions.
+
+    Digit extraction is string-first-char on the integer part (pure
+    codegen), the aggregate is 9 rows, and the expected shares are
+    Python-evaluated double literals baked identically into both
+    plans — no libm log10 divergence can enter.
+    """
+    o = _t(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("integer").alias("lead_digit")
+    )
+    counts = digits.groupBy("lead_digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    exp = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, p in _BENFORD.items() for x in (d, p)]
+        ),
+        F.col("lead_digit"),
+    )
+    share = F.col("n") * 1.0 / F.col("t")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lead_digit",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(share, 6).alias("obs_share"),
+        F.round(exp, 6).alias("benford_share"),
+        F.round(F.pow(share - exp, 2) / exp, 6).alias("chi2_contrib"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence: is market segment independent of region?
+# Observed = one hash-agg to a 25-cell contingency table; expected and
+# the test statistic are windows over those 25 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q_chisq_segment_region",
+    oracle="""
+WITH obs AS (
+  SELECT c.c_mktsegment AS segment, r.r_name AS region, COUNT(*) AS o
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT segment, region, o,
+         SUM(o) OVER (PARTITION BY segment) AS row_tot,
+         SUM(o) OVER (PARTITION BY region) AS col_tot,
+         SUM(o) OVER () AS grand_tot
+  FROM obs
+)
+SELECT segment, region,
+       CAST(o AS BIGINT) AS observed,
+       ROUND(1.0 * row_tot * col_tot / grand_tot, 4) AS expected,
+       ROUND(POW(o - 1.0 * row_tot * col_tot / grand_tot, 2)
+             / (1.0 * row_tot * col_tot / grand_tot), 6) AS chi2_contrib
+FROM tot
+""",
+    tags=("profiling", "chi-square", "independence"),
+)
+def q_chisq_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for market segment × region:
+    observed vs expected cell counts and per-cell χ² contributions.
+
+    Both dim joins broadcast (nation/region are constant-size); the
+    windows run over the 25-row contingency table, not the customer
+    table. The unpartitioned SUM() OVER () is a 25-row frame — the
+    aggregate-first discipline that keeps test statistics scale-free.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    obs = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("r_name").alias("region")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_tot = F.sum("o").over(W.partitionBy("segment"))
+    col_tot = F.sum("o").over(W.partitionBy("region"))
+    grand = F.sum("o").over(W.partitionBy())
+    e = 1.0 * row_tot * col_tot / grand
+    return obs.select(
+        "segment",
+        "region",
+        F.col("o").cast("long").alias("observed"),
+        F.round(e, 4).alias("expected"),
+        F.round(F.pow(F.col("o") - e, 2) / e, 6).alias("chi2_contrib"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer spend — concentration in EXACT integer
+# arithmetic: spend in cents (long), ranks from one sort over the
+# customer-level aggregate, Σ i·xᵢ as an exact integer sum; only the
+# final ratio is a double. Rank ties share equal x, so the statistic
+# is permutation-invariant and the custkey tiebreak is purely for
+# engine determinism.
+# --------------------------------------------------------------------------
+@register(
+    "q_customer_spend_gini",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+  FROM spend
+)
+SELECT COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_spend,
+       ROUND(2.0 * CAST(SUM(i * cents) AS DOUBLE)
+             / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+""",
+    tags=("profiling", "gini", "concentration"),
+)
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of total customer spend (0 = equal, →1 = one
+    whale): G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over spend ranked ascending.
+
+    The rank runs over the customer-level AGGREGATE (1 row per
+    customer), not orders; Σi·xᵢ stays in exact long/decimal
+    arithmetic so both engines divide the identical integers. At
+    100 TB the exact-rank stage becomes a quantile-sketch
+    approximation; the exact form is kept because it is
+    oracle-checkable.
+    """
+    from etl_project_spark.plans.money import cents
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("c"))
+    ranked = spend.select(
+        F.col("c"),
+        F.row_number().over(W.orderBy("c", "o_custkey")).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("c").cast("double") / 100.0).alias("total_spend"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("c")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("c").cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -52,6 +52,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.timeseries",
     "etl_project_spark.plans.linkage",
     "etl_project_spark.plans.runtime_filters",
+    "etl_project_spark.plans.profiling",
 )
 
 
