@@ -48,6 +48,11 @@ BENCH_QUERIES = (
     # round-6 additions: real media decode + global boilerplate scrub
     "q_bmp_decoded_stats",
     "q_boilerplate_ngram_scrub",
+    # round-6 additions: linkage + association + sweep-line families
+    "q_sparse_cosine_doc_pairs",
+    "q_copurchase_association_rules",
+    "q_jaro_winkler_part_pairs",
+    "q_max_concurrent_open_orders",
 )
 
 
