@@ -535,7 +535,13 @@ def q_sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = tf.agg(F.countDistinct("doc_id").alias("n"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
-    kept = (
+    from etl_project_spark.session import scoped_persist
+
+    # kept feeds the norms agg AND both sides of the pair join; without
+    # a persist the tokenize+count subtree re-executes 4x (PLANS.md
+    # showed 12 document scans). Tracked for release by the bench/
+    # caller via session.release_persists().
+    kept = scoped_persist(
         tf.join(df_, "term")
         .crossJoin(F.broadcast(nd))
         .where(F.col("d") <= 0.1 * F.col("n"))
