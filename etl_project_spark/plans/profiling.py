@@ -216,3 +216,62 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity: the data-release governance audit. Quasi-identifier
+# equivalence classes via one hash-agg; the audit rolls the class-size
+# distribution into suppression statistics.
+# --------------------------------------------------------------------------
+_K_ANON = 5
+
+
+@register(
+    "q_k_anonymity_audit",
+    oracle=f"""
+WITH quasi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         COUNT(*) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN class_size < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_classes,
+       CAST(SUM(CASE WHEN class_size < {_K_ANON} THEN class_size ELSE 0 END)
+           AS BIGINT) AS rows_to_suppress,
+       ROUND(1.0 * SUM(CASE WHEN class_size < {_K_ANON} THEN class_size ELSE 0 END)
+             / SUM(class_size), 6) AS suppression_rate,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size
+FROM quasi
+""",
+    tags=("profiling", "k-anonymity", "governance"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=5) audit of the customer table under the
+    quasi-identifier (nation, segment, $1000 balance band): equivalence
+    classes below k, and the row share that a release would have to
+    suppress or generalize.
+
+    One hash-agg to the class table, one scalar rollup — the governance
+    twin of q_data_quality_audit, scale-free by aggregation.
+    """
+    c = _t(spark, sf_dir, "customer")
+    quasi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    small = F.when(F.col("class_size") < _K_ANON, F.col("class_size")).otherwise(0)
+    return quasi.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("class_size") < _K_ANON, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_classes"),
+        F.sum(small).cast("long").alias("rows_to_suppress"),
+        F.round(F.sum(small) * 1.0 / F.sum("class_size"), 6).alias("suppression_rate"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+    )
