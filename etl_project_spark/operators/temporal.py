@@ -50,9 +50,17 @@ def asof_join(
     the tie-order flipped (right rows sort after left rows at equal
     timestamps so "at-or-after" stays inclusive).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join direction must be 'backward' or 'forward'; got {direction!r}"
+            "asof_join direction must be 'backward', 'forward', or "
+            f"'nearest'; got {direction!r}"
+        )
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right,
+            left_key=left_key, right_key=right_key,
+            left_time=left_time, right_time=right_time,
+            value_cols=value_cols, tolerance=tolerance,
         )
     lt = F.col("_t")
     carried = [f"_v_{c}" for c in value_cols]
@@ -119,6 +127,99 @@ def asof_join(
             *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in carried],
         )
     return out.select(
+        *[F.col(f"_left_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """direction='nearest': closest right row on either side, backward
+    winning exact-distance ties (so nearest ⊇ backward at tie points —
+    a documented, deterministic rule).
+
+    Still ONE shuffle: both carries (trailing last / leading first)
+    run over the SAME unioned, key-partitioned sort — Spark evaluates
+    the two frames in one WindowExec pair without re-shuffling, then a
+    row-local CASE picks the closer side.
+    """
+    lt = F.col("_t")
+    carried = [f"_v_{c}" for c in value_cols]
+
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left_row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_left_row"].dataType).alias("_left_row"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # backward frame: right rows sort before left at equal ts (inclusive)
+    wb = (
+        W.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # forward frame over the same sort: right rows at the same ts sort
+    # BEFORE the left row here too, so the at-or-after match needs the
+    # backward frame to win ties — which is exactly the tie rule.
+    wf = (
+        W.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    right_t = F.when(F.col("_side") == 0, F.col("_t"))
+    cols = ["_k", "_t", "_side", "_left_row"]
+    proj = unioned.select(
+        *cols,
+        *[F.last(c, ignorenulls=True).over(wb).alias(f"_b{c}") for c in carried],
+        F.last(right_t, ignorenulls=True).over(wb).alias("_bt"),
+        *[F.first(c, ignorenulls=True).over(wf).alias(f"_f{c}") for c in carried],
+        F.first(right_t, ignorenulls=True).over(wf).alias("_ft"),
+    ).filter(F.col("_side") == 1)
+
+    # unix_timestamp handles both LTZ and NTZ event time (a direct
+    # cast-to-double is rejected for NTZ — same workaround as the
+    # sessionize plans)
+    bd = F.unix_timestamp(lt) - F.unix_timestamp(F.col("_bt"))
+    fd = F.unix_timestamp(F.col("_ft")) - F.unix_timestamp(lt)
+    use_b = F.col("_ft").isNull() | (F.col("_bt").isNotNull() & (bd <= fd))
+    picked = proj.select(
+        "_k",
+        "_t",
+        "_left_row",
+        F.when(use_b, F.col("_bt")).otherwise(F.col("_ft")).alias("_match_t"),
+        *[
+            F.when(use_b, F.col(f"_b{c}")).otherwise(F.col(f"_f{c}")).alias(c)
+            for c in carried
+        ],
+    )
+    if tolerance is not None:
+        tol_s = F.unix_timestamp(F.lit("1970-01-01 00:00:00").cast("timestamp") + tolerance)
+        far = F.abs(
+            F.unix_timestamp(F.col("_match_t")) - F.unix_timestamp(F.col("_t"))
+        ) > tol_s
+        picked = picked.select(
+            "_k", "_t", "_left_row", "_match_t",
+            *[F.when(far, F.lit(None)).otherwise(F.col(c)).alias(c) for c in carried],
+        )
+    return picked.select(
         *[F.col(f"_left_row.{c}").alias(c) for c in left.columns],
         *[F.col(f"_v_{c}").alias(c) for c in value_cols],
     )

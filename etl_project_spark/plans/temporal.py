@@ -295,3 +295,155 @@ def q_asof_forward_next_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["next_signup_ts"],
         direction="forward",
     ).select("event_id", "user_id", "ts", "next_signup_ts")
+
+
+@register(
+    "q_asof_nearest_error_to_purchase",
+    oracle="""
+WITH errors AS (
+  SELECT user_id, ts AS err_ts, MAX(event_id) AS err_id
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT p.event_id, p.user_id, p.ts, e.err_ts AS bt, e.err_id AS bid
+  FROM purchases p
+  ASOF LEFT JOIN errors e ON p.user_id = e.user_id AND p.ts >= e.err_ts
+),
+f AS (
+  SELECT p.event_id, e.err_ts AS ft, e.err_id AS fid
+  FROM purchases p
+  ASOF LEFT JOIN errors e ON p.user_id = e.user_id AND p.ts <= e.err_ts
+)
+SELECT b.event_id, b.user_id, b.ts,
+       CASE WHEN b.bt IS NOT NULL AND (f.ft IS NULL
+                 OR DATE_DIFF('second', b.bt, b.ts) <= DATE_DIFF('second', b.ts, f.ft))
+            THEN b.bt ELSE f.ft END AS nearest_error_ts,
+       CASE WHEN b.bt IS NOT NULL AND (f.ft IS NULL
+                 OR DATE_DIFF('second', b.bt, b.ts) <= DATE_DIFF('second', b.ts, f.ft))
+            THEN b.bid ELSE f.fid END AS nearest_error_id
+FROM b JOIN f ON b.event_id = f.event_id
+""",
+    tags=("join", "asof", "nearest"),
+)
+def q_asof_nearest_error_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """direction='nearest' as-of join: each purchase finds the user's
+    closest error event on EITHER side of its timestamp (backward wins
+    exact-distance ties — the operator's documented rule).
+
+    The incident-correlation query. One shuffle: both directional
+    carries evaluate over the same key-partitioned sort and a
+    row-local CASE picks the closer side — against DuckDB's native
+    ASOF JOIN run twice (once per direction) plus the same tie rule.
+    """
+    tune_session(spark)
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="err_ts",
+        value_cols=["err_ts", "err_id"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("err_ts").alias("nearest_error_ts"),
+        F.col("err_id").alias("nearest_error_id"),
+    )
+
+
+@register(
+    "q_order_interval_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT o.o_custkey, o.o_orderdate AS s, MAX(l.l_shipdate) AS e
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+),
+flagged AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                OR MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT o_custkey, s, e,
+         SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+),
+island_spans AS (
+  SELECT o_custkey, island_id,
+         MIN(s) AS island_start, MAX(e) AS island_end
+  FROM islands GROUP BY o_custkey, island_id
+)
+SELECT o_custkey,
+       COUNT(*) AS n_islands,
+       CAST(SUM(DATE_DIFF('day', island_start, island_end)) AS BIGINT)
+           AS covered_days
+FROM island_spans
+GROUP BY o_custkey
+""",
+    tags=("temporal", "intervals", "islands"),
+)
+def q_order_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge each customer's overlapping order
+    intervals (orderdate → last shipment) and report the union's
+    island count and total covered days.
+
+    The classic interval-union pattern without a self-join: running
+    MAX(end) over the start-sorted per-key frame flags island starts,
+    a running SUM numbers them, and two hash-aggs roll up spans. One
+    shuffle on the customer key; every window is per-key, never
+    global.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("e"))
+        .select("o_custkey", F.col("o_orderdate").alias("s"), "e")
+    )
+    w_prev = (
+        W.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
+    spans = islands.groupBy("o_custkey", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return spans.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.datediff("island_end", "island_start")).cast("long").alias("covered_days"),
+    )
