@@ -458,3 +458,69 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_j").cast("integer").alias("dim_j"),
         F.round("cov_raw", 6).alias("cov"),
     )
+
+
+@register(
+    "q_matryoshka_distortion",
+    oracle="""
+WITH pairs AS (
+  SELECT o.vec_id,
+         CAST(o.embedding AS DOUBLE[]) AS a,
+         list_transform(CAST(o.embedding AS DOUBLE[]), x -> x + 0.01) AS b
+  FROM embeddings o
+),
+dims AS (SELECT UNNEST([8, 16, 32, 64]) AS d),
+scored AS (
+  SELECT d.d, p.vec_id,
+         list_cosine_similarity(p.a[1:d.d], p.b[1:d.d]) AS cos_trunc,
+         list_cosine_similarity(p.a, p.b) AS cos_full
+  FROM pairs p, dims d
+)
+SELECT CAST(d AS INTEGER) AS dim,
+       ROUND(AVG(cos_trunc), 6) AS avg_cosine,
+       ROUND(AVG(ABS(cos_trunc - cos_full)), 6) AS avg_abs_distortion,
+       ROUND(MAX(ABS(cos_trunc - cos_full)), 6) AS max_abs_distortion
+FROM scored
+GROUP BY d
+""",
+    tags=("similarity", "matryoshka", "embedding"),
+)
+def q_matryoshka_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much does the cosine of a
+    known near-duplicate pair move when embeddings are truncated to
+    their first 8/16/32/64 dims?
+
+    The measurement behind 'can we serve the index at dim 16': each
+    vector pairs with its planted +0.01 twin (the deterministic
+    near-dup device of q_embedding_near_dup_pairs), cosines compute at
+    each prefix length via the same zip_with kernel, and the rollup is
+    4 rows. One scan, a 4-way dim explode, no joins — the pair is
+    constructed in-row, so the audit is embarrassingly parallel.
+    """
+    from etl_project_spark.operators.dedup import cosine_similarity
+
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("a"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.01D)").alias("b"),
+    )
+    dims = F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("dim")
+    scored = pairs.select("vec_id", "a", "b", dims).select(
+        "vec_id",
+        F.col("dim"),
+        cosine_similarity(
+            F.expr("slice(a, 1, dim)"), F.expr("slice(b, 1, dim)")
+        ).alias("cos_trunc"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos_full"),
+    )
+    return scored.groupBy(F.col("dim").cast("integer").alias("dim")).agg(
+        F.round(F.avg("cos_trunc"), 6).alias("avg_cosine"),
+        F.round(F.avg(F.abs(F.col("cos_trunc") - F.col("cos_full"))), 6).alias(
+            "avg_abs_distortion"
+        ),
+        F.round(F.max(F.abs(F.col("cos_trunc") - F.col("cos_full"))), 6).alias(
+            "max_abs_distortion"
+        ),
+    )

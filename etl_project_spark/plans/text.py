@@ -8,7 +8,7 @@ text surface is oracle-checked, not just rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import read_table
@@ -899,4 +899,84 @@ def q_distinct_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_3grams"),
         F.countDistinct("g").alias("distinct_3grams"),
         F.round(F.countDistinct("g") * 1.0 / F.count(F.lit(1)), 6).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "q_bigram_next_token_probs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, p AS pos, t[p] AS tok, t[p + 1] AS nxt
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+  ), UNNEST(generate_series(1, len(t) - 1)) AS u(p)
+),
+counts AS (
+  SELECT tok, nxt, COUNT(*) AS c FROM toks GROUP BY tok, nxt
+),
+ctx AS (
+  SELECT tok, SUM(c) AS ctx_total,
+         ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, tok) AS ctx_rank
+  FROM counts GROUP BY tok
+),
+top_ctx AS (SELECT tok, ctx_total FROM ctx WHERE ctx_rank <= 20),
+ranked AS (
+  SELECT c.tok, c.nxt, c.c, t.ctx_total,
+         ROW_NUMBER() OVER (PARTITION BY c.tok ORDER BY c.c DESC, c.nxt) AS rnk
+  FROM counts c JOIN top_ctx t ON c.tok = t.tok
+)
+SELECT tok AS context, nxt AS next_token,
+       CAST(rnk AS INTEGER) AS rank,
+       CAST(c AS BIGINT) AS n_bigram,
+       ROUND(1.0 * c / ctx_total, 6) AS prob
+FROM ranked WHERE rnk <= 3
+""",
+    tags=("text", "ngram-lm", "bigram"),
+)
+def q_bigram_next_token_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model head: the top-3 next tokens (with
+    conditional probabilities) for the corpus' 20 most frequent
+    contexts.
+
+    The n-gram-LM building block as relational algebra: adjacent-token
+    pairs from one explode (no self-join — position arithmetic inside
+    the array), a bigram hash-agg, and ranking windows that run over
+    the AGGREGATED count table. The top-20-context cut keeps output
+    fixed at ≤60 rows at any corpus size; probabilities are ratios of
+    exact integer counts.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ").alias("t")
+    ).where(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " p -> struct(element_at(t, p) AS tok, element_at(t, p + 1) AS nxt))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.tok").alias("tok"), F.col("bg.nxt").alias("nxt"))
+    counts = pairs.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    ctx = counts.groupBy("tok").agg(F.sum("c").alias("ctx_total"))
+    top_ctx = (
+        ctx.withColumn(
+            "ctx_rank",
+            F.row_number().over(W.orderBy(F.desc("ctx_total"), "tok")),
+        )
+        .where(F.col("ctx_rank") <= 20)
+        .select("tok", "ctx_total")
+    )
+    ranked = counts.join(F.broadcast(top_ctx), "tok").withColumn(
+        "rnk", F.row_number().over(W.partitionBy("tok").orderBy(F.desc("c"), "nxt"))
+    )
+    return ranked.where(F.col("rnk") <= 3).select(
+        F.col("tok").alias("context"),
+        F.col("nxt").alias("next_token"),
+        F.col("rnk").cast("integer").alias("rank"),
+        F.col("c").cast("long").alias("n_bigram"),
+        F.round(F.col("c") * 1.0 / F.col("ctx_total"), 6).alias("prob"),
     )
