@@ -980,3 +980,126 @@ def q_bigram_next_token_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n_bigram"),
         F.round(F.col("c") * 1.0 / F.col("ctx_total"), 6).alias("prob"),
     )
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled SQL replay of the BPE merge loop (see
+    q_bpe_learned_merges for the contract)."""
+    ctes = ["""
+words AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(string_split(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE LENGTH(word) BETWEEN 2 AND 12
+  GROUP BY word
+),
+vocab0 AS (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS word_str, cnt
+  FROM (SELECT word, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+        FROM words)
+  WHERE rnk <= 200
+)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+p{r} AS (
+  SELECT arr[i] AS a, arr[i + 1] AS b, SUM(cnt) AS t
+  FROM (SELECT string_split(TRIM(word_str), ' ') AS arr, cnt FROM vocab{r - 1}),
+       UNNEST(generate_series(1, len(arr) - 1)) AS u(i)
+  GROUP BY arr[i], arr[i + 1]
+),
+b{r} AS (SELECT a, b, t FROM p{r} ORDER BY t DESC, a, b LIMIT 1),
+vocab{r} AS (
+  SELECT replace(word_str, ' ' || b{r}.a || ' ' || b{r}.b || ' ',
+                 ' ' || b{r}.a || b{r}.b || ' ') AS word_str, cnt
+  FROM vocab{r - 1}, b{r}
+)""")
+    selects = [
+        f"SELECT {r} AS round, a || '+' || b AS merge_pair, CAST(t AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+_BPE_ROUNDS = 3
+
+
+@register(
+    "q_bpe_learned_merges",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    tags=("text", "bpe", "tokenizer"),
+)
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN byte-pair-encoding merges from the corpus — 3 unrolled
+    merge rounds, fully relational, nothing collected.
+
+    The actual BPE training loop operates on the VOCAB (distinct
+    words × counts), so the distributed work is the corpus→vocab
+    reduction (one hash-agg over 100 TB); each round is then a pair
+    count over the ≤200-word frame, an ORDER BY/LIMIT 1 argmax (ties
+    broken by pair strings), and a broadcast merge applied via string
+    replace. Merge semantics: leftmost non-overlapping occurrence
+    (both engines' replace() — verified identical including the
+    run-of-three case), counting overlapping pairs as standard BPE
+    does; on runs this merges one fewer pair than strict
+    left-greedy BPE, a deviation both engines share by construction.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+            ).alias("word")
+        )
+        .where(F.length("word").between(2, 12))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        words.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("cnt"), "word"))
+        )
+        .where(F.col("rnk") <= 200)
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+            ).alias("word_str"),
+            "cnt",
+        )
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        arrd = vocab.select(F.split(F.trim("word_str"), " ").alias("arr"), "cnt")
+        pairs = arrd.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"
+                )
+            ).alias("p"),
+            "cnt",
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("t"))
+            .orderBy(F.desc("t"), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.concat(F.col("a"), F.lit("+"), F.col("b")).alias("merge_pair"),
+                F.col("t").cast("long").alias("pair_count"),
+            )
+        )
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            F.expr(
+                "replace(word_str, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
+            ).alias("word_str"),
+            "cnt",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
