@@ -568,3 +568,71 @@ def stream_ohlc_bars(
             "total_value",
         )
     )
+
+
+TRANSITION_STATE_SCHEMA = "last_ts_us BIGINT, last_eid BIGINT, last_type STRING"
+TRANSITION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, prev_type STRING, next_type STRING, ts TIMESTAMP"
+)
+
+
+def stream_transition_pairs(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming Markov-transition extraction: one (prev_type,
+    next_type) row per consecutive event in each user's timeline,
+    carried across micro-batches by keyed state.
+
+    Batch twin: plans/timeseries.py::q_event_transition_matrix (the
+    LAG window) — the matrix itself is a downstream aggregate of these
+    pairs. State is the user's last (ts_us, event_id, type); each
+    batch sorts its slice by (ts, event_id) and advances through it.
+    Cross-batch disorder contract (same as attribution): a row whose
+    (ts, event_id) sorts at-or-before the state position would emit a
+    transition the batch LAG orders differently — such rows DROP
+    deterministically instead of corrupting the chain.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    def transit(key, pdfs, state: GroupState):
+        last_us, last_eid, last_type = (
+            state.get if state.exists else (None, None, None)
+        )
+        out_prev, out_next, out_ts = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                ts_us = row.ts.value // 1000
+                key_now = (ts_us, int(row.event_id))
+                if last_us is not None and key_now <= (last_us, last_eid):
+                    continue  # late arrival: chain already advanced past it
+                if last_type is not None:
+                    out_prev.append(last_type)
+                    out_next.append(row.event_type)
+                    out_ts.append(row.ts)
+                last_us, last_eid = key_now
+                last_type = row.event_type
+        if last_us is not None:
+            state.update((last_us, last_eid, last_type))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "prev_type": out_prev,
+                "next_type": out_next,
+                "ts": out_ts,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            transit,
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -699,3 +699,33 @@ def test_stream_ohlc_matches_batch_twin(spark, events_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_transition_pairs_match_batch_matrix(spark, events_path):
+    """Aggregating the streaming per-event transition pairs must
+    reproduce q_event_transition_matrix's counts exactly (time-ordered
+    source, so the cross-batch state chain sees the batch LAG order)."""
+    stream = SE.read_events_stream(spark, events_path)
+    q = (
+        SE.stream_transition_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("transition_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            "SELECT prev_type, next_type, COUNT(*) AS n FROM transition_pairs"
+            " GROUP BY prev_type, next_type"
+        ).collect()
+    }
+    from etl_project_spark.plans.registry import all_specs
+
+    batch = all_specs()["q_event_transition_matrix"].builder(spark, SF_ORACLE)
+    want = {
+        (r.prev_type, r.next_type): r.n_transitions for r in batch.collect()
+    }
+    assert got == want
