@@ -194,3 +194,78 @@ def q_zorder_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.min("c_custkey").alias("min_custkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact global median WITHOUT a global sort: the two-phase selection
+# pattern. Phase 1 histograms values into 1024 range buckets (hash-agg,
+# map-side combinable); phase 2 finds which bucket(s) hold the middle
+# ranks from the tiny cumulative table; phase 3 sorts ONLY inside those
+# buckets (n/1024 of the data) to extract the exact order statistics.
+# At 100 TB the full sort never happens — the only per-row work is two
+# scans of a single column with an arithmetic bucket id.
+# --------------------------------------------------------------------------
+@register(
+    "q_distributed_exact_median",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       ROUND(MEDIAN(l_extendedprice), 4) AS median_price
+FROM lineitem
+""",
+    tags=("selection", "median", "two-phase"),
+)
+def q_distributed_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median of lineitem extended price by histogram selection.
+
+    DuckDB's MEDIAN (avg of the two middle order statistics on even n)
+    is the oracle; the Spark plan computes the same statistic through
+    bucket counts + in-bucket ranking, never sorting more than the
+    target buckets. Window note: the cumulative runs over the
+    ≤1024-row bucket table; the in-bucket row_number partitions by
+    bucket id, so no single task ever sees more than one bucket.
+    """
+    tune_session(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    from pyspark.sql import Window as W
+
+    nb = 1024
+    b = li.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / float(nb)
+    bucketed = li.crossJoin(F.broadcast(b)).select(
+        "v",
+        F.least(F.floor((F.col("v") - F.col("lo")) / width), F.lit(nb - 1))
+        .cast("int")
+        .alias("bk"),
+    )
+    counts = bucketed.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.orderBy("bk").rowsBetween(W.unboundedPreceding, -1)
+    cum = counts.select(
+        "bk", "c", F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("before")
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    # middle ranks: k1 = ceil(n/2), k2 = floor(n/2) + 1 (equal on odd n)
+    ranks = tot.select(
+        "n",
+        ((F.col("n") + 1) / 2).cast("long").alias("k1"),
+        ((F.col("n") + 2) / 2).cast("long").alias("k2"),
+    )
+    target = (
+        cum.crossJoin(F.broadcast(ranks))
+        .where(
+            (F.col("before") < F.col("k2"))
+            & ((F.col("before") + F.col("c")) >= F.col("k1"))
+        )
+        .select("bk", "before", "n", "k1", "k2")
+    )
+    win = W.partitionBy("bk").orderBy("v")
+    picked = (
+        bucketed.join(F.broadcast(target), "bk")
+        .withColumn("rank", F.row_number().over(win) + F.col("before"))
+        .where((F.col("rank") == F.col("k1")) | (F.col("rank") == F.col("k2")))
+    )
+    return picked.groupBy().agg(
+        F.max("n").alias("n_rows"),
+        F.round(F.avg("v"), 4).alias("median_price"),
+    )

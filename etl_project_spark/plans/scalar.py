@@ -544,3 +544,47 @@ def q_binary_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.md5("text").alias("text_md5"),
     )
+
+
+@register(
+    "q_hof_embedding_audit",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INTEGER)
+           AS n_positive,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> ABS(x) > 0.45)) > 0
+           AS has_extreme,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> ABS(x) > 10.0)) = 0
+           AS all_bounded,
+       ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> ABS(x))), 4)
+           AS l1_norm
+FROM embeddings
+""",
+    tags=("scalar", "higher-order", "array"),
+)
+def q_hof_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function breadth over embeddings: filter
+    (positive-component count), exists (any extreme component), forall
+    (bounded check), and an aggregate fold (L1 norm) — all evaluated
+    in-row inside codegen, no explode.
+
+    The HOF quartet is the idiomatic replacement for exploding a
+    vector to rows when the consumer only needs a per-row scalar: zero
+    fan-out, zero shuffle. Folds run left-to-right in both engines, so
+    the L1 sum is bit-identical before rounding.
+    """
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.exists(emb, lambda x: F.abs(x) > 0.45).alias("has_extreme"),
+        F.forall(emb, lambda x: F.abs(x) <= 10.0).alias("all_bounded"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("l1_norm"),
+    )
