@@ -858,3 +858,97 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.round(F.avg("session_len"), 4).alias("avg_session_len"),
     )
+
+
+@register(
+    "q_time_to_convert",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(FLOOR(DATE_DIFF('second', first_view, first_purchase) / 3600.0) AS BIGINT)
+           AS hours_to_convert,
+       COUNT(*) AS n_users
+FROM firsts
+WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_purchase >= first_view
+GROUP BY 1
+""",
+    tags=("events", "funnel", "conversion"),
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from each user's first view
+    to their first purchase (users who purchased before ever viewing
+    are excluded — they didn't convert THROUGH the funnel).
+
+    One conditional-MIN hash-agg per user, then an hour-bucket rollup —
+    no joins, no windows; the funnel-latency histogram at any scale is
+    two aggregations.
+    """
+    e = _events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    secs = F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+    return (
+        firsts.where(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .groupBy(F.floor(secs / 3600.0).cast("long").alias("hours_to_convert"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q_running_distinct_event_types",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS distinct_types_so_far
+FROM flagged
+""",
+    tags=("events", "window", "running-distinct"),
+)
+def q_running_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an event stream — the window SQL
+    can't express directly — via the first-occurrence-flag trick: mark
+    each (user, type)'s first row with one window, running-SUM the
+    flags with another.
+
+    Two windows over the SAME (user_id)-keyed sort — one shuffle, no
+    distinct-aggregate state. The standard rewrite whenever "distinct
+    so far" is needed at scale.
+    """
+    e = _events(spark, sf_dir)
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = e.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )

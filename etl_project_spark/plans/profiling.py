@@ -275,3 +275,66 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(small) * 1.0 / F.sum("class_size"), 6).alias("suppression_rate"),
         F.min("class_size").cast("long").alias("min_class_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# Regression diagnostics: OLS residual outliers, entirely from
+# single-pass moment aggregates. The residual σ comes from the
+# identity var(resid) = var(y)·(1 − R²) — no second pass over the
+# data to compute residual spread.
+# --------------------------------------------------------------------------
+@register(
+    "q_ols_residual_outliers",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS y
+  FROM orders GROUP BY o_custkey
+),
+pts AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal AS x, s.y
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+),
+fit AS (
+  SELECT c_nationkey,
+         regr_slope(y, x) AS slope,
+         regr_intercept(y, x) AS icept,
+         SQRT(var_pop(y) * (1 - regr_r2(y, x))) AS resid_sd
+  FROM pts GROUP BY c_nationkey
+)
+SELECT p.c_custkey, p.c_nationkey,
+       ROUND((p.y - (f.icept + f.slope * p.x)) / f.resid_sd, 4) AS resid_z
+FROM pts p JOIN fit f ON p.c_nationkey = f.c_nationkey
+WHERE ABS(ROUND((p.y - (f.icept + f.slope * p.x)) / f.resid_sd, 4)) >= 2.0
+""",
+    tags=("profiling", "regression", "outliers"),
+)
+def q_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose total spend deviates ≥ 2σ from their nation's
+    acctbal→spend OLS line (standardized residuals).
+
+    The fit and the residual σ are the same one-pass moment aggregates
+    in both engines (slope/intercept/R², σ via var·(1−R²)); the
+    outlier scan is a broadcast join of the 25-row fit table back onto
+    the points. No residual materialization pass, no window.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("y"))
+    pts = c.join(spend, c.c_custkey == spend.o_custkey).select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").alias("x"), "y"
+    )
+    fit = pts.groupBy("c_nationkey").agg(
+        F.regr_slope("y", "x").alias("slope"),
+        F.regr_intercept("y", "x").alias("icept"),
+        F.sqrt(F.var_pop("y") * (1 - F.regr_r2("y", "x"))).alias("resid_sd"),
+    )
+    z = F.round(
+        (F.col("y") - (F.col("icept") + F.col("slope") * F.col("x")))
+        / F.col("resid_sd"),
+        4,
+    )
+    return (
+        pts.join(F.broadcast(fit), "c_nationkey")
+        .select("c_custkey", "c_nationkey", z.alias("resid_z"))
+        .where(F.abs(F.col("resid_z")) >= 2.0)
+    )
