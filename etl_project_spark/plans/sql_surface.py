@@ -201,3 +201,49 @@ def q_sql_recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFr
     """
     _register_views(spark, sf_dir, "customer")
     return spark.sql(_SQL_RECURSIVE_BALANCE.format(intdiv="div"))
+
+
+@register(
+    "q_sql_pivot_quarterly_revenue",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       ROUND(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 1
+                      THEN o_totalprice ELSE 0 END), 2) AS q1,
+       ROUND(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 2
+                      THEN o_totalprice ELSE 0 END), 2) AS q2,
+       ROUND(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 3
+                      THEN o_totalprice ELSE 0 END), 2) AS q3,
+       ROUND(SUM(CASE WHEN EXTRACT(quarter FROM o_orderdate) = 4
+                      THEN o_totalprice ELSE 0 END), 2) AS q4
+FROM orders
+GROUP BY 1
+""",
+    tags=("sql", "pivot"),
+)
+def q_sql_pivot_quarterly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL's native PIVOT clause: yearly revenue spread across
+    quarter columns.
+
+    The SQL-parser twin of q_event_type_pivot's conditional-agg form —
+    Catalyst rewrites PIVOT into exactly that single-pass aggregate
+    (fixed IN list, so no distinct-values pre-job); the oracle states
+    the rewrite explicitly since DuckDB's PIVOT syntax differs.
+    """
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT * FROM (
+          SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+                 EXTRACT(quarter FROM o_orderdate) AS qtr,
+                 o_totalprice
+          FROM orders
+        )
+        PIVOT (
+          SUM(o_totalprice)
+          FOR qtr IN (1 AS q1, 2 AS q2, 3 AS q3, 4 AS q4)
+        )
+    """).selectExpr(
+        "CAST(order_year AS BIGINT) AS order_year",
+        # an empty pivot cell is NULL no matter what the inner aggregate
+        # wraps — null-fill AFTER the pivot
+        *[f"ROUND(COALESCE(q{i}, 0), 2) AS q{i}" for i in range(1, 5)],
+    )

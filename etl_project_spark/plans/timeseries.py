@@ -420,3 +420,61 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma_value"),
     )
+
+
+@register(
+    "q_user_value_drawdown",
+    oracle="""
+WITH cum AS (
+  SELECT user_id, ts, event_id,
+         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+  FROM events
+),
+peaked AS (
+  SELECT user_id, cum_value,
+         MAX(cum_value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_peak
+  FROM cum
+)
+SELECT user_id,
+       ROUND(MAX(run_peak - cum_value), 4) AS max_drawdown,
+       ROUND(MAX(run_peak), 4) AS peak_value
+FROM peaked
+GROUP BY user_id
+""",
+    tags=("timeseries", "drawdown", "window"),
+)
+def q_user_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative event value: the
+    deepest drop from a running peak — two stacked windows (running
+    sum, running max of it) over ONE per-user sort, then a hash-agg.
+
+    The financial risk metric as pure window algebra; both windows
+    share the (user_id, ts, event_id) sort so Spark plans a single
+    WindowExec pair after one shuffle. Values are corpus doubles
+    summed in identical per-user order → bit-identical before
+    rounding.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("value").over(w)
+    tagged = e.select("user_id", "ts", "event_id", "value").withColumn(
+        "cum_value", cum
+    )
+    peaked = tagged.withColumn(
+        "run_peak",
+        F.max("cum_value").over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return peaked.groupBy("user_id").agg(
+        F.round(F.max(F.col("run_peak") - F.col("cum_value")), 4).alias("max_drawdown"),
+        F.round(F.max("run_peak"), 4).alias("peak_value"),
+    )
