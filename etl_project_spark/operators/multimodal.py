@@ -181,30 +181,10 @@ def decode_bmp(payload: bytes, modality: str = "image") -> dict:
     replays the decoded stats bit-for-bit. Returns the
     :func:`decode_images` decoder contract.
     """
-    import struct
-
-    import numpy as np
-
-    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    (pixel_off,) = struct.unpack_from("<I", payload, 10)
-    width, height = struct.unpack_from("<ii", payload, 18)
-    (bpp,) = struct.unpack_from("<H", payload, 28)
-    (compression,) = struct.unpack_from("<I", payload, 30)
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError(
-            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
-            f"compression={compression})"
-        )
-    top_down = height < 0
-    h, w = abs(height), width
-    stride = (w * 3 + 3) & ~3
-    raw = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=pixel_off)
-    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-    if not top_down:
-        rows = rows[::-1]
-    bgr = rows.astype(np.int64)
-    luma = (299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]) // 1000
+    # single parser: bmp_luma_grid owns the byte-level decode (header,
+    # stride, row order, BT.601); this wrapper only adds the stats
+    luma = bmp_luma_grid(payload)
+    h, w = luma.shape
     mean = int(luma.sum()) / (h * w)
     return {
         "width": w,
@@ -695,7 +675,10 @@ def bmp_luma_grid(payload: bytes):
     (bpp,) = struct.unpack_from("<H", payload, 28)
     (compression,) = struct.unpack_from("<I", payload, 30)
     if bpp != 24 or compression != 0:
-        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
     top_down = height < 0
     h, w = abs(height), width
     stride = (w * 3 + 3) & ~3

@@ -211,10 +211,12 @@ def _asof_nearest(
         ],
     )
     if tolerance is not None:
-        tol_s = F.unix_timestamp(F.lit("1970-01-01 00:00:00").cast("timestamp") + tolerance)
-        far = F.abs(
-            F.unix_timestamp(F.col("_match_t")) - F.unix_timestamp(F.col("_t"))
-        ) > tol_s
+        # direct interval comparison (same as the backward/forward
+        # branches) — an epoch round-trip via unix_timestamp would bake
+        # the session timezone into the tolerance width
+        far = (F.col("_match_t") < (F.col("_t") - tolerance)) | (
+            F.col("_match_t") > (F.col("_t") + tolerance)
+        )
         picked = picked.select(
             "_k", "_t", "_left_row", "_match_t",
             *[F.when(far, F.lit(None)).otherwise(F.col(c)).alias(c) for c in carried],

@@ -293,14 +293,22 @@ def q_knn_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and probes amortize it. Same oracle as ``q_knn_ivf_topk`` — the
     indexed path must return bit-identical results to the in-flight
     path, so one SQL twin checks both.
+
+    The index lands in a per-process unique temp dir: a path shared
+    across processes raced (one session's overwrite deleting
+    part-files under another's probe scan). The few-MB leak per
+    process is bounded (one dir per (pid, sf)) and lives under the
+    OS-reaped /tmp.
     """
     import os as _os
+    import tempfile as _tempfile
 
     tune_session(spark)
     e = read_table(spark, sf_dir, "embeddings")
     cents = SIM.deterministic_centroids(e, "embedding", "vec_id", n_cells=16)
     path = _os.path.join(
-        "/tmp/etl_project_spark_ivf",
+        _tempfile.gettempdir(),
+        f"etl_project_spark_ivf_{_os.getpid()}",
         _os.path.basename(sf_dir.rstrip("/")) or "sf",
     )
     SIM.ivf_write_index(e, "embedding", cents, path, id_col="vec_id")

@@ -14,14 +14,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from tools.compare_frames import canon, frames_match  # noqa: E402
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-
-def canon(df):
-    df = df[sorted(df.columns)].copy()
-    return df.sort_values(by=list(df.columns), ignore_index=True) if len(df) else df
 
 
 def main() -> int:
@@ -55,22 +53,7 @@ def main() -> int:
         sp = canon(spec.builder(spark, sf_dir).toPandas())
         release_persists()
         oc = canon(con.execute(spec.oracle).fetchdf())
-        ok = sp.shape == oc.shape and list(sp.columns) == list(oc.columns)
-        if ok:
-            for c in sp.columns:
-                a, b = sp[c], oc[c]
-                if pd.api.types.is_numeric_dtype(a) or pd.api.types.is_numeric_dtype(b):
-                    same = (
-                        a.astype(float).fillna(-9e99).to_numpy()
-                        == b.astype(float).fillna(-9e99).to_numpy()
-                    ).all()
-                else:
-                    same = (
-                        a.astype(object).fillna("~") == b.astype(object).fillna("~")
-                    ).all()
-                if not same:
-                    ok = False
-                    break
+        ok = frames_match(sp, oc)
         print(f"{name:45s} shape={sp.shape} match={bool(ok)}")
         if not ok:
             failed.append(name)

@@ -23,9 +23,7 @@ TABLES = (
 ).split()
 
 
-def canon(df):
-    df = df[sorted(df.columns)].copy()
-    return df.sort_values(by=list(df.columns), ignore_index=True) if len(df) else df
+from tools.compare_frames import canon, frames_match  # noqa: E402
 
 
 def main() -> int:
@@ -75,20 +73,7 @@ def main() -> int:
             continue
         sp = canon(qs[name](spark, SF).toPandas())
         oc = canon(con.execute(osql[name]).fetchdf())
-        ok = sp.shape == oc.shape and list(sp.columns) == list(oc.columns)
-        if ok:
-            for c in sp.columns:
-                a, b = sp[c], oc[c]
-                if pd.api.types.is_numeric_dtype(a) or pd.api.types.is_numeric_dtype(b):
-                    same = (
-                        a.astype(float).fillna(-9e99).to_numpy()
-                        == b.astype(float).fillna(-9e99).to_numpy()
-                    ).all()
-                else:
-                    same = (a.astype(object).fillna("~") == b.astype(object).fillna("~")).all()
-                if not same:
-                    ok = False
-                    break
+        ok = frames_match(sp, oc)
         print(f"{name:45s} shape={sp.shape} match={bool(ok)}")
         if not ok:
             failed.append(name)
