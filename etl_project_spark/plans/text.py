@@ -1103,3 +1103,56 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@register(
+    "q_readability_scores",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS n_words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         GREATEST(len(regexp_extract_all(LOWER(text), '[aeiouy]+')), 1) AS n_syllables
+  FROM documents
+  WHERE len(regexp_extract_all(LOWER(text), '[a-z0-9]+')) > 0
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(1.0 * n_words / n_sentences), 4) AS avg_words_per_sentence,
+       ROUND(AVG(1.0 * n_syllables / n_words), 4) AS avg_syllables_per_word,
+       ROUND(AVG(206.835 - 1.015 * (1.0 * n_words / n_sentences)
+                 - 84.6 * (1.0 * n_syllables / n_words)), 4) AS avg_flesch
+FROM m
+GROUP BY lang
+""",
+    tags=("text", "readability"),
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per language: words/sentence and
+    syllables/word from regex counting (vowel groups ≈ syllables, the
+    standard cheap proxy), rolled up per language tag.
+
+    Pure codegen regexp_extract_all counting — the corpus-quality
+    readability gate with zero Python; the GREATEST(…,1) floors keep
+    sentence-less fragments finite in both engines.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))), F.lit(1)
+    )
+    m = d.select("lang", n_words.alias("w"), n_sent.alias("s"), n_syll.alias("y")).where(
+        F.col("w") > 0
+    )
+    wps = F.col("w") * 1.0 / F.col("s")
+    spw = F.col("y") * 1.0 / F.col("w")
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(wps), 4).alias("avg_words_per_sentence"),
+        F.round(F.avg(spw), 4).alias("avg_syllables_per_word"),
+        F.round(F.avg(206.835 - 1.015 * wps - 84.6 * spw), 4).alias("avg_flesch"),
+    )

@@ -478,3 +478,52 @@ def q_user_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.col("run_peak") - F.col("cum_value")), 4).alias("max_drawdown"),
         F.round(F.max("run_peak"), 4).alias("peak_value"),
     )
+
+
+@register(
+    "q_seasonal_revenue_index",
+    oracle="""
+WITH monthly AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS month,
+         EXTRACT(month FROM o_orderdate) AS moy,
+         SUM(o_totalprice) AS revenue
+  FROM orders
+  GROUP BY 1, 2
+),
+overall AS (SELECT AVG(revenue) AS grand_avg FROM monthly)
+SELECT CAST(moy AS INTEGER) AS month_of_year,
+       COUNT(*) AS n_months,
+       ROUND(AVG(revenue), 2) AS avg_revenue,
+       ROUND(AVG(revenue) / grand_avg, 6) AS seasonal_index
+FROM monthly, overall
+GROUP BY moy, grand_avg
+""",
+    tags=("timeseries", "seasonality"),
+)
+def q_seasonal_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal indices: each calendar month's
+    average revenue relative to the all-months average (index > 1 =
+    seasonally strong month).
+
+    Aggregate-first twice over: monthly totals (one fact-table
+    hash-agg), then the 12-row month-of-year rollup against a 1-row
+    broadcast grand mean. The deseasonalization step (revenue / index)
+    is a broadcast join of the 12-row index table back onto any
+    monthly series.
+    """
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    overall = monthly.agg(F.avg("revenue").alias("grand_avg"))
+    return (
+        monthly.crossJoin(F.broadcast(overall))
+        .groupBy(F.col("moy").cast("integer").alias("month_of_year"), "grand_avg")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(F.avg("revenue"), 2).alias("avg_revenue"),
+            F.round(F.avg("revenue") / F.first("grand_avg"), 6).alias("seasonal_index"),
+        )
+        .drop("grand_avg")
+    )
