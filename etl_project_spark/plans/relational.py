@@ -1584,3 +1584,58 @@ def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("price_c").cast("double") / 100.0).alias("total_price"),
         )
     )
+
+
+@register(
+    "q_union_schema_evolution",
+    oracle="""
+WITH legacy AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+modern AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+unified AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM legacy
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM modern
+)
+SELECT o_orderstatus,
+       COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM unified
+GROUP BY 1, 2
+""",
+    tags=("union", "schema-evolution"),
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a legacy extract missing a column unions
+    with the modern schema via ``unionByName(allowMissingColumns=True)``
+    — absent columns NULL-fill instead of erroring or mis-aligning by
+    position.
+
+    The lakehouse reality check: snapshots written before a column
+    existed must stay queryable next to new data. The split here is
+    synthetic (even/odd orderkey) so both engines replay it; the oracle
+    states the NULL-fill explicitly since SQL UNION is positional.
+    """
+    o = _t(spark, sf_dir, "orders")
+    legacy = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    modern = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    unified = legacy.unionByName(modern, allowMissingColumns=True)
+    return unified.groupBy(
+        "o_orderstatus",
+        F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -588,3 +588,51 @@ def q_hof_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("l1_norm"),
     )
+
+
+@register(
+    "q_explode_outer_token_audit",
+    oracle="""
+WITH toks AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN len(regexp_extract_all(LOWER(d.text), '[a-z]{3,}')) = 0
+              THEN [NULL]
+              ELSE regexp_extract_all(LOWER(d.text), '[a-z]{3,}') END AS ts
+  FROM documents d
+),
+rows_ AS (SELECT doc_id, lang, UNNEST(ts) AS tok FROM toks)
+SELECT lang,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tokenless_docs,
+       COUNT(tok) AS n_tokens
+FROM rows_
+GROUP BY lang
+""",
+    tags=("scalar", "explode-outer", "null-handling"),
+)
+def q_explode_outer_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: documents whose token array is empty
+    survive as a single NULL-token row instead of vanishing — the
+    difference between 'docs with no long words' being countable and
+    silently dropped.
+
+    The oracle emulates outer-explode with a CASE-to-[NULL] since
+    DuckDB's UNNEST is inner-only; Spark uses the real
+    ``explode_outer`` generator.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{3,}"), F.lit(0)).alias("ts"),
+    )
+    rows = toks.select("lang", F.explode_outer("ts").alias("tok"))
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_tokenless_docs"
+        ),
+        F.count("tok").alias("n_tokens"),
+    )

@@ -527,3 +527,57 @@ def q_seasonal_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grand_avg")
     )
+
+
+@register(
+    "q_seasonal_naive_backtest",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS actual
+  FROM events
+  GROUP BY 1, 2
+),
+joined AS (
+  SELECT a.event_type, a.h, a.actual, p.actual AS predicted
+  FROM hourly a
+  JOIN hourly p
+    ON p.event_type = a.event_type
+   AND p.h = a.h - INTERVAL 7 DAY
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       ROUND(AVG(ABS(actual - predicted)), 4) AS mae,
+       ROUND(AVG(actual), 4) AS mean_actual
+FROM joined
+GROUP BY event_type
+""",
+    tags=("timeseries", "forecast", "backtest"),
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict this hour's
+    event count = the count exactly one week earlier): per-type MAE
+    over every hour that has a week-ago twin.
+
+    Forecast evaluation as one self-equi-join on (type, hour−7d) over
+    the hourly AGGREGATE — the fact table reduces first, so the join
+    touches |types|×|hours| rows at any corpus scale. The baseline any
+    fancier forecaster must beat, computable inside the warehouse.
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    pred = hourly.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("h") + F.expr("INTERVAL 7 DAYS")).alias("p_h"),
+        F.col("actual").alias("predicted"),
+    )
+    joined = hourly.join(
+        pred,
+        (F.col("event_type") == F.col("p_type")) & (F.col("h") == F.col("p_h")),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.avg(F.abs(F.col("actual") - F.col("predicted"))), 4).alias("mae"),
+        F.round(F.avg("actual"), 4).alias("mean_actual"),
+    )
