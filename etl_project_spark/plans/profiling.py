@@ -338,3 +338,111 @@ def q_ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_nationkey", z.alias("resid_z"))
         .where(F.abs(F.col("resid_z")) >= 2.0)
     )
+
+
+@register(
+    "q_pareto_revenue_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS rev
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT rev, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+  FROM spend
+),
+tot AS (SELECT SUM(rev) AS t FROM spend)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(rev), 2) AS revenue,
+       ROUND(SUM(rev) / t, 6) AS revenue_share,
+       ROUND(SUM(SUM(rev) / t) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS cum_share
+FROM scored, tot
+GROUP BY decile, t
+""",
+    tags=("profiling", "pareto", "concentration"),
+)
+def q_pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto curve: revenue share of each customer-spend decile (1 =
+    biggest spenders) with the cumulative share — the 80/20 check.
+
+    NTILE runs over the customer AGGREGATE; the cumulative window runs
+    over the 10-row decile rollup. Companion to q_customer_spend_gini
+    (same concentration story, curve form instead of a scalar).
+    """
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    scored = spend.select(
+        "rev",
+        F.ntile(10).over(W.orderBy(F.desc("rev"), "o_custkey")).alias("decile"),
+    )
+    tot = spend.agg(F.sum("rev").alias("t"))
+    per = (
+        scored.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("r"))
+        .crossJoin(F.broadcast(tot))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per.select(
+        "decile",
+        "n_customers",
+        F.round("r", 2).alias("revenue"),
+        F.round(F.col("r") / F.col("t"), 6).alias("revenue_share"),
+        F.round(F.sum(F.col("r") / F.col("t")).over(w), 6).alias("cum_share"),
+    )
+
+
+@register(
+    "q_market_concentration_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(o.o_totalprice) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+share AS (
+  SELECT region, nation, rev,
+         rev / SUM(rev) OVER (PARTITION BY region) AS s
+  FROM rev
+)
+SELECT region,
+       COUNT(*) AS n_nations,
+       ROUND(SUM(s * s) * 10000, 4) AS hhi,
+       ROUND(MAX(s), 6) AS top_share
+FROM share
+GROUP BY region
+""",
+    tags=("profiling", "hhi", "concentration"),
+)
+def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of revenue concentration among
+    nations within each region (0–10000 scale; >2500 = concentrated).
+
+    Shares normalize inside a 25-row window (nation-level aggregate),
+    then one more rollup — the antitrust screen as two tiny
+    aggregations after the fact-table reduction.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    s = F.col("rev") / F.sum("rev").over(W.partitionBy("region"))
+    share = rev.select("region", "nation", s.alias("s"))
+    return share.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.round(F.sum(F.col("s") * F.col("s")) * 10000, 4).alias("hhi"),
+        F.round(F.max("s"), 6).alias("top_share"),
+    )
