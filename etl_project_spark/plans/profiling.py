@@ -446,3 +446,73 @@ def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("s") * F.col("s")) * 10000, 4).alias("hhi"),
         F.round(F.max("s"), 6).alias("top_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wilson score interval: the proportion CI that behaves at small n.
+# Pure scalar math over per-group counts — deterministic, no
+# simulation, identical double arithmetic in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q_return_rate_wilson_ci",
+    oracle="""
+WITH counts AS (
+  SELECT n.n_name AS nation,
+         COUNT(*) AS n_items,
+         SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, n_items, CAST(n_returned AS BIGINT) AS n_returned,
+       ROUND(1.0 * n_returned / n_items, 6) AS return_rate,
+       ROUND(((1.0 * n_returned / n_items) + 1.9599639845400545 * 1.9599639845400545 / (2 * n_items)
+              - 1.9599639845400545 * SQRT(((1.0 * n_returned / n_items) * (1 - 1.0 * n_returned / n_items)
+                + 1.9599639845400545 * 1.9599639845400545 / (4 * n_items)) / n_items))
+             / (1 + 1.9599639845400545 * 1.9599639845400545 / n_items), 6) AS wilson_lo,
+       ROUND(((1.0 * n_returned / n_items) + 1.9599639845400545 * 1.9599639845400545 / (2 * n_items)
+              + 1.9599639845400545 * SQRT(((1.0 * n_returned / n_items) * (1 - 1.0 * n_returned / n_items)
+                + 1.9599639845400545 * 1.9599639845400545 / (4 * n_items)) / n_items))
+             / (1 + 1.9599639845400545 * 1.9599639845400545 / n_items), 6) AS wilson_hi
+FROM counts
+""",
+    tags=("profiling", "wilson", "inference"),
+)
+def q_return_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation lineitem return rate with its 95% Wilson score
+    interval — the proportion CI that stays inside [0,1] and behaves
+    at small n, computable as pure scalar math over the count
+    aggregate (z = 1.9599639845400545, the same double literal baked
+    into both plans).
+    """
+    z = 1.9599639845400545
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    counts = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+    )
+    p = F.col("n_returned") * 1.0 / F.col("n_items")
+    nn = F.col("n_items")
+    half = z * F.sqrt((p * (1 - p) + z * z / (4 * nn)) / nn)
+    denom = 1 + z * z / nn
+    return counts.select(
+        "nation",
+        "n_items",
+        "n_returned",
+        F.round(p, 6).alias("return_rate"),
+        F.round((p + z * z / (2 * nn) - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + z * z / (2 * nn) + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -581,3 +581,58 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs(F.col("actual") - F.col("predicted"))), 4).alias("mae"),
         F.round(F.avg("actual"), 4).alias("mean_actual"),
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, AVG(n) AS mu FROM daily GROUP BY event_type
+),
+cusum AS (
+  SELECT d.event_type, d.d,
+         SUM(d.n - m.mu) OVER (PARTITION BY d.event_type ORDER BY d.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM daily d JOIN m ON d.event_type = m.event_type
+)
+SELECT event_type,
+       FIRST(d ORDER BY ABS(s) DESC, d) AS changepoint_day,
+       ROUND(MAX(ABS(s)), 4) AS max_abs_cusum
+FROM cusum
+GROUP BY event_type
+""",
+    tags=("timeseries", "cusum", "changepoint"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate per event type: the day where the
+    cumulative deviation from the mean daily count peaks in magnitude
+    (the classic single-changepoint locator).
+
+    Daily counts reduce first; the mean joins back broadcast; the
+    CUSUM is one per-type running window and the argmax is a max_by
+    over the ~30-row-per-type frame. Ties on |CUSUM| resolve to the
+    earliest day in both engines.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum = daily.join(F.broadcast(m), "event_type").withColumn(
+        "s", F.sum(F.col("n") - F.col("mu")).over(w)
+    )
+    # max_by on (|s| desc, earliest day): maximize struct(|s|, -epoch)
+    okey = F.struct(F.abs("s").alias("a"), (-F.unix_timestamp("d")).alias("negd"))
+    return cusum.groupBy("event_type").agg(
+        F.max_by("d", okey).alias("changepoint_day"),
+        F.round(F.max(F.abs("s")), 4).alias("max_abs_cusum"),
+    )
