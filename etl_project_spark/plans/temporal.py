@@ -447,3 +447,100 @@ def q_order_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.datediff("island_end", "island_start")).cast("long").alias("covered_days"),
     )
+
+
+@register(
+    "q_kaplan_meier_reorder",
+    oracle="""
+WITH anchor AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+gaps AS (
+  SELECT o_custkey,
+         DATE_DIFF('day', o_orderdate,
+                   LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey))
+             AS t_event,
+         DATE_DIFF('day', o_orderdate, (SELECT max_d FROM anchor)) AS t_censor
+  FROM orders
+),
+obs AS (
+  SELECT CASE WHEN t_event IS NOT NULL THEN t_event ELSE t_censor END AS t,
+         CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS died
+  FROM gaps
+  WHERE (CASE WHEN t_event IS NOT NULL THEN t_event ELSE t_censor END) > 0
+),
+tot AS (SELECT COUNT(*) AS n0 FROM obs),
+daily AS (
+  SELECT t, SUM(died) AS d, COUNT(*) AS removed
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         n0 - COALESCE(SUM(removed) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM daily, tot
+),
+km AS (
+  SELECT t, d, n_at_risk,
+         EXP(SUM(LN(1.0 - 1.0 * d / n_at_risk)) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM risk
+  WHERE d > 0 AND d < n_at_risk
+)
+SELECT CAST(t AS BIGINT) AS day, CAST(d AS BIGINT) AS n_events,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       ROUND(s, 6) AS survival
+FROM km WHERE t <= 120
+""",
+    tags=("temporal", "survival", "kaplan-meier"),
+)
+def q_kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of 'time until a customer orders again':
+    survival probability by day since the previous order, with
+    right-censoring at the corpus horizon for gaps still open.
+
+    The churn-analytics staple as relational algebra: per-customer gap
+    extraction (one LEAD window), a per-day death/removal rollup, the
+    at-risk count as an exclusive running sum, and the product-limit
+    estimator via EXP(Σ LN(1−d/n)) — every window runs over the
+    ≤|distinct days| frame, never the fact table. The day-120 cut
+    keeps output stable; log-sum products differ between engines only
+    at ~1e-15, inside the 6-decimal rounding.
+    """
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("max_d"))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.withColumn("next_d", F.lead("o_orderdate").over(w)).crossJoin(
+        F.broadcast(anchor)
+    )
+    obs = gaps.select(
+        F.when(
+            F.col("next_d").isNotNull(), F.datediff("next_d", "o_orderdate")
+        ).otherwise(F.datediff("max_d", "o_orderdate")).alias("t"),
+        F.when(F.col("next_d").isNotNull(), 1).otherwise(0).alias("died"),
+    ).where(F.col("t") > 0)
+    tot = obs.agg(F.count(F.lit(1)).alias("n0"))
+    daily = obs.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("removed")
+    )
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = daily.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n0") - F.coalesce(F.sum("removed").over(w_prev), F.lit(0))).alias(
+            "n_at_risk"
+        ),
+    )
+    w_run = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # d == n_at_risk is the terminal total-death day (S would hit
+    # exactly 0 and LN(1-d/n) is -inf) — excluded from the curve, the
+    # standard presentation which stops at the last survivable time
+    km = risk.where((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk"))).withColumn(
+        "s",
+        F.exp(F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_at_risk"))).over(w_run)),
+    )
+    return km.where(F.col("t") <= 120).select(
+        F.col("t").cast("long").alias("day"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.round("s", 6).alias("survival"),
+    )
