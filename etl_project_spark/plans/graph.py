@@ -209,3 +209,88 @@ def q_triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("nationkey")))
     )
     return nodes.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled SQL replay of weighted label propagation (see
+    q_label_propagation_communities)."""
+    ctes = ["""
+edges AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2
+),
+l0 AS (SELECT DISTINCT l_suppkey AS id, l_suppkey AS label FROM lineitem)"""]
+    for r in range(1, rounds + 1):
+        j = r - 1
+        ctes.append(f"""
+v{r} AS (
+  SELECT e.dst AS id, l{j}.label, SUM(e.w) AS votes
+  FROM edges e JOIN l{j} ON e.src = l{j}.id
+  GROUP BY e.dst, l{j}.label
+),
+l{r} AS (
+  SELECT id, FIRST(label ORDER BY votes DESC, label) AS label
+  FROM v{r} GROUP BY id
+)""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+SELECT label AS community, COUNT(*) AS n_members, MIN(id) AS min_member
+FROM l{rounds}
+GROUP BY label"""
+    )
+
+
+@register(
+    "q_label_propagation_communities",
+    oracle=_lpa_oracle(_LPA_ROUNDS),
+    tags=("graph", "community", "label-propagation"),
+)
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation over the supplier co-shipment graph:
+    2 synchronous rounds, each vertex adopting the neighbor label with
+    the most edge-weight votes (ties to the smallest label — the
+    determinism rule that makes an LPA hash-checkable).
+
+    Edges persist once (scoped_persist) and feed every round; a round
+    is one equi-join + one (vertex, label) hash-agg + one argmax — no
+    collects, no vertex-centric runtime. Integer vote weights keep the
+    argmax exact in both engines.
+    """
+    from etl_project_spark.session import scoped_persist
+
+    tune_session(spark)
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    basket = li.distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    edges = scoped_persist(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    labels = li.select(F.col("l_suppkey").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("vid"), "label")
+            .agg(F.sum("w").alias("votes"))
+        )
+        labels = votes.groupBy(F.col("vid").alias("id")).agg(
+            F.max_by("label", F.struct(F.col("votes"), -F.col("label"))).alias("label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("min_member"),
+    )
