@@ -11,7 +11,7 @@ deterministic, so a recall miss is a hard hash failure, not flake).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import read_table
@@ -531,4 +531,60 @@ def q_matryoshka_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(F.col("cos_trunc") - F.col("cos_full"))), 6).alias(
             "max_abs_distortion"
         ),
+    )
+
+
+@register(
+    "q_embedding_energy_spectrum",
+    oracle="""
+WITH comp AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+pervar AS (
+  SELECT dim, var_pop(val) AS v FROM comp GROUP BY dim
+),
+tot AS (SELECT SUM(v) AS tv FROM pervar),
+ranked AS (
+  SELECT dim, v, ROW_NUMBER() OVER (ORDER BY v DESC, dim) AS rnk
+  FROM pervar
+)
+SELECT rnk AS energy_rank, dim,
+       ROUND(v, 6) AS variance,
+       ROUND(SUM(v / tv) OVER (ORDER BY rnk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS cum_energy_share
+FROM ranked, tot
+""",
+    tags=("similarity", "variance", "spectrum"),
+)
+def q_embedding_energy_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance spectrum of the embeddings, ranked by
+    energy with the cumulative share — the poor-man's PCA scree plot
+    that answers 'how many dims carry the signal' without an
+    eigendecomposition.
+
+    posexplode → per-dim var_pop (64-row aggregate) → ranking and the
+    cumulative window over those 64 rows. Companion to
+    q_embedding_covariance (off-diagonal structure) and
+    q_matryoshka_distortion (truncation effect on similarity).
+    """
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    comp = e.select(F.posexplode("embedding").alias("pos", "val")).select(
+        (F.col("pos") + 1).cast("integer").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    pervar = comp.groupBy("dim").agg(F.var_pop("val").alias("v"))
+    tot = pervar.agg(F.sum("v").alias("tv"))
+    ranked = pervar.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("v"), "dim"))
+    )
+    w = W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        F.col("rnk").alias("energy_rank"),
+        "dim",
+        F.round("v", 6).alias("variance"),
+        F.round(F.sum(F.col("v") / F.col("tv")).over(w), 6).alias("cum_energy_share"),
     )

@@ -1156,3 +1156,119 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(spw), 4).alias("avg_syllables_per_word"),
         F.round(F.avg(206.835 - 1.015 * wps - 84.6 * spw), 4).alias("avg_flesch"),
     )
+
+
+@register(
+    "q_zipf_exponent",
+    oracle="""
+WITH counts AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT UNNEST(string_split(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+  GROUP BY term
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+  FROM counts
+)
+SELECT COUNT(*) AS n_types,
+       ROUND(regr_slope(LN(CAST(c AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 6)
+           AS zipf_slope,
+       ROUND(regr_r2(LN(CAST(c AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 6)
+           AS fit_r2
+FROM ranked
+WHERE rnk <= 1000
+""",
+    tags=("text", "zipf", "corpus-stats"),
+)
+def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of log(frequency) on
+    log(rank) over the top-1000 token types (healthy natural text sits
+    near −1; templated or synthetic corpora deviate).
+
+    Token counts hash-agg, ranks over the type table (vocab-sized, not
+    corpus-sized), and the fit is a single-pass regression aggregate —
+    the corpus-health screen a pretraining pipeline runs per source.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+            ).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = counts.select(
+        "c", F.row_number().over(W.orderBy(F.desc("c"), "term")).alias("rnk")
+    ).where(F.col("rnk") <= 1000)
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"),
+    )
+
+
+@register(
+    "q_negative_sampling_distribution",
+    oracle="""
+WITH counts AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT UNNEST(string_split(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+  GROUP BY term
+),
+powed AS (
+  SELECT term, c, POW(CAST(c AS DOUBLE), 0.75) AS p75 FROM counts
+),
+tot AS (SELECT SUM(p75) AS z FROM powed),
+ranked AS (
+  SELECT term, c, p75, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+  FROM powed
+)
+SELECT term, CAST(c AS BIGINT) AS n_occurrences,
+       ROUND(p75 / z, 8) AS sample_prob
+FROM ranked, tot
+WHERE rnk <= 50
+""",
+    tags=("text", "negative-sampling", "word2vec"),
+)
+def q_negative_sampling_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: P(w) ∝ count^0.75
+    (the smoothing that keeps rare words drawable), top-50 tokens with
+    their normalized sampling probabilities.
+
+    Everything past the token hash-agg operates on the vocab table;
+    the normalizer is a 1-row broadcast. The pow/divide doubles are
+    identical in both engines; the sum-order difference in Z sits
+    ~1e-15 under the 8-decimal rounding.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+            ).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    powed = counts.withColumn("p75", F.pow(F.col("c").cast("double"), 0.75))
+    tot = powed.agg(F.sum("p75").alias("z"))
+    ranked = powed.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("c"), "term"))
+    ).where(F.col("rnk") <= 50)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.col("c").cast("long").alias("n_occurrences"),
+        F.round(F.col("p75") / F.col("z"), 8).alias("sample_prob"),
+    )

@@ -636,3 +636,39 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("d", okey).alias("changepoint_day"),
         F.round(F.max(F.abs("s")), 4).alias("max_abs_cusum"),
     )
+
+
+@register(
+    "q_event_burstiness",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       ROUND(AVG(n), 6) AS mean_rate,
+       ROUND(var_pop(n), 6) AS var_rate,
+       ROUND(var_pop(n) / AVG(n), 6) AS fano_factor
+FROM hourly
+GROUP BY event_type
+""",
+    tags=("timeseries", "burstiness", "fano"),
+)
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = variance/mean of hourly counts) per
+    event type: 1 ≈ Poisson arrivals, >1 = bursty, <1 = regular.
+
+    The anomaly-context statistic behind rate alerting — one hourly
+    hash-agg then moment aggregates over the per-type hour counts.
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.avg("n"), 6).alias("mean_rate"),
+        F.round(F.var_pop("n"), 6).alias("var_rate"),
+        F.round(F.var_pop("n") / F.avg("n"), 6).alias("fano_factor"),
+    )
