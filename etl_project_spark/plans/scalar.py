@@ -595,9 +595,10 @@ def q_hof_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH toks AS (
   SELECT d.doc_id, d.lang,
-         CASE WHEN len(regexp_extract_all(LOWER(d.text), '[a-z]{3,}')) = 0
+         CASE WHEN d.text IS NULL
+                OR len(regexp_extract_all(LOWER(d.text), '[a-z]{6,}')) = 0
               THEN [NULL]
-              ELSE regexp_extract_all(LOWER(d.text), '[a-z]{3,}') END AS ts
+              ELSE regexp_extract_all(LOWER(d.text), '[a-z]{6,}') END AS ts
   FROM documents d
 ),
 rows_ AS (SELECT doc_id, lang, UNNEST(ts) AS tok FROM toks)
@@ -614,19 +615,23 @@ GROUP BY lang
 def q_explode_outer_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_outer semantics: documents whose token array is empty
     survive as a single NULL-token row instead of vanishing — the
-    difference between 'docs with no long words' being countable and
-    silently dropped.
+    difference between 'docs with no 6+-letter words' being countable
+    and silently dropped. The 6-letter threshold is chosen so the
+    outer path actually FIRES on the fixtures (5 tokenless docs at
+    every SF) — with a looser regex the query could not distinguish
+    explode_outer from plain explode.
 
     The oracle emulates outer-explode with a CASE-to-[NULL] since
-    DuckDB's UNNEST is inner-only; Spark uses the real
-    ``explode_outer`` generator.
+    DuckDB's UNNEST is inner-only (NULL text included in the CASE —
+    explode_outer(NULL array) also emits the NULL-token row); Spark
+    uses the real ``explode_outer`` generator.
     """
     tune_session(spark)
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "lang",
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{3,}"), F.lit(0)).alias("ts"),
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{6,}"), F.lit(0)).alias("ts"),
     )
     rows = toks.select("lang", F.explode_outer("ts").alias("tok"))
     return rows.groupBy("lang").agg(

@@ -229,6 +229,34 @@ def q_doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared alnum tokenizer (Spark + SQL twins): ONE definition for every
+#: vocabulary-shaped query (tf-idf, Zipf, negative sampling, ...) so a
+#: tokenization change can never skew one query's vocabulary vs the
+#: others.
+_SQL_ALNUM_COUNTS_CTE = """
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT UNNEST(string_split(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+  GROUP BY term
+"""
+
+
+def _alnum_terms(d: DataFrame) -> DataFrame:
+    """(doc_id, term) rows under the shared alnum tokenizer."""
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+
+
+def _alnum_term_counts(d: DataFrame) -> DataFrame:
+    """(term, c) corpus vocabulary under the shared alnum tokenizer."""
+    return _alnum_terms(d).groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+
+
 @register(
     "q_tfidf_term_stats",
     oracle="""
@@ -263,13 +291,7 @@ def q_tfidf_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan runs at 100 TB: explode → partial agg per (doc, term) →
     shuffle on term.
     """
-    d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
-        ).alias("term"),
-    ).filter(F.col("term") != "")
+    toks = _alnum_terms(_docs(spark, sf_dir))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = toks.agg(
         F.count_distinct("doc_id").cast("double").alias("n_docs")
@@ -1160,14 +1182,8 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_zipf_exponent",
-    oracle="""
-WITH counts AS (
-  SELECT term, COUNT(*) AS c FROM (
-    SELECT UNNEST(string_split(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
-    FROM documents
-  ) WHERE term <> ''
-  GROUP BY term
-),
+    oracle=f"""
+WITH counts AS ({_SQL_ALNUM_COUNTS_CTE}),
 ranked AS (
   SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
   FROM counts
@@ -1192,17 +1208,7 @@ def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-health screen a pretraining pipeline runs per source.
     """
     tune_session(spark)
-    d = read_table(spark, sf_dir, "documents")
-    counts = (
-        d.select(
-            F.explode(
-                F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
-            ).alias("term")
-        )
-        .where(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    counts = _alnum_term_counts(read_table(spark, sf_dir, "documents"))
     ranked = counts.select(
         "c", F.row_number().over(W.orderBy(F.desc("c"), "term")).alias("rnk")
     ).where(F.col("rnk") <= 1000)
@@ -1217,14 +1223,8 @@ def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_negative_sampling_distribution",
-    oracle="""
-WITH counts AS (
-  SELECT term, COUNT(*) AS c FROM (
-    SELECT UNNEST(string_split(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS term
-    FROM documents
-  ) WHERE term <> ''
-  GROUP BY term
-),
+    oracle=f"""
+WITH counts AS ({_SQL_ALNUM_COUNTS_CTE}),
 powed AS (
   SELECT term, c, POW(CAST(c AS DOUBLE), 0.75) AS p75 FROM counts
 ),
@@ -1251,17 +1251,7 @@ def q_negative_sampling_distribution(spark: SparkSession, sf_dir: str) -> DataFr
     ~1e-15 under the 8-decimal rounding.
     """
     tune_session(spark)
-    d = read_table(spark, sf_dir, "documents")
-    counts = (
-        d.select(
-            F.explode(
-                F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
-            ).alias("term")
-        )
-        .where(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    counts = _alnum_term_counts(read_table(spark, sf_dir, "documents"))
     powed = counts.withColumn("p75", F.pow(F.col("c").cast("double"), 0.75))
     tot = powed.agg(F.sum("p75").alias("z"))
     ranked = powed.withColumn(

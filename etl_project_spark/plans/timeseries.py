@@ -517,15 +517,15 @@ def q_seasonal_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("moy"),
     ).agg(F.sum("o_totalprice").alias("revenue"))
     overall = monthly.agg(F.avg("revenue").alias("grand_avg"))
-    return (
-        monthly.crossJoin(F.broadcast(overall))
-        .groupBy(F.col("moy").cast("integer").alias("month_of_year"), "grand_avg")
-        .agg(
-            F.count(F.lit(1)).alias("n_months"),
-            F.round(F.avg("revenue"), 2).alias("avg_revenue"),
-            F.round(F.avg("revenue") / F.first("grand_avg"), 6).alias("seasonal_index"),
-        )
-        .drop("grand_avg")
+    per_moy = monthly.groupBy(F.col("moy").cast("integer").alias("month_of_year")).agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.avg("revenue").alias("avg_rev"),
+    )
+    return per_moy.crossJoin(F.broadcast(overall)).select(
+        "month_of_year",
+        "n_months",
+        F.round("avg_rev", 2).alias("avg_revenue"),
+        F.round(F.col("avg_rev") / F.col("grand_avg"), 6).alias("seasonal_index"),
     )
 
 

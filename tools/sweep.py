@@ -25,7 +25,7 @@ def main() -> int:
     slow = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
 
     from etl_project_spark.plans.registry import all_specs
-    from etl_project_spark.session import get_spark
+    from etl_project_spark.session import get_spark, release_persists
 
     spark = get_spark("sweep")
     times: dict[str, float] = {}
@@ -40,6 +40,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             failed.append(name)
             print(f"{name:45s} FAIL {type(e).__name__}: {str(e)[:140]}")
+        finally:
+            # scoped_persist caches (LPA edges, minhash posting lists,
+            # ...) must not accumulate across a 240-query sweep
+            release_persists()
     for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
         if t > slow:
             print(f"{name:45s} {t:6.2f}s")
