@@ -53,6 +53,9 @@ BENCH_QUERIES = (
     "q_copurchase_association_rules",
     "q_jaro_winkler_part_pairs",
     "q_max_concurrent_open_orders",
+    # round-6 additions: learned BPE + perceptual-hash image dedup
+    "q_bpe_learned_merges",
+    "q_image_phash_clusters",
 )
 
 
