@@ -516,3 +516,76 @@ def q_return_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + z * z / (2 * nn) - half) / denom, 6).alias("wilson_lo"),
         F.round((p + z * z / (2 * nn) + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "q_welch_ttest_segments",
+    oracle="""
+WITH labeled AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+m AS (
+  SELECT seg, COUNT(*) AS n, AVG(v) AS mu, var_samp(v) AS s2
+  FROM labeled GROUP BY seg
+),
+w AS (
+  SELECT a.n AS na, a.mu AS mua, a.s2 AS s2a,
+         b.n AS nb, b.mu AS mub, b.s2 AS s2b
+  FROM m a, m b
+  WHERE a.seg = 'BUILDING' AND b.seg = 'MACHINERY'
+)
+SELECT CAST(na AS BIGINT) AS n_building, CAST(nb AS BIGINT) AS n_machinery,
+       ROUND(mua, 4) AS mean_building,
+       ROUND(mub, 4) AS mean_machinery,
+       ROUND((mua - mub) / SQRT(s2a / na + s2b / nb), 6) AS welch_t,
+       ROUND(POW(s2a / na + s2b / nb, 2)
+             / (POW(s2a / na, 2) / (na - 1) + POW(s2b / nb, 2) / (nb - 1)), 4)
+           AS satterthwaite_df
+FROM w
+""",
+    tags=("profiling", "ttest", "inference"),
+)
+def q_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: does mean order value differ
+    between the BUILDING and MACHINERY segments? Emits the t statistic
+    and Satterthwaite degrees of freedom.
+
+    Inference from moment aggregates only — two (n, mean, s²) triples
+    from one hash-agg, combined by scalar math on a 1-row frame; the
+    same single-pass shape at any corpus size.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    labeled = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v"))
+    )
+    m = labeled.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("mu"),
+        F.var_samp("v").alias("s2"),
+    )
+    a = m.where(F.col("seg") == "BUILDING").select(
+        F.col("n").alias("na"), F.col("mu").alias("mua"), F.col("s2").alias("s2a")
+    )
+    b = m.where(F.col("seg") == "MACHINERY").select(
+        F.col("n").alias("nb"), F.col("mu").alias("mub"), F.col("s2").alias("s2b")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    se2a = F.col("s2a") / F.col("na")
+    se2b = F.col("s2b") / F.col("nb")
+    return w.select(
+        F.col("na").cast("long").alias("n_building"),
+        F.col("nb").cast("long").alias("n_machinery"),
+        F.round("mua", 4).alias("mean_building"),
+        F.round("mub", 4).alias("mean_machinery"),
+        F.round((F.col("mua") - F.col("mub")) / F.sqrt(se2a + se2b), 6).alias("welch_t"),
+        F.round(
+            F.pow(se2a + se2b, 2)
+            / (F.pow(se2a, 2) / (F.col("na") - 1) + F.pow(se2b, 2) / (F.col("nb") - 1)),
+            4,
+        ).alias("satterthwaite_df"),
+    )
