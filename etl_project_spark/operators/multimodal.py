@@ -457,18 +457,12 @@ def encode_wav(samples, sample_rate: int) -> bytes:
     )
 
 
-def decode_wav(payload: bytes, modality: str = "audio") -> dict:
-    """REAL audio container decoder for uncompressed PCM WAV — walks
-    the RIFF chunk list (skipping unknown chunks with even-byte
-    padding, as the format requires), parses the ``fmt `` fields, and
-    computes waveform stats over the ``data`` chunk's actual samples.
-
-    Supports PCM (format 1) at 8-bit unsigned and 16-bit signed LE —
-    the two canonical raw encodings; anything compressed raises. Level
-    stats use the same half-up 4-decimal rounding as
-    :func:`audio_waveform_stats` so an SQL oracle that knows the
-    sample-generation rule replays them exactly.
-    """
+def wav_pcm_samples(payload: bytes):
+    """Single RIFF/WAVE parser: walk the chunk list (word-aligned,
+    unknown chunks skipped), parse ``fmt ``, and return
+    ``(sample_rate, channels, bits, samples_f64)``. Both the stats
+    decoder and the spectral operator consume THIS — one parser, the
+    BMP lesson applied to audio."""
     import struct
 
     import numpy as np
@@ -499,6 +493,24 @@ def decode_wav(payload: bytes, modality: str = "audio") -> dict:
         a = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
     else:
         a = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    return int(sample_rate), int(channels), int(bits), a
+
+
+def decode_wav(payload: bytes, modality: str = "audio") -> dict:
+    """REAL audio container decoder for uncompressed PCM WAV — walks
+    the RIFF chunk list (skipping unknown chunks with even-byte
+    padding, as the format requires), parses the ``fmt `` fields, and
+    computes waveform stats over the ``data`` chunk's actual samples.
+
+    Supports PCM (format 1) at 8-bit unsigned and 16-bit signed LE —
+    the two canonical raw encodings; anything compressed raises. Level
+    stats use the same half-up 4-decimal rounding as
+    :func:`audio_waveform_stats` so an SQL oracle that knows the
+    sample-generation rule replays them exactly.
+    """
+    import numpy as np
+
+    sample_rate, channels, bits, a = wav_pcm_samples(payload)
     n = a.size // max(channels, 1)
 
     def round4(x: float) -> float:
@@ -736,3 +748,49 @@ def phash_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+WAV_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("power_bin1", T.DoubleType()),
+        T.StructField("power_bin2", T.DoubleType()),
+        T.StructField("power_bin3", T.DoubleType()),
+    ]
+)
+
+
+def wav_spectral_power(
+    df: DataFrame, *, id_col: str = "id", payload_col: str = "payload", bins=(1, 2, 3)
+) -> DataFrame:
+    """DFT power at low frequency bins over REAL decoded WAV samples:
+    ``P_k = (Σ x̃_i·cos(2πki/n))² + (Σ x̃_i·sin(2πki/n))²`` with the
+    mean-removed signal x̃ — explicit Goertzel-style sums (not an FFT
+    library call) so an SQL oracle that knows the sample rule can
+    replay the identical arithmetic term by term.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                _rate, _ch, _bits, a = wav_pcm_samples(
+                    bytes(p) if p is not None else None
+                )
+                n = a.size
+                x = a - a.mean() if n else a
+                row = {"id": int(i), "n_samples": int(n)}
+                idx = np.arange(n, dtype=np.float64)
+                for k in bins:
+                    ang = 2.0 * np.pi * k * idx / n if n else idx
+                    re = float((x * np.cos(ang)).sum())
+                    im = float((x * np.sin(ang)).sum())
+                    row[f"power_bin{k}"] = re * re + im * im
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WAV_SPECTRAL_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_SPECTRAL_SCHEMA)

@@ -346,3 +346,54 @@ def q_image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("id").alias("canonical_id"),
     )
+
+
+@register(
+    "q_wav_spectral_power",
+    oracle="""
+WITH aud AS (
+  SELECT doc_id,
+         32 + (3 * doc_id) % 57 AS n
+  FROM documents WHERE doc_id % 4 = 1
+),
+samp AS (
+  SELECT doc_id, n, i,
+         CAST((5 * doc_id + 11 * i) % 256 AS DOUBLE) AS x
+  FROM aud, UNNEST(generate_series(0, n - 1)) AS u(i)
+),
+centered AS (
+  SELECT doc_id, n, i, x - AVG(x) OVER (PARTITION BY doc_id) AS xc
+  FROM samp
+)
+SELECT doc_id AS id,
+       CAST(MAX(n) AS INTEGER) AS n_samples,
+       ROUND(POW(SUM(xc * COS(2 * PI() * 1 * i / n)), 2)
+           + POW(SUM(xc * SIN(2 * PI() * 1 * i / n)), 2), 2) AS power_bin1,
+       ROUND(POW(SUM(xc * COS(2 * PI() * 2 * i / n)), 2)
+           + POW(SUM(xc * SIN(2 * PI() * 2 * i / n)), 2), 2) AS power_bin2,
+       ROUND(POW(SUM(xc * COS(2 * PI() * 3 * i / n)), 2)
+           + POW(SUM(xc * SIN(2 * PI() * 3 * i / n)), 2), 2) AS power_bin3
+FROM centered
+GROUP BY doc_id
+""",
+    tags=("multimodal", "audio", "spectral"),
+)
+def q_wav_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral analysis over REAL audio bytes: DFT power at bins 1–3
+    of each WAV's mean-removed PCM samples, decoded by the actual RIFF
+    parser (operators/multimodal.py::wav_pcm_samples).
+
+    The oracle never sees the bytes — it replays the fixture's sample
+    rule and the exact same Goertzel sums in SQL — so a hash match
+    proves container parse + sample recovery + the spectral arithmetic
+    end to end. libm cos/sin differ between numpy and DuckDB only at
+    ~1 ulp; the sums sit ~8 orders of magnitude above that, inside the
+    2-decimal rounding.
+    """
+    tune_session(spark)
+    wav = MM.make_wav_table(read_table(spark, sf_dir, "documents"))
+    return MM.wav_spectral_power(wav).select(
+        "id", "n_samples", "power_bin1", "power_bin2", "power_bin3"
+    ).withColumn("power_bin1", F.round("power_bin1", 2)) \
+     .withColumn("power_bin2", F.round("power_bin2", 2)) \
+     .withColumn("power_bin3", F.round("power_bin3", 2))
