@@ -589,3 +589,175 @@ def q_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("satterthwaite_df"),
     )
+
+
+@register(
+    "q_categorical_entropy",
+    oracle="""
+WITH vals AS (
+  SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+counts AS (
+  SELECT col, v, COUNT(*) AS c FROM vals GROUP BY col, v
+),
+tot AS (SELECT col, SUM(c) AS t FROM counts GROUP BY col)
+SELECT counts.col,
+       COUNT(*) AS n_values,
+       ROUND(-SUM((1.0 * c / t) * LOG2(1.0 * c / t)), 6) AS entropy_bits,
+       ROUND(-SUM((1.0 * c / t) * LOG2(1.0 * c / t)) / LOG2(COUNT(*)), 6)
+           AS normalized_entropy
+FROM counts JOIN tot ON counts.col = tot.col
+GROUP BY counts.col
+""",
+    tags=("profiling", "entropy"),
+)
+def q_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and its max-normalized form) of the order
+    status and priority columns — the column-profiling uniformity
+    gauge (1.0 = uniform, →0 = near-constant).
+
+    One stacked value scan, one (col, value) hash-agg, then scalar
+    math over the handful of distinct values per column.
+    """
+    o = _t(spark, sf_dir, "orders")
+    vals = o.select(
+        F.lit("o_orderstatus").alias("col"), F.col("o_orderstatus").alias("v")
+    ).unionByName(
+        o.select(F.lit("o_orderpriority").alias("col"), F.col("o_orderpriority").alias("v"))
+    )
+    counts = vals.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("col").agg(F.sum("c").alias("t"))
+    p = F.col("c") * 1.0 / F.col("t")
+    ent = -F.sum(p * F.log2(p))
+    return (
+        counts.join(tot, "col")
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(ent, 6).alias("entropy_bits"),
+            F.round(ent / F.log2(F.count(F.lit(1))), 6).alias("normalized_entropy"),
+        )
+    )
+
+
+@register(
+    "q_mutual_information_segment_region",
+    oracle="""
+WITH obs AS (
+  SELECT c.c_mktsegment AS x, r.r_name AS y, COUNT(*) AS c
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT x, y, c,
+         SUM(c) OVER (PARTITION BY x) AS cx,
+         SUM(c) OVER (PARTITION BY y) AS cy,
+         SUM(c) OVER () AS n
+  FROM obs
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_customers,
+       ROUND(SUM((1.0 * c / n) * LOG2((1.0 * c * n) / (1.0 * cx * cy))), 6)
+           AS mutual_information_bits
+FROM tot
+""",
+    tags=("profiling", "mutual-information"),
+)
+def q_mutual_information_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between market segment and region (bits) —
+    the effect-size companion to q_chisq_segment_region's significance
+    test, from the same 25-cell contingency table.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    obs = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("c_mktsegment").alias("x"), F.col("r_name").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cx = F.sum("c").over(W.partitionBy("x"))
+    cy = F.sum("c").over(W.partitionBy("y"))
+    nn = F.sum("c").over(W.partitionBy())
+    tot = obs.select("c", cx.alias("cx"), cy.alias("cy"), nn.alias("n"))
+    return tot.agg(
+        F.sum("c").cast("long").alias("n_customers"),
+        F.round(
+            F.sum(
+                (F.col("c") * 1.0 / F.col("n"))
+                * F.log2(F.col("c") * 1.0 * F.col("n") / (F.col("cx") * 1.0 * F.col("cy")))
+            ),
+            6,
+        ).alias("mutual_information_bits"),
+    )
+
+
+@register(
+    "q_ks_statistic_binned",
+    oracle="""
+WITH labeled AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'a' ELSE 'b' END AS grp,
+         CAST(FLOOR(o.o_totalprice / 1000.0) AS BIGINT) AS bin
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+counts AS (
+  SELECT bin,
+         SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM labeled GROUP BY bin
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+cdf AS (
+  SELECT bin,
+         SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) * 1.0 / na AS fa,
+         SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) * 1.0 / nb AS fb
+  FROM counts, tot
+)
+SELECT (SELECT CAST(na AS BIGINT) FROM tot) AS n_building,
+       (SELECT CAST(nb AS BIGINT) FROM tot) AS n_machinery,
+       ROUND(MAX(ABS(fa - fb)), 6) AS ks_statistic
+FROM cdf
+""",
+    tags=("profiling", "ks-test", "distribution"),
+)
+def q_ks_statistic_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (on $1000-binned order
+    totals) between BUILDING and MACHINERY customers: the supremum gap
+    between the two empirical CDFs.
+
+    Binning first is the aggregate-first discipline — the CDF windows
+    run over the ≤ few-hundred-row bin table, never the fact table,
+    and the discretized KS is exact for the binned distributions.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    labeled = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", "a").otherwise("b").alias("grp"),
+            F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("bin"),
+        )
+    )
+    counts = labeled.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cdf = counts.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        (F.sum("ca").over(w) * 1.0 / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) * 1.0 / F.col("nb")).alias("fb"),
+    )
+    return cdf.agg(
+        F.max("na").cast("long").alias("n_building"),
+        F.max("nb").cast("long").alias("n_machinery"),
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_statistic"),
+    )
