@@ -952,3 +952,38 @@ def q_running_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFram
         "event_id",
         F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
     )
+
+
+@register(
+    "q_dow_hour_activity",
+    oracle="""
+SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "calendar", "heatmap"),
+)
+def q_dow_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity matrix with global shares — the
+    calendar heatmap behind staffing/alerting baselines. One hash-agg
+    to ≤168 cells; the normalizing window runs over those cells.
+
+    DuckDB's dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 — the
+    plan subtracts 1 to pin the 0-based contract.
+    """
+    e = _events(spark, sf_dir)
+    agg = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("integer").alias("dow"),
+        F.hour("ts").cast("integer").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "dow",
+        "hour",
+        "n_events",
+        F.round(
+            F.col("n_events") * 1.0 / F.sum("n_events").over(W.partitionBy()), 6
+        ).alias("share"),
+    )

@@ -636,3 +636,54 @@ def stream_transition_pairs(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def stream_stream_left_outer_join(
+    events: DataFrame, *, watermark: str = "30 minutes", horizon_minutes: int = 60
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its in-horizon
+    purchase when one exists and NULLs once the watermark proves none
+    can arrive.
+
+    The outer flavor is the capability inner joins can't express in
+    streaming: the null-padded row for an unmatched click may only
+    emit after the purchase-side watermark passes click_ts + horizon
+    (before that a match could still arrive), so unmatched results
+    trail matched ones by the watermark delay — clicks inside the
+    final watermark window of a drained stream stay unemitted, which
+    the test accounts for by restricting the comparison to the
+    provably-flushed region.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

@@ -729,3 +729,60 @@ def test_stream_transition_pairs_match_batch_matrix(spark, events_path):
         (r.prev_type, r.next_type): r.n_transitions for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_flushes_unmatched(spark, events_path):
+    """The left-outer stream-stream join must (a) reproduce the batch
+    left join exactly on the provably-flushed region and (b) actually
+    emit null-padded rows for unmatched clicks there."""
+    stream = SE.read_events_stream(spark, events_path)
+    q = (
+        SE.stream_stream_left_outer_join(stream)
+        .writeStream.format("memory")
+        .queryName("ss_left_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got_all = spark.sql("SELECT * FROM ss_left_outer").collect()
+
+    e = spark.read.parquet(str(events_path)).withColumn(
+        "ts", F.col("ts").cast("timestamp_ltz")
+    )
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    # flushed region: clicks whose horizon closed before the final
+    # watermark (max event time - 30min delay)
+    import datetime
+
+    flush_cutoff = max_ts - datetime.timedelta(minutes=30 + 60)
+
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    want_rows = (
+        clicks.join(purchases, cond, "left_outer")
+        .filter(F.col("click_ts") < F.lit(flush_cutoff))
+        .collect()
+    )
+    want = {(r.click_id, r.purchase_id) for r in want_rows}
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in got_all
+        if r.click_ts < flush_cutoff
+    }
+    assert got == want
+    unmatched = [p for _, p in want if p is None]
+    assert unmatched, "no unmatched clicks in flushed region — vacuous"
