@@ -761,3 +761,80 @@ def q_ks_statistic_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("long").alias("n_machinery"),
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_statistic"),
     )
+
+
+@register(
+    "q_theil_index_spend",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS x FROM orders GROUP BY o_custkey
+),
+m AS (SELECT AVG(x) AS mu, COUNT(*) AS n FROM spend)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(SUM((x / mu) * LN(x / mu)) / n, 6) AS theil_t,
+       ROUND(-SUM(LN(x / mu)) / n, 6) AS theil_l
+FROM spend, m
+GROUP BY n
+""",
+    tags=("profiling", "theil", "inequality"),
+)
+def q_theil_index_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and L inequality indices of customer spend — the
+    decomposable cousins of q_customer_spend_gini (0 = equal; T
+    emphasizes the top, L the bottom of the distribution).
+
+    One spend hash-agg, a broadcast 1-row mean, and scalar log math —
+    no ranking sort at all, which is why Theil (not Gini) is the
+    at-scale inequality metric of choice.
+    """
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    m = spend.agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+    r = F.col("x") / F.col("mu")
+    return (
+        spend.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            F.round(F.sum(r * F.log(r)) / F.first("n"), 6).alias("theil_t"),
+            F.round(-F.sum(F.log(r)) / F.first("n"), 6).alias("theil_l"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_customers"), "theil_t", "theil_l"
+        )
+    )
+
+
+@register(
+    "q_source_diversity_indices",
+    oracle="""
+WITH counts AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+),
+tot AS (SELECT lang, SUM(c) AS t FROM counts GROUP BY lang)
+SELECT counts.lang,
+       COUNT(*) AS n_sources,
+       ROUND(-SUM((1.0 * c / t) * LN(1.0 * c / t)), 6) AS shannon,
+       ROUND(1.0 / SUM(POW(1.0 * c / t, 2)), 6) AS inverse_simpson
+FROM counts JOIN tot ON counts.lang = tot.lang
+GROUP BY counts.lang
+""",
+    tags=("profiling", "diversity"),
+)
+def q_source_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix diversity per language: richness, Shannon index, and
+    inverse Simpson (the 'effective number of sources') — the corpus
+    balance check before mixture weighting.
+    """
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("lang").agg(F.sum("c").alias("t"))
+    p = F.col("c") * 1.0 / F.col("t")
+    return (
+        counts.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("shannon"),
+            F.round(1.0 / F.sum(F.pow(p, 2)), 6).alias("inverse_simpson"),
+        )
+    )
