@@ -91,20 +91,31 @@ def q_pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     supp_id = -(F.col("s") + 1)
-    fwd = pairs.select(F.col("c").alias("src"), supp_id.alias("dst"))
-    rev = pairs.select(supp_id.alias("src"), F.col("c").alias("dst"))
     from etl_project_spark.session import scoped_persist
 
     # The graph is read by every iteration: without persist each of the
-    # 3 rounds re-derives edges from the orders⋈lineitem join (explain
-    # showed 28 scans / 24 exchanges) — at 100 TB that's re-reading the
-    # fact tables per iteration. Caching edges+degrees once is the
-    # canonical iterative-graph pattern; blocks are node-id rows, tiny
-    # relative to the source tables. scoped_persist (r6): the builder
-    # can't unpersist its own caches pre-action, so they're tracked and
-    # released by the harness via session.release_persists — the fix
-    # for the round-5 "already cached / never unpersisted" finding.
-    edges = scoped_persist(fwd.unionByName(rev))
+    # 3 rounds re-derives edges from the orders⋈lineitem join — at
+    # 100 TB that's re-reading the fact tables per iteration. Two build
+    # choices matter (round-7, cut 28 exchanges to single digits):
+    # (a) both edge directions come from ONE explode over `pairs`, not
+    #     a union of two selects — a union re-derives the orders⋈
+    #     lineitem join + distinct per branch (explain showed 28 scans);
+    # (b) edges persist PRE-PARTITIONED on src, so the degree agg and
+    #     every iteration's rank join consume the cached partitioning
+    #     instead of re-shuffling the (static) graph per round. Only
+    #     the per-round rank table moves after that — the canonical
+    #     iterative-graph layout on any cluster.
+    # scoped_persist (r6): builders can't unpersist their own caches
+    # pre-action; the harness releases them via release_persists.
+    both_dirs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), supp_id.alias("dst")),
+                F.struct(supp_id.alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = scoped_persist(both_dirs.repartition("src"))
     deg = scoped_persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
     ranks = deg.select(F.col("src").alias("id"), F.lit(1_000_000).cast("bigint").alias("r"))
     for _ in range(3):
