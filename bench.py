@@ -138,22 +138,38 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "steady_state": {
-                    "value": round(sum(steady.values()), 3),
-                    "queries": steady,
-                },
-                "host_calib": host_calib(),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "steady_state": {
+            "value": round(sum(steady.values()), 3),
+            "queries": steady,
+        },
+        "host_calib": host_calib(),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query detail (cold + steady + calib) goes to a side file;
+    # the stdout line must stay SHORT. The driver captures only the last
+    # 2000 chars of stdout — round 6's full line exceeded that, so the
+    # recorded BENCH_r6.json had a beheaded JSON and "parsed": null.
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "steady_total": detail["steady_state"]["value"],
+        "calib_numpy_s": detail["host_calib"]["numpy_matmul_s"],
+        "sf": detail["sf"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail window
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

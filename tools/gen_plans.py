@@ -74,19 +74,34 @@ def main() -> None:
         sf = "/root/testdata/sf0.01"
 
     out = [HEADER]
+    seen: set[str] = set()
     for name in tuple(BENCH_QUERIES) + ("---",) + EXTRA_PLANS:
         if name == "---":
             out.append(
                 "\n---\n\n# Operator-shape evidence (non-bench queries)\n"
             )
             continue
+        # A query can sit in both BENCH_QUERIES and EXTRA_PLANS (bench
+        # promotion keeps the old EXTRA entry); emit each section once.
+        if name in seen:
+            continue
+        seen.add(name)
         df = qs[name](spark, sf)
         qe = df._jdf.queryExecution()
         formatted = qe.explainString(mode.fromString("formatted"))
         tree = formatted.split("\n\n")[0]
-        n_exch = len(re.findall(r"\bExchange\b", tree))
-        n_bhj = len(re.findall(r"BroadcastHashJoin", tree))
-        n_smj = len(re.findall(r"SortMergeJoin", tree))
+
+        def uniq(op: str) -> int:
+            # The formatted tree reprints an InMemoryRelation's child
+            # plan under EVERY InMemoryTableScan referencing it, so raw
+            # substring counts inflate with each cache reference (the
+            # round-6 pagerank "28 exchanges" was this artifact). Node
+            # ids are stable across reprints — count distinct ids.
+            return len(set(re.findall(rf"\b{op}(?:\s+\w+)*\s+\((\d+)\)", tree)))
+
+        n_exch = uniq("Exchange")  # \b keeps BroadcastExchange out, as before
+        n_bhj = uniq("BroadcastHashJoin")
+        n_smj = uniq("SortMergeJoin")
         n_batched = formatted.count("Batched: true")
         pushed = sorted(
             {l.strip() for l in formatted.splitlines() if "PushedFilters" in l and "[]" not in l}
