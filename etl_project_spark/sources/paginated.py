@@ -181,6 +181,147 @@ class HttpFetcher(PageFetcher):
         return [tuple(row) for row in self._get_json(f"/page/{page}")]
 
 
+@dataclass
+class HtmlTableFetcher(PageFetcher):
+    """HTML-table pagination with the reference's exact scraping
+    semantics (flows/etl.py:92-183) — no browser, stdlib only:
+
+    - **S2 header scan**: ``<th>`` texts, skipping the first
+      ``skip_headers`` (the reference slices ``table_header[4:]``,
+      flows/etl.py:110 — its DataTables widget prepends 4 control
+      columns).
+    - **S3 cardinality probe**: the DataTables info line (element id
+      ``table_id_info``, e.g. ``"Mostrando 1 a 100 de 1.234
+      registros"``) parsed with the reference's regex ``\\d[\\d\\.]*``,
+      LAST match, dots-as-thousands stripped (flows/etl.py:134-135).
+    - **S5 cell extraction**: for a cell carrying a ``boton_ir``
+      locate button, the packed coordinate comes from the button's
+      ``onclick`` via ``\\(([-+]?\\d+\\.\\d+),\\s*([-+]?\\d+\\.\\d+)``
+      → ``"lat,lng"``, regex-miss → ``''`` (flows/etl.py:149-159);
+      plain cells yield stripped text (so a literal ``No disponible``
+      cell survives as the third sentinel).
+    - **S4 pagination**: ``GET {base_url}?{page_param}={i}`` — the
+      URL-addressable equivalent of the next-button loop
+      (flows/etl.py:164-175); politeness is the partition-level
+      ``max_concurrency`` cap, same as the reference's 2-session
+      browser limit.
+    """
+
+    base_url: str
+    page_param: str = "page"
+    skip_headers: int = 4
+    timeout_s: float = 10.0
+
+    _COORD_RE = r"\(([-+]?\d+\.\d+),\s*([-+]?\d+\.\d+)"
+    _COUNT_RE = r"\d[\d\.]*"
+
+    def _get_html(self, page: int) -> str:
+        import urllib.request
+
+        sep = "&" if "?" in self.base_url else "?"
+        url = f"{self.base_url}{sep}{self.page_param}={page}"
+        with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:
+            return resp.read().decode("utf-8", errors="replace")
+
+    def _parse(self, html: str) -> dict:
+        """One-pass stdlib-parser extraction of headers, body rows, and
+        the info line. Returns {"headers": [...], "rows": [[cell,...]],
+        "info": str}."""
+        import re as _re
+        from html.parser import HTMLParser
+
+        coord_re = _re.compile(self._COORD_RE)
+
+        class _P(HTMLParser):
+            def __init__(self):
+                super().__init__()
+                self.headers: list[str] = []
+                self.rows: list[list[str]] = []
+                self.info = ""
+                self._stack: list[str] = []
+                self._text: list[str] = []
+                self._cell: str | None = None
+                self._in_info = False
+                self._in_tbody = False
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                self._stack.append(tag)
+                if tag == "th":
+                    self._text = []
+                elif tag == "tbody":
+                    self._in_tbody = True
+                elif tag == "tr" and self._in_tbody:
+                    self.rows.append([])
+                elif tag == "td":
+                    self._text = []
+                    self._cell = None
+                elif a.get("id") == "table_id_info":
+                    self._in_info = True
+                    self._text = []
+                elif "boton_ir" in (a.get("class") or ""):
+                    # locate button: coordinate lives in onclick, not text
+                    m = coord_re.search(a.get("onclick") or "")
+                    self._cell = f"{m.group(1)},{m.group(2)}" if m else ""
+
+            def handle_endtag(self, tag):
+                while self._stack and self._stack.pop() != tag:
+                    pass
+                if tag == "th":
+                    self.headers.append("".join(self._text).strip())
+                elif tag == "tbody":
+                    self._in_tbody = False
+                elif tag == "td" and self.rows:
+                    self.rows[-1].append(
+                        self._cell
+                        if self._cell is not None
+                        else "".join(self._text).strip()
+                    )
+                elif tag == "div" and self._in_info:
+                    self.info = "".join(self._text)
+                    self._in_info = False
+
+            def handle_data(self, data):
+                self._text.append(data)
+
+        p = _P()
+        p.feed(html)
+        return {"headers": p.headers, "rows": [r for r in p.rows if r], "info": p.info}
+
+    def _page0(self) -> dict:
+        cached = getattr(self, "_page0_doc", None)
+        if cached is None:
+            cached = self._parse(self._get_html(0))
+            object.__setattr__(self, "_page0_doc", cached)
+        return cached
+
+    def refresh(self) -> None:
+        object.__setattr__(self, "_page0_doc", None)
+
+    def headers(self) -> list[str]:
+        return self._page0()["headers"][self.skip_headers:]
+
+    def total_rows(self) -> int:
+        import re as _re
+
+        nums = _re.findall(self._COUNT_RE, self._page0()["info"])
+        if not nums:
+            raise ValueError(
+                "no record count in table_id_info: " + self._page0()["info"][:80]
+            )
+        return int(nums[-1].replace(".", ""))  # 1.234 → 1234 (es-AR grouping)
+
+    def page_size(self) -> int:
+        return max(1, len(self._page0()["rows"]))
+
+    def fetch_page(self, page: int) -> Sequence[tuple]:
+        doc = self._page0() if page == 0 else self._parse(self._get_html(page))
+        width = len(self.headers())
+        # The widget's 4 control columns precede the data columns in the
+        # header row only; body rows carry just the data cells.
+        return [tuple(r[-width:]) for r in doc["rows"]]
+
+
 # -- the data source --------------------------------------------------------
 
 class _PageRangePartition(InputPartition):
@@ -273,6 +414,12 @@ class PaginatedTableDataSource(DataSource):
 
     def _fetcher(self) -> PageFetcher:
         base_url = self.options.get("base_url")
+        if base_url and self.options.get("format", "json") == "html":
+            return HtmlTableFetcher(
+                base_url=base_url,
+                page_param=self.options.get("page_param", "page"),
+                skip_headers=int(self.options.get("skip_headers", 4)),
+            )
         if base_url:
             return HttpFetcher(base_url=base_url)
         return SyntheticShopFetcher(

@@ -1,0 +1,245 @@
+"""Live-Postgres sink over the v3 wire protocol — stdlib sockets only.
+
+Closes the K1/K2 "live Postgres" gap (reference flows/etl.py:256-279:
+pandas ``to_sql`` replace + 5000-row chunked inserts into Postgres;
+docker-compose.yml:6-18 provisions the server). The sandbox ships
+Postgres 15 *server* binaries but no JDBC driver jar and no Python
+driver, and nothing can be downloaded — so this module speaks the
+PostgreSQL frontend/backend protocol directly:
+
+- **startup**: protocol 3.0 startup packet; `trust` auth only (the
+  test fixture's posture; real deployments should use the JDBC sink in
+  ``sources/sinks.py`` with a proper driver+TLS — this client exists
+  to validate the sink CONTRACT against a live server, and for
+  driver-less environments).
+- **simple query** (``Q``): used for DDL and multi-row INSERTs;
+  RowDescription/DataRow parsing (text format) for verification reads.
+
+Scale shape matches the JDBC sink: executors write partition-parallel
+via ``foreachPartition``, one connection per partition, rows flushed in
+``batch_rows``-row multi-row INSERT statements (≙ the reference's
+``chunksize=5000``, flows/etl.py:276). The driver only runs DDL.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+from datetime import date, datetime
+from decimal import Decimal
+
+
+class PgError(RuntimeError):
+    pass
+
+
+class PgWireClient:
+    """Minimal synchronous v3-protocol client (trust auth, text mode)."""
+
+    def __init__(self, host: str, port: int, user: str, database: str,
+                 timeout_s: float = 15.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout_s)
+        body = b"user\x00" + user.encode() + b"\x00" \
+             + b"database\x00" + database.encode() + b"\x00\x00"
+        pkt = struct.pack("!ii", 8 + len(body), 196608) + body  # 3.0
+        self.sock.sendall(pkt)
+        self._buf = b""
+        # consume messages until ReadyForQuery
+        while True:
+            t, payload = self._recv_msg()
+            if t == b"R":
+                (code,) = struct.unpack("!i", payload[:4])
+                if code != 0:
+                    raise PgError(
+                        f"server requested auth method {code}; only trust "
+                        "(code 0) is supported by this client"
+                    )
+            elif t == b"E":
+                raise PgError(self._error_text(payload))
+            elif t == b"Z":
+                break  # S/K/N messages are informational
+
+    # -- protocol plumbing --------------------------------------------------
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise PgError("connection closed by server")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        t = self._read_exact(1)
+        (ln,) = struct.unpack("!i", self._read_exact(4))
+        return t, self._read_exact(ln - 4)
+
+    @staticmethod
+    def _error_text(payload: bytes) -> str:
+        parts = []
+        i = 0
+        while i < len(payload) and payload[i:i + 1] != b"\x00":
+            code = payload[i:i + 1]
+            end = payload.index(b"\x00", i + 1)
+            if code in (b"S", b"M", b"D"):
+                parts.append(payload[i + 1:end].decode(errors="replace"))
+            i = end + 1
+        return "; ".join(parts)
+
+    # -- public API ---------------------------------------------------------
+
+    def query(self, sql: str) -> tuple[list[str], list[tuple]]:
+        """Run one simple-protocol query; returns (columns, text rows).
+
+        DDL/INSERT return ``([], [])``. Errors raise :class:`PgError`
+        after the protocol resyncs on ReadyForQuery (so the connection
+        stays usable).
+        """
+        body = sql.encode() + b"\x00"
+        self.sock.sendall(b"Q" + struct.pack("!i", 4 + len(body)) + body)
+        cols: list[str] = []
+        rows: list[tuple] = []
+        err: str | None = None
+        while True:
+            t, payload = self._recv_msg()
+            if t == b"T":
+                cols = []
+                (n,) = struct.unpack("!h", payload[:2])
+                i = 2
+                for _ in range(n):
+                    end = payload.index(b"\x00", i)
+                    cols.append(payload[i:end].decode())
+                    i = end + 1 + 18  # fixed-size field descriptor tail
+            elif t == b"D":
+                (n,) = struct.unpack("!h", payload[:2])
+                i = 2
+                vals = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", payload[i:i + 4])
+                    i += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(payload[i:i + ln].decode())
+                        i += ln
+                rows.append(tuple(vals))
+            elif t == b"E":
+                err = self._error_text(payload)
+            elif t == b"Z":
+                if err:
+                    raise PgError(err)
+                return cols, rows
+            # C (CommandComplete), N (Notice), S etc.: skip
+
+    def close(self) -> None:
+        try:
+            self.sock.sendall(b"X" + struct.pack("!i", 4))
+        finally:
+            self.sock.close()
+
+
+# -- Spark-side sink --------------------------------------------------------
+
+_PG_TYPES = {
+    "string": "TEXT",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "short": "SMALLINT",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def _pg_type(spark_type: str) -> str:
+    if spark_type.startswith("decimal"):
+        return spark_type.replace("decimal", "NUMERIC")
+    try:
+        return _PG_TYPES[spark_type]
+    except KeyError:
+        raise ValueError(f"no Postgres mapping for Spark type {spark_type!r}")
+
+
+def _lit(v) -> str:
+    """SQL literal with doubled-quote escaping (text protocol)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, Decimal)):
+        return str(v)
+    if isinstance(v, datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, date):
+        return "'" + v.isoformat() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def write_postgres_wire(
+    df,
+    *,
+    host: str,
+    port: int,
+    user: str,
+    database: str,
+    table: str,
+    mode: str = "overwrite",
+    batch_rows: int = 5000,
+) -> None:
+    """K1 (DDL-from-schema overwrite) + K2 (chunked partition-parallel
+    append) against a live Postgres, ≙ flows/etl.py:256-279.
+
+    ``mode="overwrite"`` drops and recreates the table from the
+    DataFrame schema on the driver, then appends; ``"append"`` skips
+    the DDL. Inserts run inside ``foreachPartition`` — one connection
+    per partition, ``batch_rows``-row multi-row INSERTs — so a
+    1000-executor cluster loads 1000 ways parallel, the same shape as
+    the JDBC sink (sinks.py) with ``numPartitions``/``batchsize``.
+    """
+    if not table.replace("_", "").isalnum():
+        raise ValueError(f"unsafe table name {table!r}")
+    fields = [(f.name, _pg_type(f.dataType.simpleString())) for f in df.schema.fields]
+    collist = ", ".join(f'"{n}"' for n, _t in fields)
+
+    if mode == "overwrite":
+        cli = PgWireClient(host, port, user, database)
+        try:
+            cli.query(f'DROP TABLE IF EXISTS "{table}"')
+            cli.query(
+                f'CREATE TABLE "{table}" ('
+                + ", ".join(f'"{n}" {t}' for n, t in fields)
+                + ")"
+            )
+        finally:
+            cli.close()
+    elif mode != "append":
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+
+    def _write_partition(rows) -> None:
+        cli = PgWireClient(host, port, user, database)
+        try:
+            buf: list[str] = []
+
+            def flush() -> None:
+                if buf:
+                    cli.query(
+                        f'INSERT INTO "{table}" ({collist}) VALUES '
+                        + ", ".join(buf)
+                    )
+                    buf.clear()
+
+            for row in rows:
+                buf.append("(" + ", ".join(_lit(v) for v in row) + ")")
+                if len(buf) >= batch_rows:
+                    flush()
+            flush()
+        finally:
+            cli.close()
+
+    df.foreachPartition(_write_partition)

@@ -107,6 +107,106 @@ def test_http_fetcher_source_reads_fixture_server(spark):
         srv.server_close()
 
 
+def _html_shop_server(n_rows: int, page_size: int):
+    """Fixture server emitting the reference site's DataTables shape
+    (flows/etl.py:92-183): 4 control `<th>`s before the data headers,
+    a `table_id_info` line with es-AR dot-grouped thousands, and a
+    `boton_ir` locate button whose onclick carries the coordinates."""
+    import http.server
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    def row_html(i: int) -> str:
+        if i % 10 == 8:
+            locate = "<td>No disponible</td>"
+        elif i % 10 == 9:  # button present but onclick regex-misses
+            locate = '<td><a class="boton_ir" onclick="ir()">ir</a></td>'
+        else:
+            locate = (
+                f'<td><a class="boton_ir" '
+                f"onclick=\"ir({-34.0 - i / 1000:.3f}, {-58.0 - i / 997:.3f})\">"
+                "ir</a></td>"
+            )
+        return (
+            f"<tr><td>Shop {i:04d}</td><td>Street {i % 50}</td>"
+            f"<td>Locality {i % 7}</td>{locate}</tr>"
+        )
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            page = int(q.get("page", ["0"])[0])
+            lo, hi = page * page_size, min((page + 1) * page_size, n_rows)
+            grouped = f"{n_rows:,}".replace(",", ".")  # 1234 -> 1.234
+            body = (
+                "<html><body><table id='table_id' class='row-border'>"
+                "<thead><tr>"
+                "<th>c1</th><th>c2</th><th>c3</th><th>c4</th>"  # control cols
+                "<th>Comercio</th><th>Dirección</th><th>Localidad</th>"
+                "<th>Localizar</th></tr></thead><tbody>"
+                + "".join(row_html(i) for i in range(lo, hi))
+                + "</tbody></table>"
+                f"<div id='table_id_info'>Mostrando {lo + 1} a {hi} de "
+                f"{grouped} registros</div></body></html>"
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_html_fetcher_source_scrapes_fixture_site(spark):
+    """End-to-end over real HTTP + real HTML: header discovery skips
+    the 4 control columns, the cardinality probe parses dot-grouped
+    thousands, coordinates come from the onclick regex with the '' /
+    'No disponible' sentinel convention intact, and pages partition."""
+    srv = _html_shop_server(n_rows=1234, page_size=100)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/table"
+        df = _src(spark, base_url=url, format="html", max_concurrency=5)
+        assert df.columns == ["Comercio", "Dirección", "Localidad", "Localizar"]
+        assert df.rdd.getNumPartitions() == 5  # 13 pages over 5 partitions
+        rows = df.collect()
+        assert len(rows) == 1234
+        byname = {r["Comercio"]: r for r in rows}
+        assert byname["Shop 0001"]["Localizar"] == "-34.001,-58.001"
+        assert byname["Shop 0008"]["Localizar"] == "No disponible"
+        assert byname["Shop 0009"]["Localizar"] == ""  # regex miss
+        assert byname["Shop 1233"]["Comercio"] == "Shop 1233"  # last page partial
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_html_fetcher_metadata_semantics():
+    """Unit-level checks of the reference's scraping rules on the
+    fetcher itself: th[4:] header slice, dot-stripped count regex
+    (flows/etl.py:110,134-135)."""
+    from etl_project_spark.sources.paginated import HtmlTableFetcher
+
+    srv = _html_shop_server(n_rows=2500, page_size=250)
+    try:
+        f = HtmlTableFetcher(
+            base_url=f"http://127.0.0.1:{srv.server_address[1]}/table"
+        )
+        assert f.total_rows() == 2500  # "2.500" parsed dot-stripped
+        assert f.page_size() == 250
+        assert f.headers()[0] == "Comercio"
+        page1 = f.fetch_page(1)
+        assert len(page1) == 250 and page1[0][0] == "Shop 0250"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_http_fetcher_refresh_discovers_growth():
     """Streaming contract: refresh() must re-probe /meta so a growing
     endpoint's new pages are discovered (the memoized metadata would

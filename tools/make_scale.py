@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Scale-up generator for the sf1 sweep (round-7 judge task #3).
+
+The sandbox has no network (DuckDB's tpch extension can't download) and
+/root/testdata is read-only, so a 10x dataset is derived from the
+driver's sf0.1 drop by key-offset replication into /tmp: replica ``i``
+shifts every key column by ``i * (max_key + 1)`` CONSISTENTLY across
+fact and dimension tables, so join cardinalities, FK fan-outs, and
+group sizes scale linearly — the property a scale sweep needs.
+
+Two columns get per-replica perturbation so content-addressed operators
+don't degenerate into a pathological workload the real corpus wouldn't
+have:
+
+- ``documents.text``: every 7th word gets a replica tag appended.
+  5-gram shingle overlap across replicas drops to ~(6/7)^5 = 0.46 of
+  shingles = Jaccard ~0.3, safely below near-dup thresholds — without
+  this, every doc would have 9 exact clones and the LSH pair count
+  would grow quadratically in the replica count instead of linearly
+  with the corpus.
+- ``embeddings.embedding``: element roll by replica id — a rolled
+  vector is decorrelated from the original, so ANN neighborhoods stay
+  sf0.1-shaped instead of every vector acquiring 9 perfect twins.
+
+NOT for correctness oracles: sweep-only data (the oracle gate runs on
+the driver's own parquet at sf0.01).
+
+Usage: python tools/make_scale.py [out_dir] [replicas]   (default /tmp/sf1, 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+#: table -> {column: stride}; stride = max_key+1 at sf0.1, verified in-run.
+KEYED = {
+    "customer": {"c_custkey": 15_000},
+    "orders": {"o_orderkey": 150_000, "o_custkey": 15_000},
+    "lineitem": {"l_orderkey": 150_000, "l_partkey": 20_000, "l_suppkey": 1_000},
+    "supplier": {"s_suppkey": 1_000},
+    "part": {"p_partkey": 20_000},
+    "events": {"event_id": 100_000, "user_id": 1_500},
+    "documents": {"doc_id": 5_000},
+    "embeddings": {"vec_id": 2_000},
+}
+DIMS = ("nation", "region")  # replicated as-is (global dimensions)
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(t, "copied")
+
+    for t, strides in KEYED.items():
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        for col, stride in strides.items():
+            mx = con.execute(f"SELECT MAX({col}) FROM {src}").fetchone()[0]
+            assert mx < stride, f"{t}.{col} max {mx} >= stride {stride}"
+        selects = []
+        for i in range(reps):
+            cols = []
+            schema = con.execute(f"SELECT * FROM {src} LIMIT 0").description
+            for (name, *_rest) in schema:
+                if name in strides:
+                    cols.append(f"{name} + {i * strides[name]} AS {name}")
+                elif t == "documents" and name == "text" and i > 0:
+                    # tag every 7th word; \S/\s keep unicode words intact
+                    cols.append(
+                        "regexp_replace(text, "
+                        r"'((?:\S+\s+){6}\S+)', "
+                        f"'\\1_r{i}', 'g') AS text"
+                    )
+                elif t == "embeddings" and name == "embedding" and i > 0:
+                    # roll elements by i: decorrelates replicas
+                    cols.append(
+                        f"embedding[{i + 1}:] || embedding[1:{i}] AS embedding"
+                    )
+                else:
+                    cols.append(name)
+            selects.append(f"SELECT {', '.join(cols)} FROM {src}")
+        union = " UNION ALL ".join(selects)
+        con.execute(
+            f"COPY ({union}) TO '{out}/{t}.parquet' "
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()[0]
+        print(t, n, "rows")
+
+
+if __name__ == "__main__":
+    main()
