@@ -305,3 +305,121 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_members"),
         F.min("id").alias("min_member"),
     )
+
+
+_KCORE_K = 12
+
+_KCORE_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+e0 AS (
+  SELECT c AS src, -(s + 1) AS dst FROM pairs
+  UNION ALL
+  SELECT -(s + 1) AS src, c AS dst FROM pairs
+),
+d0 AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src),
+v1 AS (SELECT src FROM d0 WHERE d >= {_KCORE_K}),
+e1 AS (
+  SELECT e.src, e.dst FROM e0 e
+  JOIN v1 a ON e.src = a.src
+  JOIN v1 b ON e.dst = b.src
+),
+d1 AS (SELECT src, COUNT(*) AS d FROM e1 GROUP BY src),
+v2 AS (SELECT src FROM d1 WHERE d >= {_KCORE_K}),
+e2 AS (
+  SELECT e.src, e.dst FROM e1 e
+  JOIN v2 a ON e.src = a.src
+  JOIN v2 b ON e.dst = b.src
+),
+d2 AS (SELECT src, COUNT(*) AS d FROM e2 GROUP BY src),
+lvl AS (
+  SELECT 0 AS round, src, d FROM d0
+  UNION ALL SELECT 1, src, d FROM d1
+  UNION ALL SELECT 2, src, d FROM d2
+)
+SELECT round,
+       CASE WHEN src < 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_deg,
+       CAST(MAX(d) AS BIGINT) AS max_deg
+FROM lvl GROUP BY round, node_type
+"""
+
+
+@register(
+    "q_kcore_trading_graph",
+    oracle=_KCORE_ORACLE,
+    tags=("graph", "kcore", "iterative"),
+)
+def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled rounds of k-core peeling (k=12) on the
+    customer↔supplier trading graph: drop nodes with degree < k,
+    recompute degrees on the induced subgraph, repeat — the classic
+    graph-densification filter (spam/bot subgraph isolation, community
+    nucleus extraction). Reports node counts and degree ranges per
+    peeling round and node side.
+
+    Each round is degree hash-agg → semi-join edge filter on BOTH
+    endpoints — pure equi-joins on node ids, the distributed k-core
+    formulation (at full convergence you'd iterate to fixpoint;
+    rounds are unrolled here for the same reason the PageRank loop
+    is: a hash-checkable deterministic prefix). Edges persist once
+    pre-partitioned on ``src``; the survivor vertex sets are
+    broadcast-sized long before round 2 at any scale.
+    """
+    from etl_project_spark.session import scoped_persist
+
+    tune_session(spark)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    supp = -(F.col("s") + 1)
+    edges = scoped_persist(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), supp.alias("dst")),
+                    F.struct(supp.alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition("src")
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    levels = []
+    e, d = edges, degrees(edges)
+    levels.append(d.withColumn("round", F.lit(0)))
+    for r in (1, 2):
+        v = d.filter(F.col("d") >= _KCORE_K).select("src")
+        e = (
+            e.join(v.withColumnRenamed("src", "sv"), F.col("src") == F.col("sv"))
+            .drop("sv")
+            .join(v.withColumnRenamed("src", "dv"), F.col("dst") == F.col("dv"))
+            .drop("dv")
+        )
+        d = degrees(e)
+        levels.append(d.withColumn("round", F.lit(r)))
+    lvl = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    return (
+        lvl.groupBy(
+            "round",
+            F.when(F.col("src") < 0, "supplier").otherwise("customer").alias(
+                "node_type"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+    )

@@ -53,6 +53,7 @@ _PLAN_MODULES = (
     "etl_project_spark.plans.linkage",
     "etl_project_spark.plans.runtime_filters",
     "etl_project_spark.plans.profiling",
+    "etl_project_spark.plans.sketches",
 )
 
 

@@ -1,0 +1,429 @@
+"""Deterministic cardinality/sampling sketches — the approximate
+algorithms a 100 TB pipeline actually runs, made hash-oracle-checkable.
+
+The trick throughout: every stochastic ingredient is replaced by the
+engine-portable md5 hash device (`q_hash_sample_documents`), and every
+floating aggregation is restructured so the ONLY float ops are
+single exactly-rounded IEEE divisions / one libm call on identical
+inputs — never an order-dependent float SUM. That's what lets DuckDB
+hash-match a KMV estimator or an HLL harmonic mean bit-for-bit:
+
+- KMV / HLL register sums are exact BIGINT (``1 << (W - rho)``).
+- Estimates come from one or two divisions on those exact ints.
+- Priority orderings (weighted reservoir) sort on an exactly-computed
+  ratio, with the transcendental applied monotonically.
+
+Reference scope: the reference engine has no sketching; these are the
+"beyond the reference" training-data operators the build brief asks
+for (distinct counting + weighted sampling at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import read_table
+from etl_project_spark.plans.registry import register
+from etl_project_spark.session import tune_session
+
+#: 60-bit uniform hash in [0, 2^60): identical in Spark and DuckDB.
+_TWO60 = 1_152_921_504_606_846_976
+
+
+def _h60(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || SUBSTR(MD5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, {_h60_sql('user_id')} AS h FROM du),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS exact_distinct,
+         MAX(CASE WHEN rn <= {_KMV_K} THEN h END) AS kth
+  FROM r GROUP BY event_type
+)
+SELECT event_type, exact_distinct,
+       ROUND(CASE WHEN exact_distinct < {_KMV_K}
+                  THEN CAST(exact_distinct AS DOUBLE)
+                  ELSE {_KMV_K - 1}.0 / (CAST(kth AS DOUBLE) / {_TWO60}.0)
+             END, 2) AS est_distinct
+FROM agg
+"""
+
+
+@register(
+    "q_kmv_distinct_users",
+    oracle=_KMV_ORACLE,
+    tags=("sketch", "kmv", "distinct"),
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user estimate per event type,
+    k=64, vs the exact count.
+
+    Sketch theory (Bar-Yossef et al.): with k order statistics of a
+    uniform hash, E[distinct] ≈ (k-1)/max(k smallest normalized
+    hashes); below k observed values the sketch is exact by
+    construction. Determinism: the hash is the md5 60-bit device, the
+    estimate is two IEEE divisions on exact ints — bit-identical
+    across engines, so even an *approximate* estimator hash-matches.
+
+    Scale shape: one shuffle for the distinct, one window (same key).
+    At 100 TB you'd replace the window with a partial top-k aggregate
+    (k smallest per partition, re-merge) — same result, no global
+    sort; the window form keeps the plan readable at bench SF.
+    """
+    tune_session(spark)
+    from pyspark.sql.window import Window
+
+    du = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = du.select("event_type", _h60(F.col("user_id")).alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    r = h.withColumn("rn", F.row_number().over(w))
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct"),
+        F.max(F.when(F.col("rn") <= _KMV_K, F.col("h"))).alias("kth"),
+    )
+    est = (
+        F.when(
+            F.col("exact_distinct") < _KMV_K,
+            F.col("exact_distinct").cast("double"),
+        ).otherwise(
+            F.lit(float(_KMV_K - 1))
+            / (F.col("kth").cast("double") / F.lit(float(_TWO60)))
+        )
+    )
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        F.round(est, 2).alias("est_distinct"),
+    )
+
+
+# HLL: m = 256 registers; h mod 256 picks the register, the remaining
+# 52 bits feed rho = leading-zero-count + 1 = 53 - bitlength(rest).
+_HLL_M = 256
+_HLL_W = 52
+#: alpha_256 = 0.7213/(1 + 1.079/256), written as a shared literal so
+#: both engines use the identical double.
+_HLL_ALPHA = 0.7182725932495458
+
+_HLL_ORACLE = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, {_h60_sql('user_id')} AS h FROM du),
+parts AS (
+  SELECT event_type, h % {_HLL_M} AS bucket, h // {_HLL_M} AS rest FROM h
+),
+rho AS (
+  SELECT event_type, bucket,
+         {_HLL_W + 1} - (CASE WHEN rest = 0 THEN 0
+                              ELSE LENGTH(bin(rest)) END) AS rho
+  FROM parts
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m_j
+  FROM rho GROUP BY event_type, bucket
+),
+sums AS (
+  SELECT event_type,
+         COUNT(*) AS used,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_W + 1} - m_j)) AS s_obs
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type, used,
+         {_HLL_M} - used AS zeros,
+         CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+           * CAST(CAST(1 AS BIGINT) << {_HLL_W + 1} AS DOUBLE)
+           / CAST(s_obs + ({_HLL_M} - used) * (CAST(1 AS BIGINT) << {_HLL_W + 1})
+                  AS DOUBLE)
+           AS raw
+  FROM sums
+),
+ex AS (SELECT event_type, COUNT(*) AS exact_distinct FROM du GROUP BY event_type)
+SELECT est.event_type, ex.exact_distinct, est.used AS registers_used,
+       ROUND(CASE WHEN est.raw <= CAST({2.5 * _HLL_M!r} AS DOUBLE) AND est.zeros > 0
+                  THEN {_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE) / est.zeros)
+                  ELSE est.raw END, 2) AS est_distinct
+FROM est JOIN ex ON ex.event_type = est.event_type
+"""
+
+
+@register(
+    "q_hll_distinct_users",
+    oracle=_HLL_ORACLE,
+    tags=("sketch", "hyperloglog", "distinct"),
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type (m=256
+    registers) with the small-range LinearCounting correction —
+    hash-oracle-checked, unlike ``approx_count_distinct`` whose HLL++
+    internals are engine-private (`q_approx_distinct_users` is the
+    rows-only cousin).
+
+    Determinism engineering: the harmonic denominator Σ 2^(-M_j) is
+    scaled by 2^53 into an EXACT BIGINT sum (integer addition commutes;
+    float addition doesn't), so the estimate is one IEEE division on
+    identical ints; rho comes from ``bin()`` string length, identical
+    in both engines; the LinearCounting branch condition compares
+    identical doubles. Register update is an algebraic max-aggregate —
+    the same merge a 1000-executor partial-agg runs map-side.
+    """
+    tune_session(spark)
+    du = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = du.select("event_type", _h60(F.col("user_id")).alias("h"))
+    parts = h.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.expr(f"h div {_HLL_M}").alias("rest"),
+    )
+    rho = parts.select(
+        "event_type",
+        "bucket",
+        (
+            F.lit(_HLL_W + 1)
+            - F.when(F.col("rest") == 0, 0).otherwise(
+                F.length(F.expr("bin(rest)"))
+            )
+        ).alias("rho"),
+    )
+    regs = rho.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    two_w1 = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1})")
+    sums = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - m_j)")).alias(
+            "s_obs"
+        ),
+    )
+    est = sums.select(
+        "event_type",
+        "used",
+        (F.lit(_HLL_M) - F.col("used")).alias("zeros"),
+        (
+            F.lit(_HLL_ALPHA)
+            * F.lit(_HLL_M * _HLL_M)
+            * two_w1
+            / (F.col("s_obs") + (F.lit(_HLL_M) - F.col("used")) * two_w1)
+        ).alias("raw"),
+    )
+    ex = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    corrected = F.when(
+        (F.col("raw") <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(F.col("raw"))
+    return (
+        est.join(ex, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.col("used").alias("registers_used"),
+            F.round(corrected, 2).alias("est_distinct"),
+        )
+    )
+
+
+_RES_K = 5
+
+_RES_ORACLE = f"""
+WITH pri AS (
+  SELECT source, doc_id, n_chars,
+         -LN((CAST({_h60_sql('doc_id')} AS DOUBLE) + 1.0) / {_TWO60}.0)
+           / n_chars AS e
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY e, doc_id) AS rn
+  FROM pri
+)
+SELECT source, rn AS rank, doc_id, n_chars AS weight
+FROM r WHERE rn <= {_RES_K}
+"""
+
+
+@register(
+    "q_weighted_reservoir_docs",
+    oracle=_RES_ORACLE,
+    tags=("sketch", "sampling", "weighted-reservoir"),
+)
+def q_weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis–Spirakis A-ES), k=5 docs
+    per source, weight = document length — the length-proportional
+    sampling a corpus-inspection pipeline uses.
+
+    A-ES: draw u~U(0,1] per item, keep the k largest u^(1/w) — here
+    ranked by the monotone-equivalent exponential key -ln(u)/w
+    (ascending), which costs ONE libm call on an exactly-computed
+    ratio, so both engines order identical doubles (u is the md5
+    device, never an RNG). Distributed shape: the rank is a per-source
+    top-k — at scale a partial top-k aggregate per partition then
+    merge, exactly how reservoir sampling composes over shards.
+    """
+    tune_session(spark)
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (_h60(F.col("doc_id")).cast("double") + F.lit(1.0)) / F.lit(float(_TWO60))
+    pri = d.select(
+        "source", "doc_id", "n_chars", (-F.log(u) / F.col("n_chars")).alias("e")
+    )
+    w = Window.partitionBy("source").orderBy("e", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RES_K)
+        .select(
+            "source",
+            F.col("rn").alias("rank"),
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+        )
+    )
+
+
+# Johnson-Lindenstrauss: 64-dim embeddings -> 16-dim +-1 projection.
+_JL_T = 16
+_JL_MOD = 13  # vec_id % 13 == 0 -> sampled vectors for the pair audit
+
+_JL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+  FROM embeddings
+  WHERE vec_id % {_JL_MOD} = 0
+),
+proj AS (
+  SELECT q.vec_id, j.j,
+         SUM(CASE WHEN {_h60_sql('q.i * 16 + j.j')} % 2 = 0
+                  THEN qv ELSE -qv END) AS p
+  FROM q, (SELECT UNNEST(generate_series(0, {_JL_T - 1})) AS j) j
+  GROUP BY q.vec_id, j.j
+),
+dproj AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         SUM((a.p - b.p) * (a.p - b.p)) AS d2p
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+dorig AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         SUM((a.qv - b.qv) * (a.qv - b.qv)) AS d2o
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT ROUND(CAST(d2p AS DOUBLE) / (CAST({_JL_T} AS DOUBLE) * CAST(d2o AS DOUBLE)), 1)
+         AS ratio_bucket,
+       COUNT(*) AS n_pairs
+FROM dproj JOIN dorig USING (va, vb)
+WHERE d2o > 0
+GROUP BY 1
+"""
+
+
+@register(
+    "q_jl_projection_distortion",
+    oracle=_JL_ORACLE,
+    tags=("sketch", "random-projection", "embedding"),
+)
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss audit: project 64-d embeddings to 16-d
+    with a deterministic ±1 matrix and histogram the pairwise
+    squared-distance ratio d²_proj/(16·d²_orig) (≈1 when the lemma
+    holds) over a hash-sampled vector subset.
+
+    Determinism: components quantize to 1e-4 BIGINTs first, so every
+    distance/projection is EXACT integer arithmetic (a float dot
+    product would be summation-order-dependent); the ±1 entries come
+    from the md5 device on (i,j); the only float op is the final
+    ratio division. Scale shape: projection is explode → hash-agg
+    (map-side combinable); the pair join runs on the SAMPLED set only
+    — the full-corpus path would go through the LSH/IVF family, this
+    query is the quality audit you run beside it.
+    """
+    tune_session(spark)
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _JL_MOD == 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(round(x * 10000) as bigint))"
+            ).alias("qarr"),
+        )
+    )
+    q = emb.select(
+        "vec_id", F.posexplode("qarr").alias("i", "qv")
+    )
+    sign = F.when(
+        _h60(F.col("i") * 16 + F.col("j")) % 2 == 0, F.col("qv")
+    ).otherwise(-F.col("qv"))
+    proj = (
+        q.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(_JL_T - 1))))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(sign).alias("p"))
+    )
+    pa, pb = proj.alias("a"), proj.alias("b")
+    dproj = (
+        pa.join(
+            pb,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.p") - F.col("b.p")) * (F.col("a.p") - F.col("b.p"))
+            ).alias("d2p")
+        )
+    )
+    qa, qb = q.alias("a"), q.alias("b")
+    dorig = (
+        qa.join(
+            qb,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.qv") - F.col("b.qv")) * (F.col("a.qv") - F.col("b.qv"))
+            ).alias("d2o")
+        )
+    )
+    return (
+        dproj.join(dorig, ["va", "vb"])
+        .filter(F.col("d2o") > 0)
+        .groupBy(
+            F.round(
+                F.col("d2p").cast("double") / (F.lit(float(_JL_T)) * F.col("d2o")),
+                1,
+            ).alias("ratio_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1262,3 +1262,268 @@ def q_negative_sampling_distribution(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("c").cast("long").alias("n_occurrences"),
         F.round(F.col("p75") / F.col("z"), 8).alias("sample_prob"),
     )
+
+
+_PMI_MIN_PAIR = 5
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE TRIM(text) <> ''
+),
+uni AS (SELECT UNNEST(t) AS w FROM toks),
+cx AS (SELECT w, COUNT(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+nu AS (SELECT SUM(c) AS n_u FROM cx),
+bi AS (
+  SELECT t[p] AS w1, t[p + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(p)
+  WHERE t[p] <> '' AND t[p + 1] <> ''
+),
+cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY w1, w2),
+nb AS (SELECT SUM(c_xy) AS n_b FROM cxy),
+scored AS (
+  SELECT w1, w2, c_xy,
+         CAST(c_xy AS DOUBLE) * n_u * n_u
+           / (CAST(n_b AS DOUBLE) * a.c * b.c) AS ratio
+  FROM cxy
+  JOIN cx a ON a.w = w1
+  JOIN cx b ON b.w = w2, nu, nb
+  WHERE c_xy >= {_PMI_MIN_PAIR}
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS n_pair, ROUND(LN(ratio), 4) AS pmi
+FROM scored
+ORDER BY ratio DESC, w1, w2
+LIMIT 20
+"""
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=_PMI_ORACLE,
+    tags=("text", "pmi", "collocation"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information over
+    adjacent alphanumeric-token bigrams — the association measure a
+    phrase-mining / tokenizer-vocabulary pipeline ranks merges with.
+
+    PMI = ln(p(xy)/(p(x)p(y))) with p(xy) over the bigram total and
+    p(x) over the unigram total. Determinism: the ranking key is the
+    probability RATIO computed as one IEEE division over exact integer
+    products (never the ln, whose last-ulp could reorder near-ties);
+    ln is applied only to the already-ranked rows for display, rounded
+    to 4 decimals. Plan shape: two token hash-aggs + a self-join of
+    the bigram table against the (broadcastable) vocab table; the
+    two totals are 1-row broadcasts. Bigrams come from one array
+    transform per doc — no window over the token stream, so the heavy
+    path is explode → hash-agg, the map-side-combinable shape.
+    """
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " "
+        ).alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w")).filter(F.col("w") != "")
+    cx = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = cx.agg(F.sum("c").alias("n_u"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(0, size(t) - 2), "
+                    "p -> struct(t[p] AS w1, t[p + 1] AS w2)), "
+                    "s -> s.w1 <> '' AND s.w2 <> '')"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    cxy = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    nb = cxy.agg(F.sum("c_xy").alias("n_b"))
+    a = cx.alias("a")
+    b2 = cx.alias("b")
+    scored = (
+        cxy.filter(F.col("c_xy") >= _PMI_MIN_PAIR)
+        .join(F.broadcast(a), F.col("w1") == F.col("a.w"))
+        .join(F.broadcast(b2), F.col("w2") == F.col("b.w"))
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                F.col("c_xy").cast("double") * F.col("n_u") * F.col("n_u")
+                / (F.col("n_b").cast("double") * F.col("a.c") * F.col("b.c"))
+            ).alias("ratio"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("ratio"), "w1", "w2")
+        .limit(20)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("n_pair"),
+            F.round(F.log("ratio"), 4).alias("pmi"),
+        )
+    )
+
+
+_RAKE_K = 5
+_RAKE_MAX_PHRASE = 4
+_RAKE_STOPS = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+
+_RAKE_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id, w, p,
+         w IN ({_RAKE_STOPS}) AS is_stop
+  FROM (
+    SELECT source, doc_id,
+           UNNEST(regexp_split_to_array(
+             TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w,
+           generate_subscripts(regexp_split_to_array(
+             TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' '), 1) AS p
+    FROM documents WHERE TRIM(text) <> ''
+  ) WHERE w <> ''
+),
+content AS (
+  SELECT source, doc_id, w, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM toks WHERE NOT is_stop
+),
+phr AS (
+  SELECT source, doc_id, grp,
+         COUNT(*) AS plen,
+         STRING_AGG(w, ' ' ORDER BY p) AS phrase
+  FROM content GROUP BY source, doc_id, grp
+  HAVING COUNT(*) <= {_RAKE_MAX_PHRASE}
+),
+members AS (
+  SELECT c.source, c.w, p2.plen
+  FROM content c
+  JOIN phr p2 ON p2.doc_id = c.doc_id AND p2.grp = c.grp
+             AND p2.source = c.source
+),
+wstats AS (
+  SELECT source, w, COUNT(*) AS freq, SUM(plen) AS deg
+  FROM members GROUP BY source, w
+),
+pw AS (
+  SELECT source, doc_id, grp, phrase,
+         UNNEST(regexp_split_to_array(phrase, ' ')) AS w
+  FROM phr
+),
+pscore AS (
+  SELECT pw.source, pw.phrase, COUNT(DISTINCT (pw.doc_id, pw.grp)) AS n_occ,
+         SUM(ws.deg) AS num, SUM(ws.freq) AS den
+  FROM pw
+  JOIN wstats ws ON ws.source = pw.source AND ws.w = pw.w
+  GROUP BY pw.source, pw.phrase
+),
+ranked AS (
+  SELECT source, phrase, n_occ,
+         CAST(num AS DOUBLE) / den AS ratio,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(num AS DOUBLE) / den DESC, phrase) AS rn
+  FROM pscore
+)
+SELECT source, rn AS rank, phrase, CAST(n_occ AS BIGINT) AS n_occurrences,
+       ROUND(ratio, 4) AS score
+FROM ranked WHERE rn <= {_RAKE_K}
+"""
+
+
+@register(
+    "q_rake_keywords_per_source",
+    oracle=_RAKE_ORACLE,
+    tags=("text", "rake", "keywords"),
+)
+def q_rake_keywords_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction, top-5 phrases per source: split docs
+    into candidate phrases at stopword/punctuation boundaries
+    (gaps-and-islands over the token stream), score each phrase by the
+    degree-to-frequency ratio of its member words (Rose et al.'s
+    deg(w)/freq(w), aggregated as Σdeg/Σfreq so the score is ONE
+    division over exact integer sums — a per-word float sum would be
+    summation-order-dependent and unhashable).
+
+    Plan shape: tokenization explodes once; phrase assembly is a
+    window (islands by ``pos - row_number``) partitioned by doc — no
+    cross-doc data motion; word stats and phrase scores are hash-aggs
+    keyed by (source, word)/(source, phrase). The stopword list is the
+    shared ``operators.text.STOPWORDS`` table, broadcast as a literal
+    IN-list to both engines.
+    """
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    arr = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), " "
+    )
+    toks = (
+        d.select("source", "doc_id", F.posexplode(arr).alias("p0", "w"))
+        .filter(F.col("w") != "")
+        .select(
+            "source",
+            "doc_id",
+            "w",
+            (F.col("p0") + 1).alias("p"),
+            F.col("w").isin(*TX.STOPWORDS["en"]).alias("is_stop"),
+        )
+    )
+    content = toks.filter(~F.col("is_stop")).withColumn(
+        "grp",
+        F.col("p")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("p")),
+    )
+    phr = (
+        content.groupBy("source", "doc_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("plen"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(p, w))),"
+                " s -> s.w), ' ')"
+            ).alias("phrase"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    members = content.join(
+        phr.select("source", "doc_id", "grp", "plen"),
+        ["source", "doc_id", "grp"],
+    ).select("source", "w", "plen")
+    wstats = members.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    pwords = phr.select(
+        "source",
+        "doc_id",
+        "grp",
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    pscore = (
+        pwords.join(wstats, ["source", "w"])
+        .groupBy("source", "phrase")
+        .agg(
+            F.countDistinct("doc_id", "grp").alias("n_occ"),
+            F.sum("deg").alias("num"),
+            F.sum("freq").alias("den"),
+        )
+    )
+    ratio = F.col("num").cast("double") / F.col("den")
+    ranked = pscore.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(ratio.desc(), "phrase")
+        ),
+    ).filter(F.col("rn") <= _RAKE_K)
+    return ranked.select(
+        "source",
+        F.col("rn").alias("rank"),
+        "phrase",
+        F.col("n_occ").cast("long").alias("n_occurrences"),
+        F.round(ratio, 4).alias("score"),
+    )
