@@ -397,3 +397,50 @@ def q_wav_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("power_bin1", F.round("power_bin1", 2)) \
      .withColumn("power_bin2", F.round("power_bin2", 2)) \
      .withColumn("power_bin3", F.round("power_bin3", 2))
+
+
+@register(
+    "q_png_decoded_stats",
+    oracle="""
+WITH img AS (
+  SELECT doc_id,
+         4 + doc_id % 11 AS w,
+         4 + (5 * doc_id) % 9 AS h
+  FROM documents WHERE doc_id % 4 = 0
+), px AS (
+  SELECT doc_id, w, h,
+         (299 * ((2*doc_id + 5*y + 3*x) % 256)
+        + 587 * ((2*doc_id + 5*y + 3*x + 13) % 256)
+        + 114 * ((2*doc_id + 5*y + 3*x + 26) % 256)) // 1000 AS luma
+  FROM img,
+       UNNEST(generate_series(0, h - 1)) uy(y),
+       UNNEST(generate_series(0, w - 1)) ux(x)
+)
+SELECT doc_id AS id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       FLOOR((CAST(SUM(luma) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000
+         AS mean_luma
+FROM px GROUP BY doc_id
+""",
+    tags=("multimodal", "decode", "png"),
+)
+def q_png_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end to end: build genuine PNG
+    payloads in-plan (operators/multimodal.py::make_png_table →
+    encode_png: chunk framing, CRC-32, zlib IDAT) and decode them with
+    the real parser (png_rgb_grid: chunk walk with CRC verification,
+    inflate, full scanline unfiltering incl. Paeth — stdlib zlib is
+    the codec, so unlike JPEG this needs no external library).
+
+    Third real media format after BMP and WAV, and the first
+    COMPRESSED one — the oracle replays the pixel rule in SQL and
+    never sees bytes, so a hash match proves signature check, chunk
+    walk, CRC, inflate, unfilter, and RGB (not BGR) sample order all
+    inverted the actual encoding. Same scale shape as the BMP path:
+    payload-local mapInPandas, narrow rows out, no binary shuffle.
+    """
+    tune_session(spark)
+    png = MM.make_png_table(read_table(spark, sf_dir, "documents"))
+    return MM.decode_images(png, decoder=MM.decode_payload)
