@@ -427,3 +427,247 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+_CMS_D = 4      # hash rows
+_CMS_W = 1024   # counters per row
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(
+           TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE TRIM(text) <> ''
+),
+cnt AS (SELECT term, COUNT(*) AS c FROM toks WHERE term <> '' GROUP BY term),
+seeds AS (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS seed),
+cells AS (
+  SELECT seed,
+         {_h60_sql("seed || ':' || term")} % {_CMS_W} AS cell,
+         SUM(c) AS total
+  FROM cnt, seeds GROUP BY seed, cell
+),
+top AS (
+  SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rn
+  FROM cnt
+),
+probe AS (
+  SELECT t.term, t.c, t.rn, MIN(cl.total) AS est
+  FROM top t
+  JOIN seeds s ON TRUE
+  JOIN cells cl
+    ON cl.seed = s.seed
+   AND cl.cell = {_h60_sql("s.seed || ':' || t.term")} % {_CMS_W}
+  WHERE t.rn <= 20
+  GROUP BY t.term, t.c, t.rn
+)
+SELECT rn AS rank, term, CAST(c AS BIGINT) AS exact_count,
+       CAST(est AS BIGINT) AS cms_estimate,
+       CAST(est - c AS BIGINT) AS overestimate
+FROM probe
+"""
+
+
+@register(
+    "q_countmin_token_freq",
+    oracle=_CMS_ORACLE,
+    tags=("sketch", "count-min", "heavy-hitters"),
+)
+def q_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream (d=4 rows ×
+    w=1024 counters), probed for the top-20 exact tokens: estimate =
+    min over rows of the hashed counter, reported beside the exact
+    count and the (always ≥ 0) collision overestimate — the
+    frequency-sketch accuracy audit a streaming heavy-hitters pipeline
+    runs offline.
+
+    Every quantity is an integer (counter sums, min-of-counters), so
+    the sketch is hash-oracle-checkable outright — no float laundering
+    needed. Plan shape: one token hash-agg, a 4-way seed explode into
+    a (seed, cell) hash-agg — the sketch table is d·w = 4096 rows
+    REGARDLESS of corpus size, the whole point of CMS at 100 TB — and
+    a broadcast probe join for the audited tokens.
+    """
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")),
+                " ",
+            )
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    seeded = cnt.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
+    )
+    cell = _h60(F.concat_ws(":", F.col("seed"), F.col("term"))) % _CMS_W
+    cells = (
+        seeded.groupBy("seed", cell.alias("cell"))
+        .agg(F.sum("c").alias("total"))
+    )
+    from pyspark.sql.window import Window
+
+    top = (
+        cnt.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "term"))
+        )
+        .filter(F.col("rn") <= 20)
+        .withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))))
+        .withColumn(
+            "cell", _h60(F.concat_ws(":", F.col("seed"), F.col("term"))) % _CMS_W
+        )
+    )
+    probe = (
+        top.join(cells, ["seed", "cell"])
+        .groupBy("rn", "term", "c")
+        .agg(F.min("total").alias("est"))
+    )
+    return probe.select(
+        F.col("rn").alias("rank"),
+        "term",
+        F.col("c").cast("long").alias("exact_count"),
+        F.col("est").cast("long").alias("cms_estimate"),
+        (F.col("est") - F.col("c")).cast("long").alias("overestimate"),
+    )
+
+
+_HQ_BINS = 64
+_HQ_QS = (0.5, 0.9, 0.99)
+
+_HQ_ORACLE = f"""
+WITH ext AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+         COUNT(*) AS n
+  FROM lineitem
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / (hi - lo) * {_HQ_BINS})
+                    AS INTEGER), {_HQ_BINS - 1}) AS b,
+         COUNT(*) AS c
+  FROM lineitem, ext GROUP BY 1
+),
+cum AS (
+  SELECT b, c, SUM(c) OVER (ORDER BY b) AS cum_le,
+         SUM(c) OVER (ORDER BY b) - c AS cum_lt
+  FROM binned
+),
+qs AS (SELECT CAST(UNNEST([{", ".join(str(q) for q in _HQ_QS)}]) AS DOUBLE) AS q),
+pick AS (
+  SELECT q, MIN(b) AS b
+  FROM qs, cum, ext
+  WHERE cum_le >= q * n
+  GROUP BY q
+),
+est AS (
+  SELECT p.q, p.b, c2.c, c2.cum_lt, ext.lo, ext.hi, ext.n
+  FROM pick p JOIN cum c2 ON c2.b = p.b, ext
+),
+exact AS (
+{" UNION ALL ".join(
+    f"  SELECT CAST({q} AS DOUBLE) AS q, PERCENTILE_DISC({q}) WITHIN GROUP "
+    "(ORDER BY l_extendedprice) AS exact_raw FROM lineitem"
+    for q in _HQ_QS)}
+)
+SELECT est.q AS quantile,
+       ROUND(lo + (CAST(b AS DOUBLE) + (est.q * n - cum_lt) / c)
+                  * ((hi - lo) / {_HQ_BINS}), 4) AS est_value,
+       ROUND(exact.exact_raw, 4) AS exact_value
+FROM est JOIN exact ON exact.q = est.q
+"""
+
+
+@register(
+    "q_histogram_quantile_estimate",
+    oracle=_HQ_ORACLE,
+    tags=("sketch", "quantile", "histogram"),
+)
+def q_histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantile estimation (64 bins, p50/p90/p99
+    with within-bin linear interpolation) beside the exact
+    ``percentile_disc`` — the fixed-memory quantile sketch whose
+    accuracy/bin-count trade-off this query audits (t-digest/KLL are
+    engine-private; a fixed grid is the portable, mergeable variant —
+    bin counts add across partitions/shards, giving the same
+    one-pass-mergeable property at 100 TB).
+
+    Determinism: bin assignment and interpolation use the identical
+    IEEE expression tree in both engines (single division for the bin
+    ratio, single division for the in-bin fraction); counts are exact
+    ints; outputs round at 4 decimals.
+    """
+    tune_session(spark)
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ext = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * _HQ_BINS
+        ).cast("int"),
+        F.lit(_HQ_BINS - 1),
+    )
+    binned = (
+        li.crossJoin(F.broadcast(ext))
+        .groupBy(b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "b", "c", F.sum("c").over(w).alias("cum_le"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum_lt"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q")
+    )
+    pick = (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(ext.select("n")))
+        .filter(F.col("cum_le") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("b").alias("b"))
+    )
+    est = (
+        pick.join(cum, "b")
+        .crossJoin(F.broadcast(ext))
+    )
+    exact_wide = li.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias(f"p{i}")
+            for i, q in enumerate(_HQ_QS)
+        ]
+    )
+    exact = exact_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"p{i}").alias("exact_raw")
+                    )
+                    for i, q in enumerate(_HQ_QS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact_raw")
+    est_val = F.col("lo") + (
+        F.col("b").cast("double")
+        + (F.col("q") * F.col("n") - F.col("cum_lt")) / F.col("c")
+    ) * ((F.col("hi") - F.col("lo")) / F.lit(_HQ_BINS))
+    return (
+        est.join(exact, "q")
+        .select(
+            F.col("q").alias("quantile"),
+            F.round(est_val, 4).alias("est_value"),
+            F.round(F.col("exact_raw"), 4).alias("exact_value"),
+        )
+    )

@@ -37,6 +37,10 @@ def main() -> int:
             # Spark prune projections and would under-measure).
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 2)
+            # stream progress (flush: the sweep runs for minutes and is
+            # often watched from a tail -f; buffered output hides which
+            # query a straggler stage belongs to)
+            print(f"{name:45s} {times[name]:8.2f}s", flush=True)
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             failed.append(name)
             print(f"{name:45s} FAIL {type(e).__name__}: {str(e)[:140]}")
