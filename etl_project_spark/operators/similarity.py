@@ -585,14 +585,28 @@ def semantic_dedup_pairs(
     from etl_project_spark.operators.dedup import cosine_similarity
 
     assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
-    a = assigned.alias("a")
+    # Join layout (round-7): the expensive part is the per-pair cosine
+    # AFTER the join, and it executes in the join output's partitioning.
+    # mapInPandas stats are unknown to the optimizer, so left alone the
+    # planner picked a 2-partition probe side (the parquet split count)
+    # and scored ~2-wide on a 32-core host — 22 s wall for <1 s/core of
+    # work at sf0.1. BROADCAST the build side (a hash join on _cell
+    # needs no co-partitioning) and ROUND-ROBIN the probe side across
+    # the full shuffle width: scoring becomes embarrassingly
+    # pair-parallel (22 s → 2.9 s warm at sf0.1; 381 s → 51 s at the
+    # sf1 sweep scale together with corpus-scaled cell counts). Beyond
+    # broadcastable assignment tables (~10⁷ vectors) drop the hint:
+    # the shuffle join on _cell parallelizes by cell count, which the
+    # caller scales as n/250.
+    shuffle_w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = assigned.repartition(shuffle_w).alias("a")
     b = assigned.alias("b")
     sim = F.round(
         cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
     )
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a._cell") == F.col("b._cell"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

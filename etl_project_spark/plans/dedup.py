@@ -672,10 +672,15 @@ WITH corpus AS (
   SELECT vec_id + 10000,
          list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
   FROM embeddings
+), ncells AS (
+  SELECT GREATEST(16, CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 250) AS INTEGER)) AS k
+  FROM corpus
 ), cents AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, emb AS cvec
-  FROM (SELECT vec_id, emb FROM corpus
-        WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16)
+  SELECT rn - 1 AS cell_id, emb AS cvec
+  FROM (SELECT vec_id, emb,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM corpus WHERE vec_id % 7 = 0), ncells
+  WHERE rn <= k
 ), assigned AS (
   SELECT vec_id, emb, cell_id FROM (
     SELECT c2.vec_id, c2.emb, c.cell_id,
@@ -720,7 +725,17 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     corpus = base.unionByName(twins)
-    cents = SIM.deterministic_centroids(corpus, "embedding", "vec_id", n_cells=16)
+    # Cell count scales with the corpus (n/250, floor 16) so the
+    # within-cell quadratic cost stays ~250²/2 per cell at ANY scale —
+    # the fixed 16 of rounds ≤6 made sf1 cells 2.5k-deep and the pair
+    # scan quadratic in scale-up (the round-7 sf1 sweep's straggler).
+    # The count is index-build metadata (one scalar), same class as the
+    # centroid collect below; the oracle computes the identical k.
+    n = corpus.count()
+    n_cells = max(16, -(-n // 250))
+    cents = SIM.deterministic_centroids(
+        corpus, "embedding", "vec_id", n_cells=n_cells
+    )
     return SIM.semantic_dedup_pairs(
         corpus, "vec_id", "embedding", cents, threshold=0.9
     ).orderBy("id_a", "id_b")
