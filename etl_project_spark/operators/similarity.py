@@ -582,8 +582,6 @@ def semantic_dedup_pairs(
     embarrassingly pair-parallel. Nothing is collected — the centroid
     list is config-sized index metadata, exactly as in IVF.
     """
-    from etl_project_spark.operators.dedup import cosine_similarity
-
     assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
     # Join layout (round-7): the expensive part is the per-pair cosine
     # AFTER the join, and it executes in the join output's partitioning.
@@ -601,8 +599,11 @@ def semantic_dedup_pairs(
     shuffle_w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = assigned.repartition(shuffle_w).alias("a")
     b = assigned.alias("b")
+    # Scorer: the Arrow-batched einsum UDF (same kernel the LSH verify
+    # path hash-matches against DuckDB's list_cosine_similarity), ~20×
+    # the interpreted zip_with fold per pair.
     sim = F.round(
-        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+        pairwise_cosine_udf()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
     )
     return (
         a.join(
