@@ -544,3 +544,95 @@ def q_kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
         F.round("s", 6).alias("survival"),
     )
+
+
+_ALLEN_ORACLE = """
+WITH iv AS (
+  SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+         o.o_orderdate AS s, MAX(l.l_shipdate) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+),
+seq AS (
+  SELECT custkey, s, e,
+         LEAD(s) OVER w AS s2, LEAD(e) OVER w AS e2
+  FROM iv
+  WINDOW w AS (PARTITION BY custkey ORDER BY s, e, orderkey)
+),
+rel AS (
+  SELECT CASE
+           WHEN s2 > e THEN 'precedes'
+           WHEN s2 = e THEN 'meets'
+           WHEN s2 > s AND s2 < e AND e2 > e THEN 'overlaps'
+           WHEN s2 > s AND e2 = e THEN 'finished_by'
+           WHEN s2 > s AND e2 < e THEN 'contains'
+           WHEN s2 = s AND e2 > e THEN 'started_by'
+           WHEN s2 = s AND e2 = e THEN 'equals'
+           WHEN s2 = s AND e2 < e THEN 'starts'
+           ELSE 'other'
+         END AS relation
+  FROM seq WHERE s2 IS NOT NULL
+)
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM rel GROUP BY relation
+"""
+
+
+@register(
+    "q_allen_interval_relations",
+    oracle=_ALLEN_ORACLE,
+    tags=("temporal", "interval", "allen"),
+)
+def q_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval-algebra classification of consecutive order
+    fulfillment intervals per customer ([orderdate, max shipdate]):
+    counts of precedes / meets / overlaps / contains / starts /
+    started_by / finished_by / equals between each interval and its
+    successor — the temporal-reasoning primitive behind conflict
+    detection, timeline validation, and overlap-aware sessionization.
+
+    Because the successor is defined by a total order (start, end,
+    orderkey), the pair relation is deterministic; date comparisons
+    are exact. Plan: one join+agg builds intervals, one window pairs
+    neighbors (partitioned by customer — no cross-customer motion),
+    one hash-agg counts relations. The same shape at 100 TB: the
+    window key is the natural partition key.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("s"),
+        )
+        .agg(F.max("l_shipdate").alias("e"))
+    )
+    w = W.partitionBy("custkey").orderBy("s", "e", "orderkey")
+    seq = iv.select(
+        "custkey",
+        "s",
+        "e",
+        F.lead("s").over(w).alias("s2"),
+        F.lead("e").over(w).alias("e2"),
+    ).filter(F.col("s2").isNotNull())
+    rel = (
+        F.when(F.col("s2") > F.col("e"), "precedes")
+        .when(F.col("s2") == F.col("e"), "meets")
+        .when(
+            (F.col("s2") > F.col("s"))
+            & (F.col("s2") < F.col("e"))
+            & (F.col("e2") > F.col("e")),
+            "overlaps",
+        )
+        .when((F.col("s2") > F.col("s")) & (F.col("e2") == F.col("e")), "finished_by")
+        .when((F.col("s2") > F.col("s")) & (F.col("e2") < F.col("e")), "contains")
+        .when((F.col("s2") == F.col("s")) & (F.col("e2") > F.col("e")), "started_by")
+        .when((F.col("s2") == F.col("s")) & (F.col("e2") == F.col("e")), "equals")
+        .when((F.col("s2") == F.col("s")) & (F.col("e2") < F.col("e")), "starts")
+        .otherwise("other")
+    )
+    return seq.select(rel.alias("relation")).groupBy("relation").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
