@@ -1149,69 +1149,76 @@ SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
 FROM supplier a
 JOIN supplier b
   ON LENGTH(a.s_name) = LENGTH(b.s_name)
- AND substr(a.s_name, 1, 12) = substr(b.s_name, 1, 12)
  AND a.s_suppkey < b.s_suppkey
 WHERE levenshtein(a.s_name, b.s_name) <= 1
 """,
     tags=("join", "fuzzy", "levenshtein"),
 )
 def q_fuzzy_supplier_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy-match join: name pairs within edit distance 1.
+    """ALL same-length name pairs within edit distance 1, via
+    deletion-neighborhood blocking (FastSS family).
 
-    The blocking keys (length + 12-char prefix) turn the O(n²)
-    all-pairs comparison into a hash equi-join whose blocks are the
-    only place the quadratic ``levenshtein`` runs — the standard
-    entity-resolution shape (block → compare → threshold).
+    The oracle is deliberately the NAIVE exact n² SQL: the blocking is
+    a lossless theorem (two equal-length strings at edit distance ≤ 1
+    differ in at most one position, so deleting that position from
+    both yields identical strings — they MUST share a
+    (position, deleted-variant) key), so the hash check verifies the
+    pruning itself, same pattern as `q_jaccard_prefix_filter_pairs`.
+
+    Round-7 scale lesson: the previous (length, 12-char-prefix)
+    blocking collapses on real corpora where every name shares the
+    prefix — on TPC-H 'Supplier#…' names the "block" was the whole
+    table, and the sf1 sweep measured the resulting O(n²) at 290 s.
+    Deletion variants cost O(n·len) rows and group by CONTENT, so
+    blocks stay near-singleton no matter how alike the prefixes are.
     """
     s = _t(spark, sf_dir, "supplier")
-    return fuzzy_blocked_pairs(
-        s, key_col="s_suppkey", name_col="s_name", prefix_len=12, max_edit=1
-    )
+    return fuzzy_blocked_pairs(s, key_col="s_suppkey", name_col="s_name")
 
 
-def fuzzy_blocked_pairs(
-    df: DataFrame,
-    *,
-    key_col: str,
-    name_col: str,
-    prefix_len: int = 12,
-    max_edit: int = 1,
-    n_salts: int = 16,
-) -> DataFrame:
-    """Salted blocked fuzzy self-join: ``(key_a, key_b, edit_dist)``.
+def fuzzy_blocked_pairs(df: DataFrame, *, key_col: str, name_col: str) -> DataFrame:
+    """Deletion-neighborhood fuzzy self-join → ``(key_a, key_b,
+    edit_dist)`` for equal-length pairs at edit distance ≤ 1.
 
-    Skew: blocking keys follow real-name distributions, and on corpora
-    where every name shares one (length, prefix) the whole quadratic
-    comparison lands on ONE task.  The fix is the replicate-one-side
-    salt idiom (same as q_salted_skew_join): side A gets a
-    deterministic salt ``xxhash64(key) % n_salts``, side B is exploded
-    across all ``n_salts`` salts, and the join adds salt equality — so
-    every (a, b) pair still meets exactly once (at a's salt) but a hot
-    block's comparisons spread over ``n_salts`` tasks.  Cost: side B is
-    replicated ``n_salts``× through the shuffle, the standard price for
-    skew immunity; levenshtein output is identical to the unsalted
-    join's (oracle-checked).
+    Each name emits ``len`` variant rows (char ``i`` deleted, keyed by
+    ``(i, variant)``); candidates are the variant equi-join, which by
+    the pigeonhole argument above contains EVERY qualifying pair and
+    essentially nothing else (sharing a variant at position i already
+    implies the names differ only at i). The quadratic comparison is
+    gone entirely — at 100 TB the shuffle key is the variant string
+    (content-hashed, skew-free unless the corpus contains mass-
+    duplicate names, which then surface as exact-dup pairs, not a hot
+    task), and the join output is proportional to the TRUE pair count.
+    The final ``levenshtein`` is a per-pair verify, not a block scan.
     """
-    a = df.select(
-        F.col(key_col).alias("key_a"),
-        F.col(name_col).alias("name_a"),
-        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts)).alias("_salt"),
+    variants = df.select(
+        F.col(key_col).alias("key"),
+        F.col(name_col).alias("name"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length({name_col})), "
+                f"i -> concat(substring({name_col}, 1, i - 1), "
+                f"substring({name_col}, i + 1, length({name_col}))))"
+            )
+        ).alias("i", "v"),
     )
-    b = df.select(
-        F.col(key_col).alias("key_b"),
-        F.col(name_col).alias("name_b"),
-    ).withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    a = variants.alias("a")
+    b = variants.alias("b")
     return (
         a.join(
             b,
-            (F.length("name_a") == F.length("name_b"))
-            & (F.substring("name_a", 1, prefix_len) == F.substring("name_b", 1, prefix_len))
-            & (F.col("key_a") < F.col("key_b"))
-            & (a["_salt"] == b["_salt"]),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.length("a.name") == F.length("b.name"))
+            & (F.col("a.key") < F.col("b.key")),
         )
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= max_edit)
-        .select("key_a", "key_b", "edit_dist")
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.levenshtein("a.name", "b.name").alias("edit_dist"),
+        )
+        .distinct()
+        .filter(F.col("edit_dist") <= 1)
     )
 
 

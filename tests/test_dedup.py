@@ -156,22 +156,24 @@ def test_embedding_near_dup_matches_bruteforce_ground_truth(spark):
             assert want == set() and got_all == set()
 
 
-def test_fuzzy_blocked_pairs_deskewed_and_exact(spark):
-    """Worst-case blocking skew: EVERY name shares one (length, prefix)
-    block. The salted join must (a) return exactly the pairs the naive
-    unsalted blocked join returns, and (b) spread the block's
-    comparisons over more than one shuffle partition — the round-2
-    formulation put them all on a single straggler task."""
+def test_fuzzy_blocked_pairs_lossless_and_linear(spark):
+    """Deletion-neighborhood blocking (round-7 rewrite): (a) LOSSLESS —
+    on an adversarial corpus where every name shares a long constant
+    prefix (the shape that made the old (length, prefix) blocking scan
+    O(n²): TPC-H 'Supplier#…'), the result must equal the naive
+    all-pairs levenshtein ≤ 1 ground truth exactly, including pairs
+    that differ INSIDE the shared prefix region; (b) LINEAR — the
+    candidate join's inputs are n·len variant rows, not n² pairs."""
     from etl_project_spark.plans.relational import fuzzy_blocked_pairs
 
     rows = [(i, f"SHARED-PREFIX-{i % 7}{(i * 13) % 10}") for i in range(300)]
+    # plant a pair differing at position 3 (deep inside the old prefix)
+    rows += [(9001, "SHAREDAPREFIX-00"), (9002, "SHAREDBPREFIX-00")]
     df = spark.createDataFrame(rows, "k int, nm string")
 
     got = sorted(
         (r.key_a, r.key_b, r.edit_dist)
-        for r in fuzzy_blocked_pairs(
-            df, key_col="k", name_col="nm", prefix_len=12, max_edit=1
-        ).collect()
+        for r in fuzzy_blocked_pairs(df, key_col="k", name_col="nm").collect()
     )
     a = df.select(F.col("k").alias("ka"), F.col("nm").alias("na"))
     b = df.select(F.col("k").alias("kb"), F.col("nm").alias("nb"))
@@ -179,47 +181,26 @@ def test_fuzzy_blocked_pairs_deskewed_and_exact(spark):
         (r.ka, r.kb, r.d)
         for r in a.join(
             b,
-            (F.length("na") == F.length("nb"))
-            & (F.substring("na", 1, 12) == F.substring("nb", 1, 12))
-            & (F.col("ka") < F.col("kb")),
+            (F.length("na") == F.length("nb")) & (F.col("ka") < F.col("kb")),
         )
         .withColumn("d", F.levenshtein("na", "nb"))
         .filter(F.col("d") <= 1)
         .collect()
     )
     assert got == want and len(want) > 0
+    assert (9001, 9002, 1) in got  # the in-prefix edit the old scheme missed
 
-    # distribution: keep every candidate pair (max_edit huge) and count
-    # which shuffle partitions carry comparisons.  At fixture scale
-    # Spark would (correctly) broadcast and AQE would (correctly)
-    # coalesce the tiny shuffle — disable both so the test observes the
-    # partitioning a large cluster would see on the (block, salt) keys.
-    confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
-    }
-    saved = {k: spark.conf.get(k) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        cand = fuzzy_blocked_pairs(
-            df, key_col="k", name_col="nm", prefix_len=12, max_edit=10**6
-        ).withColumn("_pid", F.spark_partition_id())
-        n_parts = cand.select("_pid").distinct().count()
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
-    assert n_parts > 1, "hot block still rides a single task"
-    # and the shuffle KEY itself is non-constant: pairs span many salts
-    n_salts = (
-        fuzzy_blocked_pairs(
-            df, key_col="k", name_col="nm", prefix_len=12, max_edit=10**6
+    # cost shape: n·len variant rows feed the join (not n² pairs)
+    n, name_len = df.count(), 16
+    variants = df.select(
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(nm)), "
+                "i -> concat(substring(nm, 1, i - 1), substring(nm, i + 1, length(nm))))"
+            )
         )
-        .select(F.pmod(F.xxhash64("key_a"), F.lit(16)).alias("s"))
-        .distinct()
-        .count()
     )
-    assert n_salts > 8
+    assert variants.count() == n * name_len
 
 
 def test_connected_components_deep_chain_logarithmic_rounds(spark):
