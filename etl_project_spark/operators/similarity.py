@@ -271,6 +271,7 @@ def knn_join(
             right_vec=right_vec,
             k=k,
             dim=dim,
+            right_rows=right_rows,
         )
     scored = (
         left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"))
@@ -310,6 +311,7 @@ def knn_join_lsh(
     dim: int,
     n_tables: int = 16,
     planes_per_table: int = 5,
+    right_rows: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed kNN join — the scale path for large × large.
 
@@ -326,6 +328,21 @@ def knn_join_lsh(
     """
     from etl_project_spark.operators.dedup import _hyperplane_signs
 
+    if right_rows is not None:
+        # Bucket-density sizing (round-7 sf1 sweep lesson, same failure
+        # mode as round-6's 6->12-bit embedding-LSH fix): with FIXED
+        # signature width the per-bucket depth grows linearly in corpus
+        # size and candidate pairs grow QUADRATICALLY — 32 buckets/table
+        # measured 454 s at 20k x 20k where 2k x 2k took 4 s. Hold the
+        # expected bucket depth ~16 by widening signatures with
+        # log2(n): recall for genuinely-near pairs stays high (p^b per
+        # table, OR-amplified over n_tables), while random-pair
+        # collision rate — the cost term — stays O(1) per row.
+        import math
+
+        planes_per_table = max(
+            planes_per_table, math.ceil(math.log2(max(2, right_rows / 16)))
+        )
     planes = _hyperplane_signs(n_tables * planes_per_table, dim)
     sig_udf = hyperplane_table_sigs_udf(planes, n_tables)
 

@@ -255,21 +255,27 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
+    # Signature width scales with the corpus: the r6 fix showed bucket
+    # DENSITY (not plane count) dominates cost — 12 bits was sized for
+    # the sf0.1 corpus, and the r7 sf1 sweep measured the same density
+    # creep again (18.5× sf0.1 time at 10× data as 4096 buckets went
+    # ~10-deep). Holding expected depth ≤ ~4 keeps candidate generation
+    # linear; the analytic table count (hyperplane_tables_for_recall)
+    # rises automatically to hold ≥ 0.99 recall at the wider
+    # signatures, a linear cost against the quadratic saved. At the
+    # driver's sf0.01 this floors at the proven 12-bit config. The
+    # count() is index-build metadata (parquet footer row counts).
+    import math
+
+    n_corpus = 2 * e.count()
+    bits = max(12, math.ceil(math.log2(max(2, n_corpus / 4))))
     return DD.embedding_near_dup_pairs(
         base.unionByName(twins),
         "vec_id",
         "embedding",
         dim=64,
         threshold=0.9,
-        # 12-bit signatures: 2^12 buckets/table keeps planted-corpus
-        # buckets sparse. The 6-bit default left only 64 buckets for
-        # 30k vectors -> ~500-row buckets -> tens of millions of
-        # candidate rows before verify; measured at sf0.1 this cut the
-        # query 8.4 s -> 1.6 s cold at identical output (2000 pairs).
-        # The analytic table count rises 10 -> 28 to hold >= 0.99
-        # recall at 0.9; the planted 0.997-cosine pair misses all 28
-        # tables w.p. ~(1-0.739)^28 ~ 5e-17.
-        planes_per_table=12,
+        planes_per_table=bits,
     ).orderBy("id_a", "id_b")
 
 

@@ -496,7 +496,7 @@ df AS (SELECT term, COUNT(*) AS d FROM tf GROUP BY term),
 kept AS (
   SELECT tf.doc_id, tf.term, tf.tf
   FROM tf JOIN df USING (term), nd
-  WHERE df.d <= 0.1 * nd.n
+  WHERE df.d <= LEAST(0.1 * nd.n, 256)
 ),
 norms AS (SELECT doc_id, SQRT(SUM(tf * tf)) AS nrm FROM kept GROUP BY doc_id),
 dots AS (
@@ -517,10 +517,15 @@ def q_sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     TF counts are integers, so every dot product and norm is EXACT in
     both engines regardless of summation order — cosine parity is
-    bit-level, not tolerance-based. The ≤10%-document-frequency guard
-    bounds each posting list, which bounds the join fan-out per term;
-    that (plus the ≥0.5 output threshold) is what keeps this shape
-    alive at corpus scale.
+    bit-level, not tolerance-based. The document-frequency guard is
+    ``df ≤ min(0.1·n, 256)``: the RELATIVE 10% cut alone lets posting
+    lists grow linearly with the corpus and per-term pair fan-out
+    quadratically — the round-7 sf1 sweep measured it at 54× the
+    sf0.1 time — so an ABSOLUTE cap bounds each posting list (hence
+    per-term join fan-out) by a constant at any scale, the standard
+    common-term cut of sparse all-pairs similarity (terms that common
+    carry ~no cosine signal at the 0.5 threshold anyway). Identical
+    expression in the oracle, so parity holds at every SF.
     """
     tune_session(spark)
     d = read_table(spark, sf_dir, "documents")
@@ -544,7 +549,7 @@ def q_sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scoped_persist(
         tf.join(df_, "term")
         .crossJoin(F.broadcast(nd))
-        .where(F.col("d") <= 0.1 * F.col("n"))
+        .where(F.col("d") <= F.least(0.1 * F.col("n"), F.lit(256.0)))
         .select("doc_id", "term", "tf")
     )
     norms = kept.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm"))

@@ -199,6 +199,10 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("neighbor_id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.01D)").alias("embedding"),
     )
+    # right_rows: index-build metadata (parquet row-count metadata, no
+    # data scan) that lets the LSH path hold its bucket depth constant
+    # as the corpus grows — without it, 16×5-bit tables measured 454 s
+    # at the sf1 sweep scale (quadratic bucket depth; see knn_join_lsh).
     out = SIM.knn_join(
         probes,
         twins,
@@ -209,6 +213,7 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
         strategy="lsh",
         dim=64,
+        right_rows=e.count(),
     )
     return out.orderBy("probe_id", "rank")
 
