@@ -84,6 +84,27 @@ def main() -> None:
                         r"'((?:\S+\s+){6}\S+)', "
                         f"'\\1_r{i}', 'g') AS text"
                     )
+                elif t == "supplier" and name == "s_name":
+                    # names must track the shifted keys (as real TPC-H
+                    # generation would) — replicating them VERBATIM gave
+                    # every name 9 exact clones and made name-blocked
+                    # operators' sf1 numbers an artifact of the scale-up
+                    # rather than of the plan (round-7 fuzzy-pairs triage)
+                    cols.append(
+                        f"'Supplier#' || lpad(CAST(s_suppkey + {i * strides['s_suppkey']} "
+                        "AS VARCHAR), 9, '0') AS s_name"
+                    )
+                elif t == "customer" and name == "c_name":
+                    cols.append(
+                        f"'Customer#' || lpad(CAST(c_custkey + {i * strides['c_custkey']} "
+                        "AS VARCHAR), 9, '0') AS c_name"
+                    )
+                elif t == "part" and name == "p_name" and i > 0:
+                    # rotate the first letter per replica (length-stable)
+                    cols.append(
+                        "chr(97 + (ascii(substr(p_name, 1, 1)) - 97 + "
+                        f"{i}) % 26) || substr(p_name, 2) AS p_name"
+                    )
                 elif t == "embeddings" and name == "embedding" and i > 0:
                     # roll elements by i: decorrelates replicas
                     cols.append(
