@@ -56,6 +56,13 @@ BENCH_QUERIES = (
     # round-6 additions: learned BPE + perceptual-hash image dedup
     "q_bpe_learned_merges",
     "q_image_phash_clusters",
+    # round-7 additions: scale-fixed pair families + new operator families
+    "q_semantic_dedup_pairs",
+    "q_knn_join_lsh",
+    "q_kcore_trading_graph",
+    "q_rake_keywords_per_source",
+    "q_countmin_token_freq",
+    "q_png_decoded_stats",
 )
 
 
