@@ -809,9 +809,7 @@ def q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_source_token_kl",
-    oracle="""
+_KL_ORACLE = """
 WITH toks AS (
   SELECT source,
          UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS term
@@ -836,7 +834,12 @@ FROM src_tf s
 JOIN src_tot t ON t.source = s.source
 JOIN corpus_tf c ON c.term = s.term
 GROUP BY s.source, t.src_tokens
-""",
+"""
+
+
+@register(
+    "q_source_token_kl",
+    oracle=_KL_ORACLE,
     tags=("text", "distribution", "kl-divergence"),
 )
 def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,4 +1529,42 @@ def q_rake_keywords_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phrase",
         F.col("n_occ").cast("long").alias("n_occurrences"),
         F.round(ratio, 4).alias("score"),
+    )
+
+
+_MIX_ORACLE = f"""
+WITH kl AS ({_KL_ORACLE})
+SELECT source, kl_bits,
+       ROUND(EXP(-kl_bits) / SUM(EXP(-kl_bits)) OVER (), 6) AS mixture_weight
+FROM kl
+"""
+
+
+@register(
+    "q_domain_mixture_weights",
+    oracle=_MIX_ORACLE,
+    tags=("text", "mixture", "doremi"),
+)
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture weights: softmax of the NEGATIVE
+    per-source KL divergence from the corpus token distribution —
+    sources that drift from the corpus get down-weighted, the
+    re-mixing step a pretraining curriculum runs after measuring
+    domain shift (Xie et al. 2023 use proxy-model losses; the KL here
+    is the proxy this engine can compute exactly).
+
+    Determinism: the softmax runs on the ROUNDED kl_bits (6 decimals)
+    that the KL query itself is hash-checked on, so both engines
+    exponentiate bit-identical inputs; the normalizer is a sum over
+    the handful of sources (noise ~1e-16, absorbed by the 6-decimal
+    output rounding — same budget as the KL sum itself). Plan shape:
+    everything beyond the KL aggregate is a window over one row per
+    source.
+    """
+    kl = q_source_token_kl(spark, sf_dir)
+    z = F.sum(F.exp(-F.col("kl_bits"))).over(W.partitionBy())
+    return kl.select(
+        "source",
+        "kl_bits",
+        F.round(F.exp(-F.col("kl_bits")) / z, 6).alias("mixture_weight"),
     )
