@@ -580,6 +580,10 @@ def semantic_dedup_pairs(
     centroids: list[list[float]],
     *,
     threshold: float = 0.9,
+    strategy: str = "auto",
+    broadcast_threshold: int = 1_000_000,
+    broadcast_threshold_bytes: int = 256 << 20,
+    row_hint: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster-then-compare.
 
@@ -598,33 +602,65 @@ def semantic_dedup_pairs(
     respond to AQE skew-join splitting since the per-cell workload is
     embarrassingly pair-parallel. Nothing is collected — the centroid
     list is config-sized index metadata, exactly as in IVF.
+
+    Physical strategy (round-8, mirrors :func:`knn_join`'s lazy auto):
+
+    - ``broadcast``: broadcast-hash-join the build side on ``_cell``
+      and round-robin the probe side across the full shuffle width.
+      The scorer is a ``mapInPandas``-produced column whose stats the
+      optimizer cannot see, so without the explicit round-robin the
+      probe side inherits the parquet split count (2 partitions at
+      sf0.1 → 22 s wall for <1 s/core of work; the hint + repartition
+      measured 22 s → 2.9 s warm at sf0.1).
+    - ``shuffle``: plain equi-join on ``_cell`` (SortMergeJoin); both
+      sides shuffle on the cell key and the pairwise scoring runs in
+      the join output's hash partitioning. Parallelism = cell count,
+      which callers scale as n/250 — the path that survives when the
+      assignment table is too big to broadcast.
+
+    ``auto`` decides LAZILY, never counting: an explicit ``row_hint``
+    (the caller usually already holds the corpus count as index-build
+    metadata) is compared against ``broadcast_threshold`` rows; else
+    Catalyst's optimized-plan size statistic of the INPUT ``df``
+    (driver-side, no job; the post-UDF assignment plan has no usable
+    stats) against ``broadcast_threshold_bytes``; under Spark Connect
+    (no ``_jdf``) it falls back to broadcast, matching ``knn_join``.
     """
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            "semantic_dedup_pairs strategy must be 'auto', 'broadcast', or "
+            f"'shuffle'; got {strategy!r}"
+        )
+    if strategy == "auto":
+        if row_hint is not None:
+            small = row_hint <= broadcast_threshold
+        else:
+            try:
+                size = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+                small = size <= broadcast_threshold_bytes
+            except AttributeError:
+                small = True
+        strategy = "broadcast" if small else "shuffle"
     assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
-    # Join layout (round-7): the expensive part is the per-pair cosine
-    # AFTER the join, and it executes in the join output's partitioning.
-    # mapInPandas stats are unknown to the optimizer, so left alone the
-    # planner picked a 2-partition probe side (the parquet split count)
-    # and scored ~2-wide on a 32-core host — 22 s wall for <1 s/core of
-    # work at sf0.1. BROADCAST the build side (a hash join on _cell
-    # needs no co-partitioning) and ROUND-ROBIN the probe side across
-    # the full shuffle width: scoring becomes embarrassingly
-    # pair-parallel (22 s → 2.9 s warm at sf0.1; 381 s → 51 s at the
-    # sf1 sweep scale together with corpus-scaled cell counts). Beyond
-    # broadcastable assignment tables (~10⁷ vectors) drop the hint:
-    # the shuffle join on _cell parallelizes by cell count, which the
-    # caller scales as n/250.
-    shuffle_w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    a = assigned.repartition(shuffle_w).alias("a")
-    b = assigned.alias("b")
     # Scorer: the Arrow-batched einsum UDF (same kernel the LSH verify
     # path hash-matches against DuckDB's list_cosine_similarity), ~20×
     # the interpreted zip_with fold per pair.
     sim = F.round(
         pairwise_cosine_udf()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
     )
+    b = assigned.alias("b")
+    if strategy == "broadcast":
+        shuffle_w = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        a = assigned.repartition(shuffle_w).alias("a")
+        build = F.broadcast(b)
+    else:
+        a = assigned.alias("a")
+        build = b
     return (
         a.join(
-            F.broadcast(b),
+            build,
             (F.col("a._cell") == F.col("b._cell"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

@@ -743,5 +743,5 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "embedding", "vec_id", n_cells=n_cells
     )
     return SIM.semantic_dedup_pairs(
-        corpus, "vec_id", "embedding", cents, threshold=0.9
+        corpus, "vec_id", "embedding", cents, threshold=0.9, row_hint=n
     ).orderBy("id_a", "id_b")

@@ -510,11 +510,17 @@ def q_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # Top-20 via orderBy().limit() — Spark plans TakeOrderedAndProject
+    # (per-partition heap + driver merge of 20-row heads), NOT a global
+    # sort. The row_number window then runs over the 20 survivors only;
+    # the round-7 form windowed the ENTIRE vocabulary table through one
+    # partition (WindowExec single-partition warning in the bench tail).
     top = (
-        cnt.withColumn(
+        cnt.orderBy(F.desc("c"), "term")
+        .limit(20)
+        .withColumn(
             "rn", F.row_number().over(Window.orderBy(F.desc("c"), "term"))
         )
-        .filter(F.col("rn") <= 20)
         .withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))))
         .withColumn(
             "cell", _h60(F.concat_ws(":", F.col("seed"), F.col("term"))) % _CMS_W

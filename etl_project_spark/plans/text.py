@@ -1332,8 +1332,17 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode("t").alias("w")).filter(F.col("w") != "")
     cx = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     nu = cx.agg(F.sum("c").alias("n_u"))
+    # size(t) >= 2 guard (round-8, ADVICE r7): a single-token doc makes
+    # sequence(0, size(t)-2) = sequence(0, -1) = [0, -1], and t[p+1]
+    # then reads out of bounds — a hard INVALID_ARRAY_INDEX error under
+    # ANSI mode (default-on in Spark 4). The oracle's generate_series
+    # is empty for the same doc, so filtering those docs out of the
+    # bigram branch (ONLY here — unigram counts must keep them) is the
+    # exact semantic twin. Current corpora happen to contain none; this
+    # is the correctness guard, not a behavior change.
     bi = (
-        toks.select(
+        toks.filter(F.size("t") >= 2)
+        .select(
             F.explode(
                 F.expr(
                     "filter(transform(sequence(0, size(t) - 2), "

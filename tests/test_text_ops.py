@@ -79,3 +79,29 @@ def test_merge_partitions_base_and_changes(spark):
     assert counts.get("updated", 0) == n_upd
     assert counts.get("inserted", 0) == n_ins
     assert counts.get("kept", 0) == n_base - n_upd
+
+
+def test_pmi_survives_single_token_docs(spark, tmp_path):
+    """ANSI-mode regression (ADVICE r7): a document whose normalized
+    text has exactly one token made the bigram builder index t[1] out
+    of bounds — sequence(0, size-2) = [0, -1] for size 1 — a hard
+    INVALID_ARRAY_INDEX crash under Spark 4's default ANSI mode. The
+    guard must drop such docs from the bigram branch ONLY (the oracle's
+    generate_series(1, len-1) is empty for them), while multi-token
+    docs keep producing PMI rows."""
+    base = "alpha beta " * 6  # 'alpha beta' pair count 6 > _PMI_MIN_PAIR
+    rows = [
+        (1, "hello", "en", "web", 5),          # single token — the crasher
+        (2, "  . ,  ", "en", "web", 7),        # tokenizes to one empty token
+        (3, base, "en", "web", len(base)),
+        (4, base, "en", "web", len(base)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from etl_project_spark.plans.text import q_pmi_collocations
+
+    out = q_pmi_collocations(spark, str(tmp_path)).collect()  # must not raise
+    pairs = {(r.w1, r.w2) for r in out}
+    assert ("alpha", "beta") in pairs
