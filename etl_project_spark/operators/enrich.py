@@ -57,6 +57,76 @@ def deterministic_geocoder(query: str) -> str:
     return f"{lat},{lng}"
 
 
+class HttpGeocoder:
+    """Production HTTP geocoder client for :func:`enrich_with_service`.
+
+    ≙ the reference's geopy ``GoogleV3`` client (flows/etl.py:198,218),
+    re-expressed stdlib-only (urllib — this container ships no HTTP
+    libraries), and shaped for the operator's per-row retry contract:
+
+    - the instance is a picklable plain-attribute callable, so it ships
+      inside the ``mapInPandas`` closure to every executor; each call
+      opens its own connection (no shared socket state across Arrow
+      batches or Spark task retries);
+    - request: ``GET {base_url}?q=<urlencoded query>`` with a hard
+      per-request ``timeout_s`` (≙ the reference's ``timeout=10``);
+    - response: JSON, either the flat ``{"lat": .., "lng": ..}`` shape
+      or the GoogleV3 envelope
+      ``{"results": [{"geometry": {"location": {"lat","lng"}}}]}``;
+    - a definitive miss — HTTP 404, empty ``results``, JSON without
+      coordinates — returns ``None`` (no retry, ≙ the reference's
+      AttributeError writeback path at flows/etl.py:231-234);
+    - transient trouble — network error, timeout, 5xx/429 — RAISES, so
+      :func:`_call_with_retry` drives the per-row exponential backoff
+      exactly as it does for every other service.
+
+    The result is packed ``"lat,lng"`` (the reference's writeback
+    format, flows/etl.py:210) with the server's own precision.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        *,
+        query_param: str = "q",
+        timeout_s: float = 10.0,
+        headers: dict[str, str] | None = None,
+    ) -> None:
+        self.base_url = base_url
+        self.query_param = query_param
+        self.timeout_s = timeout_s
+        self.headers = dict(headers or {})
+
+    def __call__(self, query: str) -> str | None:
+        import json
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        sep = "&" if "?" in self.base_url else "?"
+        url = (
+            f"{self.base_url}{sep}"
+            f"{urllib.parse.urlencode({self.query_param: query})}"
+        )
+        req = urllib.request.Request(url, headers=self.headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None  # definitive miss — do not retry
+            raise  # 5xx / 429 / anything else: transient, retried
+        loc = payload
+        if isinstance(payload, dict) and "results" in payload:
+            results = payload["results"]
+            if not results:
+                return None
+            loc = results[0].get("geometry", {}).get("location", {})
+        if not isinstance(loc, dict) or "lat" not in loc or "lng" not in loc:
+            return None
+        return f"{loc['lat']},{loc['lng']}"
+
+
 def enrich_with_service(
     df: DataFrame,
     query_col: str,

@@ -299,6 +299,52 @@ def knn_join(
     )
 
 
+def lsh_join_sizing(
+    right_rows: int,
+    *,
+    n_tables: int = 16,
+    planes_per_table: int = 5,
+    design_cosine: float = 0.9,
+    target_recall: float = 0.99,
+) -> tuple[int, int]:
+    """Corpus-aware (n_tables, planes_per_table) for the LSH kNN join.
+
+    Two coupled rules, applied in order:
+
+    1. **Bucket density** (round-7 sf1 sweep lesson, same failure mode
+       as round-6's 6→12-bit embedding-LSH fix): with FIXED signature
+       width the per-bucket depth grows linearly in corpus size and
+       candidate pairs grow QUADRATICALLY — 32 buckets/table measured
+       454 s at 20k×20k where 2k×2k took 4 s. Hold expected bucket
+       depth ~16 by widening signatures with log2(n); random-pair
+       collision rate — the cost term — stays O(1) per row.
+    2. **Recall compensation** (ADVICE r7): widening planes alone makes
+       per-table recall p^b decay with corpus size while n_tables stays
+       fixed — at large n the join silently loses true neighbors at
+       ``design_cosine``. Recompute the table count from the SAME
+       analytic target :func:`..dedup.hyperplane_tables_for_recall`
+       serves ``embedding_near_dup_pairs`` (``1-(1-p^b)^L ≥
+       target_recall`` at ``cosine = design_cosine``) — the n^ρ growth
+       in tables is the textbook LSH cost of holding recall while
+       buckets stay shallow, made explicit instead of skipped.
+
+    Both outputs only ever grow from the caller's floors, so small
+    corpora keep the documented 16×5 configuration bit-for-bit.
+    """
+    import math
+
+    from etl_project_spark.operators.dedup import hyperplane_tables_for_recall
+
+    planes_per_table = max(
+        planes_per_table, math.ceil(math.log2(max(2, right_rows / 16)))
+    )
+    n_tables = max(
+        n_tables,
+        hyperplane_tables_for_recall(design_cosine, planes_per_table, target_recall),
+    )
+    return n_tables, planes_per_table
+
+
 def knn_join_lsh(
     left: DataFrame,
     right: DataFrame,
@@ -312,6 +358,8 @@ def knn_join_lsh(
     n_tables: int = 16,
     planes_per_table: int = 5,
     right_rows: int | None = None,
+    design_cosine: float = 0.9,
+    target_recall: float = 0.99,
 ) -> DataFrame:
     """LSH-bucketed kNN join — the scale path for large × large.
 
@@ -329,19 +377,12 @@ def knn_join_lsh(
     from etl_project_spark.operators.dedup import _hyperplane_signs
 
     if right_rows is not None:
-        # Bucket-density sizing (round-7 sf1 sweep lesson, same failure
-        # mode as round-6's 6->12-bit embedding-LSH fix): with FIXED
-        # signature width the per-bucket depth grows linearly in corpus
-        # size and candidate pairs grow QUADRATICALLY — 32 buckets/table
-        # measured 454 s at 20k x 20k where 2k x 2k took 4 s. Hold the
-        # expected bucket depth ~16 by widening signatures with
-        # log2(n): recall for genuinely-near pairs stays high (p^b per
-        # table, OR-amplified over n_tables), while random-pair
-        # collision rate — the cost term — stays O(1) per row.
-        import math
-
-        planes_per_table = max(
-            planes_per_table, math.ceil(math.log2(max(2, right_rows / 16)))
+        n_tables, planes_per_table = lsh_join_sizing(
+            right_rows,
+            n_tables=n_tables,
+            planes_per_table=planes_per_table,
+            design_cosine=design_cosine,
+            target_recall=target_recall,
         )
     planes = _hyperplane_signs(n_tables * planes_per_table, dim)
     sig_udf = hyperplane_table_sigs_udf(planes, n_tables)

@@ -1542,10 +1542,15 @@ def q_rake_keywords_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_ORACLE = f"""
-WITH kl AS ({_KL_ORACLE})
+WITH kl AS ({_KL_ORACLE}),
+scaled AS (
+  SELECT source, kl_bits,
+         CAST(ROUND(EXP(-kl_bits) * 1e12) AS BIGINT) AS e
+  FROM kl
+)
 SELECT source, kl_bits,
-       ROUND(EXP(-kl_bits) / SUM(EXP(-kl_bits)) OVER (), 6) AS mixture_weight
-FROM kl
+       ROUND(CAST(e AS DOUBLE) / SUM(e) OVER (), 6) AS mixture_weight
+FROM scaled
 """
 
 
@@ -1562,18 +1567,23 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain shift (Xie et al. 2023 use proxy-model losses; the KL here
     is the proxy this engine can compute exactly).
 
-    Determinism: the softmax runs on the ROUNDED kl_bits (6 decimals)
-    that the KL query itself is hash-checked on, so both engines
-    exponentiate bit-identical inputs; the normalizer is a sum over
-    the handful of sources (noise ~1e-16, absorbed by the 6-decimal
-    output rounding — same budget as the KL sum itself). Plan shape:
-    everything beyond the KL aggregate is a window over one row per
-    source.
+    Determinism (round-8, ADVICE r7): the softmax runs on the ROUNDED
+    kl_bits (6 decimals) that the KL query itself is hash-checked on,
+    so both engines exponentiate bit-identical inputs — and the
+    normalizer follows the same exact-integer-sum discipline as the
+    KMV/HLL/CMS sketches: each ``exp(-kl)`` is scaled to an integer
+    (×1e12, round) BEFORE summing, so the sum is order-independent by
+    construction instead of relying on 6-decimal rounding to absorb
+    ~1e-16 float-reordering noise. The weight is then ONE IEEE
+    division of two exact integers. Plan shape: everything beyond the
+    KL aggregate is a window over one row per source.
     """
     kl = q_source_token_kl(spark, sf_dir)
-    z = F.sum(F.exp(-F.col("kl_bits"))).over(W.partitionBy())
-    return kl.select(
+    e = F.expr("CAST(ROUND(EXP(-kl_bits) * 1e12) AS BIGINT)")
+    scaled = kl.select("source", "kl_bits", e.alias("e"))
+    z = F.sum("e").over(W.partitionBy())
+    return scaled.select(
         "source",
         "kl_bits",
-        F.round(F.exp(-F.col("kl_bits")) / z, 6).alias("mixture_weight"),
+        F.round(F.col("e").cast("double") / z, 6).alias("mixture_weight"),
     )

@@ -319,7 +319,19 @@ class HtmlTableFetcher(PageFetcher):
         width = len(self.headers())
         # The widget's 4 control columns precede the data columns in the
         # header row only; body rows carry just the data cells.
-        return [tuple(r[-width:]) for r in doc["rows"]]
+        out = []
+        for i, r in enumerate(doc["rows"]):
+            if len(r) < width:
+                # A short tuple would surface pages later as an opaque
+                # arity mismatch in the Arrow reader (ADVICE r7) — name
+                # the page and row at the parse site instead.
+                raise ValueError(
+                    f"malformed table row: page {page} row {i} has "
+                    f"{len(r)} cells, expected at least {width} "
+                    f"(headers: {self.headers()})"
+                )
+            out.append(tuple(r[-width:]))
+        return out
 
 
 # -- the data source --------------------------------------------------------

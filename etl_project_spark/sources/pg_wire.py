@@ -167,18 +167,48 @@ def _pg_type(spark_type: str) -> str:
 
 
 def _lit(v) -> str:
-    """SQL literal with doubled-quote escaping (text protocol)."""
+    """SQL literal with doubled-quote escaping (text protocol).
+
+    Non-finite floats render as the QUOTED ``'NaN'`` / ``'Infinity'`` /
+    ``'-Infinity'`` spellings Postgres accepts for float types —
+    ``str(float('nan'))`` would emit the bare token ``nan``, invalid
+    SQL that aborts the whole multi-row INSERT (ADVICE r7). Bytes are
+    rejected outright: the generic str branch would serialize the
+    ``b'..'`` repr as garbage text; binary columns need a BYTEA mapping
+    this text-protocol sink deliberately does not claim to have
+    (``_pg_type`` already rejects the binary Spark type in overwrite
+    mode — this makes append mode fail equally loudly).
+    """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float, Decimal)):
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "'NaN'"
+        if v == float("inf"):
+            return "'Infinity'"
+        if v == float("-inf"):
+            return "'-Infinity'"
         return str(v)
+    if isinstance(v, (int, Decimal)):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        raise TypeError(
+            "pg_wire text-protocol sink does not support binary values; "
+            "encode the column (hex/base64) before writing"
+        )
     if isinstance(v, datetime):
         return "'" + v.isoformat(sep=" ") + "'"
     if isinstance(v, date):
         return "'" + v.isoformat() + "'"
     return "'" + str(v).replace("'", "''") + "'"
+
+
+def _ident(name: str) -> str:
+    """Quoted SQL identifier with embedded-quote doubling (ADVICE r7:
+    a column named ``x" y`` previously broke out of the quoting)."""
+    return '"' + name.replace('"', '""') + '"'
 
 
 def write_postgres_wire(
@@ -205,7 +235,7 @@ def write_postgres_wire(
     if not table.replace("_", "").isalnum():
         raise ValueError(f"unsafe table name {table!r}")
     fields = [(f.name, _pg_type(f.dataType.simpleString())) for f in df.schema.fields]
-    collist = ", ".join(f'"{n}"' for n, _t in fields)
+    collist = ", ".join(_ident(n) for n, _t in fields)
 
     if mode == "overwrite":
         cli = PgWireClient(host, port, user, database)
@@ -213,7 +243,7 @@ def write_postgres_wire(
             cli.query(f'DROP TABLE IF EXISTS "{table}"')
             cli.query(
                 f'CREATE TABLE "{table}" ('
-                + ", ".join(f'"{n}" {t}' for n, t in fields)
+                + ", ".join(f"{_ident(n)} {t}" for n, t in fields)
                 + ")"
             )
         finally:

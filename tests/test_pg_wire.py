@@ -136,3 +136,48 @@ def test_k1_k2_live_postgres(spark, pg_server):
         assert int(cli.query(f'SELECT COUNT(*) FROM "{table}"')[1][0][0]) == 10
     finally:
         cli.close()
+
+
+def test_lit_nonfinite_floats_and_bytes():
+    """ADVICE r7: str(nan) produced the bare token `nan` — invalid SQL
+    aborting the whole partition INSERT. Postgres accepts the QUOTED
+    'NaN'/'Infinity' spellings for float types; bytes must be rejected
+    loudly instead of serializing the b'..' repr as text."""
+    from etl_project_spark.sources.pg_wire import _ident, _lit
+
+    assert _lit(float("nan")) == "'NaN'"
+    assert _lit(float("inf")) == "'Infinity'"
+    assert _lit(float("-inf")) == "'-Infinity'"
+    assert _lit(1.5) == "1.5"
+    assert _lit(True) == "TRUE"
+    assert _lit(None) == "NULL"
+    assert _lit("o'brien") == "'o''brien'"
+    with pytest.raises(TypeError, match="binary"):
+        _lit(b"\x00\x01")
+    with pytest.raises(TypeError, match="binary"):
+        _lit(bytearray(b"x"))
+    # identifier quoting: embedded double quotes cannot break out
+    assert _ident('x" y') == '"x"" y"'
+    assert _ident("plain") == '"plain"'
+
+
+def test_lit_nonfinite_roundtrip_live(pg_server):
+    """The quoted spellings actually insert and read back on a real
+    server (DOUBLE PRECISION column)."""
+    cli = PgWireClient(pg_server["host"], pg_server["port"],
+                       pg_server["user"], pg_server["database"])
+    try:
+        cli.query('DROP TABLE IF EXISTS "t_nonfinite"')
+        cli.query('CREATE TABLE "t_nonfinite" (x DOUBLE PRECISION)')
+        from etl_project_spark.sources.pg_wire import _lit
+
+        vals = [float("nan"), float("inf"), float("-inf"), 2.75]
+        cli.query(
+            'INSERT INTO "t_nonfinite" (x) VALUES '
+            + ", ".join(f"({_lit(v)})" for v in vals)
+        )
+        _cols, rows = cli.query('SELECT x::text FROM "t_nonfinite" ORDER BY x')
+        got = {r[0] for r in rows}
+        assert got == {"NaN", "Infinity", "-Infinity", "2.75"}
+    finally:
+        cli.close()

@@ -307,3 +307,38 @@ def test_knn_join_auto_stats_large_without_dim_warns_and_stays_exact(spark, emb)
     for row in out:
         counts[row.probe_id] = counts.get(row.probe_id, 0) + 1
     assert set(counts.values()) == {2}  # exact fallback: full k per probe
+
+
+def test_lsh_join_sizing_holds_recall_as_corpus_grows():
+    """ADVICE r7: widening planes with log2(n) while keeping 16 tables
+    lets per-table recall p^b decay unboundedly — the k-NN silently
+    misses true neighbors at scale. The sizing must (a) keep the
+    documented 16x5 config for small corpora, (b) widen planes to hold
+    bucket depth ~16, and (c) grow the table count so analytic recall
+    at the design cosine stays >= the target at EVERY corpus size."""
+    import math
+
+    p = 1.0 - math.acos(0.9) / math.pi  # per-plane agreement at cosine 0.9
+
+    def recall(n_tables, planes):
+        return 1.0 - (1.0 - p**planes) ** n_tables
+
+    # small corpus: untouched floors
+    assert SIM.lsh_join_sizing(2_000) == (16, 7) or SIM.lsh_join_sizing(2_000)[1] >= 5
+    small = SIM.lsh_join_sizing(200)
+    assert small == (16, 5)
+
+    prev_planes = 0
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        tables, planes = SIM.lsh_join_sizing(n)
+        assert planes >= prev_planes  # monotone widening
+        prev_planes = planes
+        # bucket depth target: 2^planes buckets >= n/16
+        assert 2**planes >= n / 16
+        # the named failure: recall at the design cosine never decays
+        # below the analytic target, no matter the corpus size
+        assert recall(tables, planes) >= 0.99
+    # and the compensation actually engages: at 10M rows the fixed-16
+    # config would have lost neighbors
+    tables_10m, planes_10m = SIM.lsh_join_sizing(10_000_000)
+    assert recall(16, planes_10m) < 0.99 < recall(tables_10m, planes_10m)

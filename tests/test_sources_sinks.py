@@ -537,3 +537,32 @@ def test_zorder_layout_clusters_2d_box_queries(spark, tmp_path):
     # custkey order is uncorrelated with geography: the box's rows smear
     # over every linear file, but z-order packs them into a few tiles
     assert z < lin, f"z-order touched {z} files vs linear {lin}"
+
+
+def test_html_fetcher_short_row_raises_with_location():
+    """ADVICE r7: a malformed body row with fewer cells than the data
+    width silently yielded a short tuple (surfacing pages later as an
+    opaque reader arity error). The parse site must name the page and
+    row instead."""
+    from etl_project_spark.sources.paginated import HtmlTableFetcher
+
+    html = (
+        "<html><body><table id='table_id'><thead><tr>"
+        "<th>c1</th><th>c2</th><th>c3</th><th>c4</th>"
+        "<th>A</th><th>B</th></tr></thead><tbody>"
+        "<tr><td>1</td><td>2</td></tr>"
+        "<tr><td>only-one-cell</td></tr>"
+        "</tbody></table>"
+        "<div id='table_id_info'>Mostrando 1 a 2 de 2 registros</div>"
+        "</body></html>"
+    )
+
+    import pytest
+
+    class Fixed(HtmlTableFetcher):
+        def _get_html(self, page):
+            return html
+
+    f = Fixed(base_url="http://unused.invalid")
+    with pytest.raises(ValueError, match=r"page 0 row 1 has 1 cells"):
+        f.fetch_page(0)
