@@ -336,6 +336,60 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_spatial_nearest_supplier",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey, {_coord_sql('c_custkey', 1, '40.0')} AS c_lat,
+         {_coord_sql('c_custkey', 9, '60.0')} AS c_lng
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey, {_coord_sql('s_suppkey', 1, '40.0')} AS s_lat,
+         {_coord_sql('s_suppkey', 9, '60.0')} AS s_lng
+  FROM supplier
+),
+pairs AS (
+  SELECT c.c_custkey, s.s_suppkey, {_HAV_SQL} AS km
+  FROM cust c JOIN supp s
+    ON FLOOR(c.c_lat) BETWEEN FLOOR(s.s_lat) - 1 AND FLOOR(s.s_lat) + 1
+   AND FLOOR(c.c_lng) BETWEEN FLOOR(s.s_lng) - 1 AND FLOOR(s.s_lng) + 1
+)
+SELECT c_custkey, s_suppkey, km
+FROM (
+  SELECT c_custkey, s_suppkey, km,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_custkey ORDER BY km, s_suppkey) AS rn
+  FROM pairs WHERE km <= {_GEO_RADIUS_KM}
+)
+WHERE rn = 1
+""",
+    tags=("linkage", "spatial", "grid-join", "bounded-output"),
+)
+def q_spatial_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer NEAREST supplier within 40 km (k=1) — the radius
+    family's scale-safe output shape (round-7 verdict §perf: the plain
+    radius join's answer is quadratic in point density BY DEFINITION —
+    a 24× output blow-up in the sf1 sweep — so a pipeline that only
+    needs 'closest depot per customer' should never materialize it).
+
+    Same grid-cell candidate generation as `q_spatial_grid_join`
+    (3×3 neighbor explode → equi-join on the cell key, complete for
+    40 km by construction), then a per-customer window keeps row 1 by
+    (km, s_suppkey). Output is ≤ |customer| rows REGARDLESS of point
+    density; the window partitions on c_custkey, so the top-1 runs
+    shuffle-parallel with no global sort. Ties at equal rounded km
+    break on supplier key in both engines.
+    """
+    base = q_spatial_grid_join(spark, sf_dir)
+    w = W.partitionBy("c_custkey").orderBy("km", "s_suppkey")
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", "km")
+    )
+
+
 # --------------------------------------------------------------------------
 # Co-occurrence graph: suppliers that ship in the same order. The
 # self-join is keyed on l_orderkey, whose multiplicity is bounded by

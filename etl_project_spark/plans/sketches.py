@@ -167,6 +167,69 @@ FROM est JOIN ex ON ex.event_type = est.event_type
 """
 
 
+def hll_registers(pairs) -> "DataFrame":
+    """HLL register table ``(event_type, bucket, m_j)`` from raw
+    ``(event_type, user_id)`` rows — ONE max-aggregate, so it runs on a
+    STREAMING DataFrame unchanged. No distinct needed: the register
+    update is idempotent (a replayed user lands on the same bucket
+    with the same rho, and ``max`` absorbs it) — which is exactly why
+    HLL is the canonical streaming distinct sketch. Bounded state:
+    ≤ m=256 registers per key.
+    """
+    h = pairs.select("event_type", _h60(F.col("user_id")).alias("h"))
+    parts = h.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.expr(f"h div {_HLL_M}").alias("rest"),
+    )
+    rho = parts.select(
+        "event_type",
+        "bucket",
+        (
+            F.lit(_HLL_W + 1)
+            - F.when(F.col("rest") == 0, 0).otherwise(
+                F.length(F.expr("bin(rest)"))
+            )
+        ).alias("rho"),
+    )
+    return rho.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+
+
+def hll_estimate(regs) -> "DataFrame":
+    """Fold a register table into ``(event_type, registers_used,
+    est_distinct)`` — the exact-integer harmonic sum + LinearCounting
+    branch the oracle replays bit-for-bit. Shared by the batch query
+    and the streaming twin's drained state.
+    """
+    two_w1 = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1})")
+    sums = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - m_j)")).alias(
+            "s_obs"
+        ),
+    )
+    est = sums.select(
+        "event_type",
+        "used",
+        (F.lit(_HLL_M) - F.col("used")).alias("zeros"),
+        (
+            F.lit(_HLL_ALPHA)
+            * F.lit(_HLL_M * _HLL_M)
+            * two_w1
+            / (F.col("s_obs") + (F.lit(_HLL_M) - F.col("used")) * two_w1)
+        ).alias("raw"),
+    )
+    corrected = F.when(
+        (F.col("raw") <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(F.col("raw"))
+    return est.select(
+        "event_type",
+        F.col("used").alias("registers_used"),
+        F.round(corrected, 2).alias("est_distinct"),
+    )
+
+
 @register(
     "q_hll_distinct_users",
     oracle=_HLL_ORACLE,
@@ -193,54 +256,10 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id")
         .distinct()
     )
-    h = du.select("event_type", _h60(F.col("user_id")).alias("h"))
-    parts = h.select(
-        "event_type",
-        (F.col("h") % _HLL_M).alias("bucket"),
-        F.expr(f"h div {_HLL_M}").alias("rest"),
-    )
-    rho = parts.select(
-        "event_type",
-        "bucket",
-        (
-            F.lit(_HLL_W + 1)
-            - F.when(F.col("rest") == 0, 0).otherwise(
-                F.length(F.expr("bin(rest)"))
-            )
-        ).alias("rho"),
-    )
-    regs = rho.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
-    two_w1 = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1})")
-    sums = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("used"),
-        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - m_j)")).alias(
-            "s_obs"
-        ),
-    )
-    est = sums.select(
-        "event_type",
-        "used",
-        (F.lit(_HLL_M) - F.col("used")).alias("zeros"),
-        (
-            F.lit(_HLL_ALPHA)
-            * F.lit(_HLL_M * _HLL_M)
-            * two_w1
-            / (F.col("s_obs") + (F.lit(_HLL_M) - F.col("used")) * two_w1)
-        ).alias("raw"),
-    )
+    est = hll_estimate(hll_registers(du))
     ex = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_distinct"))
-    corrected = F.when(
-        (F.col("raw") <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
-    ).otherwise(F.col("raw"))
-    return (
-        est.join(ex, "event_type")
-        .select(
-            "event_type",
-            "exact_distinct",
-            F.col("used").alias("registers_used"),
-            F.round(corrected, 2).alias("est_distinct"),
-        )
+    return est.join(ex, "event_type").select(
+        "event_type", "exact_distinct", "registers_used", "est_distinct"
     )
 
 
@@ -431,6 +450,37 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_D = 4      # hash rows
 _CMS_W = 1024   # counters per row
+
+
+def cms_cell_counts(docs) -> "DataFrame":
+    """The d×w Count-Min counter table ``(seed, cell, total)`` as ONE
+    aggregation over the raw token stream — the form that works on a
+    STREAMING DataFrame too (chained aggregations are illegal in a
+    stream; the batch query's term-count intermediate is a batch-only
+    optimization that reuses `cnt` for the probe). Identical result:
+    Σ_term count(term) per cell ≡ count of token instances per cell.
+    State is d·w = 4096 cells regardless of corpus size — the reason
+    CMS is the canonical streaming frequency sketch.
+    """
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")),
+                    " ",
+                )
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    seeded = toks.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
+    )
+    cell = _h60(F.concat_ws(":", F.col("seed"), F.col("term"))) % _CMS_W
+    return seeded.groupBy("seed", cell.alias("cell")).agg(
+        F.count(F.lit(1)).alias("total")
+    )
 
 _CMS_ORACLE = f"""
 WITH toks AS (

@@ -786,3 +786,104 @@ def test_stream_stream_left_outer_flushes_unmatched(spark, events_path):
     assert got == want
     unmatched = [p for _, p in want if p is None]
     assert unmatched, "no unmatched clicks in flushed region — vacuous"
+
+
+# -- streaming sketch twins (round-8: CMS / HLL / KMV) ----------------------
+
+@pytest.fixture(scope="module")
+def documents_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("documents_stream")
+    (d / "documents.parquet").symlink_to(table_path(SF_ORACLE, "documents"))
+    return str(d)
+
+
+def test_stream_countmin_cells_match_batch_sketch(spark, documents_path):
+    """The drained streaming CMS counter table must equal the batch
+    builder's cells bit-for-bit, and probing it for the batch query's
+    top-20 terms must reproduce q_countmin_token_freq's cms_estimate —
+    the sketch state is the same object whether fed incrementally or
+    at rest."""
+    import hashlib
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.plans.sketches import _CMS_D, _CMS_W, cms_cell_counts
+    from etl_project_spark.streaming import sketches as SK
+
+    stream = SK.read_documents_stream(spark, documents_path)
+    _drain(SK.stream_countmin_cells(stream), "cms_cells")
+    got = {
+        (r.seed, r.cell): r.total
+        for r in spark.sql("SELECT * FROM cms_cells").collect()
+    }
+    docs = read_table(spark, SF_ORACLE, "documents")
+    want = {(r.seed, r.cell): r.total for r in cms_cell_counts(docs).collect()}
+    assert got == want
+
+    def cell_of(seed: int, term: str) -> int:
+        h = int(hashlib.md5(f"{seed}:{term}".encode()).hexdigest()[:15], 16)
+        return h % _CMS_W
+
+    probe = all_specs()["q_countmin_token_freq"].builder(spark, SF_ORACLE)
+    for r in probe.collect():
+        est = min(got[(s, cell_of(s, r.term))] for s in range(_CMS_D))
+        assert est == r.cms_estimate
+
+
+def test_stream_hll_registers_match_batch_estimate(spark, events_path):
+    """Folding the drained streaming HLL register table through the
+    shared estimator must reproduce the batch query's registers_used
+    and est_distinct per event type — replays and duplicate users are
+    absorbed by the idempotent register max, so the raw stream (no
+    distinct) lands on the same state as the batch's distinct input."""
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.plans.sketches import hll_estimate
+    from etl_project_spark.streaming import sketches as SK
+
+    stream = SE.read_events_stream(spark, events_path)
+    _drain(SK.stream_hll_registers(stream), "hll_regs")
+    got = {
+        r.event_type: (r.registers_used, r.est_distinct)
+        for r in hll_estimate(spark.table("hll_regs")).collect()
+    }
+    batch = all_specs()["q_hll_distinct_users"].builder(spark, SF_ORACLE)
+    want = {
+        r.event_type: (r.registers_used, r.est_distinct) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_kmv_final_state_matches_batch(spark, events_path):
+    """The KMV custom-state operator's LAST emission per event type
+    (update mode; identified by the cumulative n_rows counter) must
+    carry the batch query's exact est_distinct — below k the state IS
+    the distinct hash set, at >=k the same (k-1)/kth division on the
+    same integers."""
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.streaming import sketches as SK
+
+    stream = SE.read_events_stream(spark, events_path)
+    q = (
+        SK.stream_kmv_distinct(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+    rows = spark.sql("SELECT * FROM kmv_updates").collect()
+    assert rows
+    final: dict[str, tuple] = {}
+    for r in rows:
+        if r.event_type not in final or r.n_rows > final[r.event_type][0]:
+            final[r.event_type] = (r.n_rows, r.n_kept, r.est_distinct)
+    batch = all_specs()["q_kmv_distinct_users"].builder(spark, SF_ORACLE)
+    want = {r.event_type: (r.exact_distinct, r.est_distinct) for r in batch.collect()}
+    assert set(final) == set(want)
+    from etl_project_spark.plans.sketches import _KMV_K
+
+    for et, (_n, n_kept, est) in final.items():
+        exact, want_est = want[et]
+        assert est == want_est
+        assert n_kept == min(exact, _KMV_K)
