@@ -592,6 +592,7 @@ def embedding_near_dup_pairs(
     planes_per_table: int = 6,
     n_tables: int | None = None,
     target_recall: float = 0.99,
+    verify: str = "grouped",
 ) -> DataFrame:
     """Cosine near-dup pairs via multi-table hyperplane LSH + exact verify.
 
@@ -607,25 +608,53 @@ def embedding_near_dup_pairs(
     hash equi-join on (table, signature) — no cross join at any scale.
     """
     from etl_project_spark.operators.similarity import (
+        group_pairs_scorer,
         hyperplane_table_sigs_udf,
         pairwise_cosine_udf,
     )
 
+    if verify not in ("grouped", "join"):
+        raise ValueError(
+            f"embedding_near_dup_pairs verify must be 'grouped' or 'join'; got {verify!r}"
+        )
     if n_tables is None:
         n_tables = hyperplane_tables_for_recall(
             threshold, planes_per_table, target_recall
         )
     planes = _hyperplane_signs(n_tables * planes_per_table, dim)
     sigs = hyperplane_table_sigs_udf(planes, n_tables)(F.col(vec_col))
-    # Posting list: one row per (vector, table) keyed by the table's
-    # signature — the equi-join key (_t, _sig) is skew-free by hashing.
-    # NO persist: the self-join's two sides are the identical subtree,
-    # so exchange reuse executes the signature matmul + shuffle ONCE;
-    # the verify join-back below projects only (id, vec) and column
-    # pruning drops the UDF there.  Round 2 persisted (_id,_vec,_sigs)
-    # at MEMORY_AND_DISK without unpersisting — each bench pass leaked
-    # another copy and the second execution ran SLOWER than the first
-    # (BENCH_r02: cold 3.56 s, steady 7.20 s).
+    if verify == "grouped":
+        # Bucket-GROUPED verify (round-8, the scale form): one row per
+        # (vector, table) keyed by the table's signature shuffles ONCE
+        # with its vector, and all-pairs exact cosine runs INSIDE each
+        # (_t, _sig) bucket via the shared numpy kernel — candidate
+        # pairs never exist as Spark rows. The join form below moves
+        # every candidate pair with TWO embedding arrays through joins
+        # + the Arrow scorer: at the round-8 sf10 sweep that was ~60 GB
+        # of pair traffic (574.8 s at 4M vectors); grouped with
+        # depth-128 buckets measured 117.5 s. A pair colliding in
+        # several tables is scored in each — identical deterministic
+        # score, deduped at the (tiny) survivor set. Same candidate
+        # SET, same kernel arithmetic, so the exact-oracle contract is
+        # untouched. Caveat that keeps 'join' alive: per-group
+        # dispatch costs ~50 µs, so at small corpora where buckets are
+        # shallow and plentiful (sf0.1: 28×4096 groups for 40k
+        # vectors) the join form is ~3× faster — callers gate on a
+        # corpus-size hint (see q_embedding_near_dup_pairs).
+        buckets = df.select(
+            F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("_t", "_sig")
+        )
+        fn, out_schema = group_pairs_scorer(df, id_col, vec_col, threshold)
+        return (
+            buckets.groupBy("_t", "_sig")
+            .applyInPandas(fn, out_schema)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    # 'join' verify: posting list carries ONLY ids — the equi-join key
+    # (_t, _sig) is skew-free by hashing. NO persist: the self-join's
+    # two sides are the identical subtree, so exchange reuse executes
+    # the signature matmul + shuffle ONCE; the verify join-back
+    # projects only (id, vec) and column pruning drops the UDF there.
     posts = df.select(
         F.col(id_col).alias("_id"), F.posexplode(sigs).alias("_t", "_sig")
     )

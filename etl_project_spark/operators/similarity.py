@@ -299,6 +299,73 @@ def knn_join(
     )
 
 
+def group_pairs_scorer(df, id_col: str, vec_col: str, threshold: float):
+    """Shared per-group all-pairs cosine kernel for ``applyInPandas``.
+
+    Returns ``(fn, out_schema)`` where ``fn`` scores every unordered
+    pair WITHIN one group (a SemDeDup cell, an LSH bucket) and emits
+    only ``(id_a, id_b, cosine_sim)`` rows at or above ``threshold``
+    with ``id_a < id_b``. This is the round-8 scale cure for the
+    pair-materialization disease: the join-based forms stream every
+    candidate pair — dragging two embedding arrays each — through the
+    Arrow scorer, while this moves each vector exactly once (into its
+    group) and generates pairs inside numpy.
+
+    Arithmetic is EXACTLY :func:`pairwise_cosine_udf`'s kernel (einsum
+    row-dot, then divide by the norm product) — a blocked matmul would
+    sum in a different order and could flip a round-4 boundary vs the
+    oracle's sequential fold. Chunked: a skewed group of depth d holds
+    d(d-1)/2 pairs; bounding the per-chunk pair count keeps peak
+    memory flat no matter the skew (2M pairs × 64 dims ≈ 1 GB HWM).
+    """
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    thr = float(threshold)
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+            {"cosine_sim": "float64"}
+        )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty()
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        iu0, iu1 = np.triu_indices(m, k=1)
+        out_a, out_b, out_s = [], [], []
+        CHUNK = 2_000_000
+        for lo in range(0, len(iu0), CHUNK):
+            s0, s1 = iu0[lo : lo + CHUNK], iu1[lo : lo + CHUNK]
+            dots = np.einsum("ij,ij->i", M[s0], M[s1])
+            denom = norms[s0] * norms[s1]
+            sims = np.round(
+                np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0),
+                4,
+            )
+            keep = sims >= thr
+            if keep.any():
+                ia, ib = ids[s0[keep]], ids[s1[keep]]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_s.append(sims[keep])
+        if not out_a:
+            return empty()
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
+            }
+        )
+
+    return score_group, out_schema
+
+
 def lsh_join_sizing(
     right_rows: int,
     *,
@@ -621,7 +688,7 @@ def semantic_dedup_pairs(
     centroids: list[list[float]],
     *,
     threshold: float = 0.9,
-    strategy: str = "auto",
+    strategy: str = "grouped",
     broadcast_threshold: int = 1_000_000,
     broadcast_threshold_bytes: int = 256 << 20,
     row_hint: int | None = None,
@@ -644,33 +711,37 @@ def semantic_dedup_pairs(
     embarrassingly pair-parallel. Nothing is collected — the centroid
     list is config-sized index metadata, exactly as in IVF.
 
-    Physical strategy (round-8, mirrors :func:`knn_join`'s lazy auto):
+    Physical strategy (round-8):
 
-    - ``broadcast``: broadcast-hash-join the build side on ``_cell``
-      and round-robin the probe side across the full shuffle width.
-      The scorer is a ``mapInPandas``-produced column whose stats the
-      optimizer cannot see, so without the explicit round-robin the
-      probe side inherits the parquet split count (2 partitions at
-      sf0.1 → 22 s wall for <1 s/core of work; the hint + repartition
-      measured 22 s → 2.9 s warm at sf0.1).
-    - ``shuffle``: plain equi-join on ``_cell`` (SortMergeJoin); both
-      sides shuffle on the cell key and the pairwise scoring runs in
-      the join output's hash partitioning. Parallelism = cell count,
-      which callers scale as n/250 — the path that survives when the
-      assignment table is too big to broadcast.
-
-    ``auto`` decides LAZILY, never counting: an explicit ``row_hint``
-    (the caller usually already holds the corpus count as index-build
-    metadata) is compared against ``broadcast_threshold`` rows; else
-    Catalyst's optimized-plan size statistic of the INPUT ``df``
-    (driver-side, no job; the post-UDF assignment plan has no usable
-    stats) against ``broadcast_threshold_bytes``; under Spark Connect
-    (no ``_jdf``) it falls back to broadcast, matching ``knn_join``.
+    - ``grouped`` (DEFAULT, the scale path): ONE shuffle of the n
+      assigned rows on ``_cell``, then per-cell pairwise scoring inside
+      an ``applyInPandas`` numpy kernel that emits only the pairs at or
+      above the threshold. Candidate pairs are never materialized as
+      Spark rows: the join-based forms below stream every within-cell
+      pair — each dragging TWO embedding arrays — through the Arrow
+      scorer (~50 GB of pair traffic at 400k vectors / 250-deep cells;
+      measured 218 s at the round-8 sf10 sweep), while grouped moves
+      each vector exactly once (same sweep point: 23 s, 9.5×). The
+      per-pair arithmetic replays :func:`pairwise_cosine_udf`'s exact
+      einsum kernel in bounded chunks, so results are bit-identical.
+    - ``broadcast``: broadcast-hash-join build side on ``_cell``,
+      round-robin probe side across the shuffle width (mapInPandas
+      stats are invisible to the optimizer — without the repartition
+      the probe side inherits the parquet split count).
+    - ``shuffle``: plain equi-join on ``_cell`` (SortMergeJoin) —
+      the pure-relational fallback when Arrow UDFs are unavailable.
+    - ``auto``: the lazy broadcast-vs-shuffle gate between the two
+      join forms, mirroring :func:`knn_join` — an explicit ``row_hint``
+      (index-build metadata the caller usually already holds) against
+      ``broadcast_threshold`` rows, else Catalyst's optimized-plan size
+      statistic of the INPUT ``df`` (driver-side, no job) against
+      ``broadcast_threshold_bytes``; Spark Connect (no ``_jdf``) falls
+      back to broadcast. Never an eager count.
     """
-    if strategy not in ("auto", "broadcast", "shuffle"):
+    if strategy not in ("grouped", "auto", "broadcast", "shuffle"):
         raise ValueError(
-            "semantic_dedup_pairs strategy must be 'auto', 'broadcast', or "
-            f"'shuffle'; got {strategy!r}"
+            "semantic_dedup_pairs strategy must be 'grouped', 'auto', "
+            f"'broadcast', or 'shuffle'; got {strategy!r}"
         )
     if strategy == "auto":
         if row_hint is not None:
@@ -685,6 +756,9 @@ def semantic_dedup_pairs(
                 small = True
         strategy = "broadcast" if small else "shuffle"
     assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
+    if strategy == "grouped":
+        fn, out_schema = group_pairs_scorer(df, id_col, vec_col, threshold)
+        return assigned.groupBy("_cell").applyInPandas(fn, out_schema)
     # Scorer: the Arrow-batched einsum UDF (same kernel the LSH verify
     # path hash-matches against DuckDB's list_cosine_similarity), ~20×
     # the interpreted zip_with fold per pair.

@@ -255,20 +255,31 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    # Signature width scales with the corpus: the r6 fix showed bucket
-    # DENSITY (not plane count) dominates cost — 12 bits was sized for
-    # the sf0.1 corpus, and the r7 sf1 sweep measured the same density
-    # creep again (18.5× sf0.1 time at 10× data as 4096 buckets went
-    # ~10-deep). Holding expected depth ≤ ~4 keeps candidate generation
-    # linear; the analytic table count (hyperplane_tables_for_recall)
-    # rises automatically to hold ≥ 0.99 recall at the wider
-    # signatures, a linear cost against the quadratic saved. At the
-    # driver's sf0.01 this floors at the proven 12-bit config. The
-    # count() is index-build metadata (parquet footer row counts).
+    # Verify form + signature width gate on corpus size (round-8, from
+    # the two-decade sweep's measured crossover; the count() is
+    # index-build metadata from parquet footers):
+    #
+    # - ≤ 1M vectors: 'join' verify with depth-~4 buckets (bits =
+    #   log2(n/4)) — the r6/r7 config. Candidates are few, posting
+    #   lists are skinny, and the bucket-grouped form's ~50 µs
+    #   per-group dispatch over shallow, plentiful buckets is pure
+    #   overhead (measured 3× slower at sf0.1, 1.4× at sf1).
+    # - > 1M vectors: 'grouped' verify with depth-~128 buckets (bits =
+    #   log2(n/128)) — candidate pairs never exist as Spark rows, the
+    #   within-bucket d²/2 einsum is nearly free, and the analytic
+    #   table count drops (depth-4 sizing needs 100 tables at 4M
+    #   vectors vs ~30 at depth 128). Measured at sf10: 574.8 s (join,
+    #   depth 4) → 117.5 s (grouped, depth 128), same hash-green pair
+    #   set. Recall ≥ 0.99 holds at either width by construction; the
+    #   sf0.01 driver corpus floors at the proven 12-bit config.
     import math
 
     n_corpus = 2 * e.count()
-    bits = max(12, math.ceil(math.log2(max(2, n_corpus / 4))))
+    if n_corpus > 1_000_000:
+        verify, depth = "grouped", 128
+    else:
+        verify, depth = "join", 4
+    bits = max(12, math.ceil(math.log2(max(2, n_corpus / depth))))
     return DD.embedding_near_dup_pairs(
         base.unionByName(twins),
         "vec_id",
@@ -276,6 +287,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         threshold=0.9,
         planes_per_table=bits,
+        verify=verify,
     ).orderBy("id_a", "id_b")
 
 

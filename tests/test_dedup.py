@@ -355,10 +355,12 @@ def test_semantic_dedup_auto_gates_broadcast_by_row_hint(spark):
     dag = spark._jsc.sc().dagScheduler()
     before = dag.numTotalJobs()
     small = SIM.semantic_dedup_pairs(
-        emb, "vec_id", "embedding", cents, threshold=0.3, row_hint=100
+        emb, "vec_id", "embedding", cents, threshold=0.3,
+        strategy="auto", row_hint=100,
     )
     large = SIM.semantic_dedup_pairs(
-        emb, "vec_id", "embedding", cents, threshold=0.3, row_hint=100_000_000
+        emb, "vec_id", "embedding", cents, threshold=0.3,
+        strategy="auto", row_hint=100_000_000,
     )
     assert dag.numTotalJobs() == before  # lazy: no job from either build
 
@@ -407,6 +409,43 @@ def test_semantic_dedup_auto_gates_broadcast_by_row_hint(spark):
     assert len(got_small) > 0
 
 
+def test_semantic_dedup_grouped_default_matches_join_paths(spark):
+    """The round-8 default 'grouped' path (per-cell applyInPandas numpy
+    scoring, no pair materialization) must emit the IDENTICAL pair set
+    and rounded scores as both join-based strategies, and its plan must
+    carry the FlatMapGroupsInPandas node (proving pairs never exist as
+    Spark rows before the threshold filter)."""
+    import contextlib
+    import io
+
+    from etl_project_spark.operators import similarity as SIM
+
+    emb = read_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    cents = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=8)
+    grouped = SIM.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", cents, threshold=0.3
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        grouped.explain("formatted")
+    assert "FlatMapGroupsInPandas" in buf.getvalue()
+
+    key = lambda r: (r.id_a, r.id_b)
+    got = sorted(grouped.collect(), key=key)
+    assert len(got) > 0
+    for strat in ("broadcast", "shuffle"):
+        ref = sorted(
+            SIM.semantic_dedup_pairs(
+                emb, "vec_id", "embedding", cents, threshold=0.3, strategy=strat
+            ).collect(),
+            key=key,
+        )
+        assert [key(r) for r in got] == [key(r) for r in ref]
+        assert [r.cosine_sim for r in got] == [r.cosine_sim for r in ref]
+
+
 def test_semantic_dedup_explicit_strategy_validation(spark):
     from etl_project_spark.operators import similarity as SIM
 
@@ -417,3 +456,34 @@ def test_semantic_dedup_explicit_strategy_validation(spark):
         SIM.semantic_dedup_pairs(
             emb, "vec_id", "embedding", [[1.0] * 64], strategy="nope"
         )
+
+
+def test_embedding_near_dup_verify_forms_agree(spark):
+    """The bucket-grouped verify (scale form) and the posting-join
+    verify must emit the identical pair set with identical rounded
+    scores — the physical verify form is not allowed to change the
+    answer (round-8 crossover gate)."""
+    import numpy as np
+
+    emb = read_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    kwargs = dict(dim=64, threshold=0.3, planes_per_table=6)
+    key = lambda r: (r.id_a, r.id_b)
+    grouped = sorted(
+        DD.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", verify="grouped", **kwargs
+        ).collect(),
+        key=key,
+    )
+    joined = sorted(
+        DD.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", verify="join", **kwargs
+        ).collect(),
+        key=key,
+    )
+    assert len(grouped) > 0
+    assert [key(r) for r in grouped] == [key(r) for r in joined]
+    assert [r.cosine_sim for r in grouped] == [r.cosine_sim for r in joined]
+    with pytest.raises(ValueError, match="verify"):
+        DD.embedding_near_dup_pairs(emb, "vec_id", "embedding", verify="nope", **kwargs)

@@ -106,10 +106,22 @@ def main() -> None:
                         f"{i}) % 26) || substr(p_name, 2) AS p_name"
                     )
                 elif t == "embeddings" and name == "embedding" and i > 0:
-                    # roll elements by i: decorrelates replicas
-                    cols.append(
-                        f"embedding[{i + 1}:] || embedding[1:{i}] AS embedding"
+                    # roll elements by i: decorrelates replicas. dim=64,
+                    # so beyond 64 replicas the roll must wrap (i mod 64)
+                    # and the wrapped cycle is NEGATED — otherwise
+                    # replica 64+j would be an exact clone of replica j
+                    # (empty-slice SQL semantics) and every vector would
+                    # gain perfect twins, collapsing the ANN sweep into a
+                    # clone-detection benchmark (round-8 sf10 fix).
+                    r = i % 64
+                    rolled = (
+                        f"embedding[{r + 1}:] || embedding[1:{r}]"
+                        if r > 0
+                        else "embedding"
                     )
+                    if (i // 64) % 2 == 1:
+                        rolled = f"list_transform({rolled}, x -> -x)"
+                    cols.append(f"{rolled} AS embedding")
                 else:
                     cols.append(name)
             selects.append(f"SELECT {', '.join(cols)} FROM {src}")

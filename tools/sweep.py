@@ -23,14 +23,22 @@ sys.path.insert(0, REPO)
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     slow = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
     from etl_project_spark.plans.registry import all_specs
     from etl_project_spark.session import get_spark, release_persists
 
     spark = get_spark("sweep")
+    specs = all_specs()
+    if only is not None:
+        unknown = only - set(specs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        specs = {k: v for k, v in specs.items() if k in only}
     times: dict[str, float] = {}
     failed: list[str] = []
-    for name, spec in all_specs().items():
+    for name, spec in specs.items():
         t0 = time.perf_counter()
         try:
             # noop write forces full-column evaluation (count() lets
