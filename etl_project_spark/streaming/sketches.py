@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from etl_project_spark.plans.sketches import (
     _KMV_K,
+    _RES_K,
     _TWO60,
     _h60,
     cms_cell_counts,
@@ -148,6 +149,86 @@ def stream_kmv_distinct(events: DataFrame) -> DataFrame:
         update,
         outputStructType=KMV_OUTPUT_SCHEMA,
         stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+RESERVOIR_STATE_SCHEMA = (
+    "es ARRAY<DOUBLE>, ids ARRAY<BIGINT>, ws ARRAY<BIGINT>, n_rows BIGINT"
+)
+RESERVOIR_OUTPUT_SCHEMA = (
+    "source STRING, rank INTEGER, doc_id BIGINT, weight BIGINT, n_rows BIGINT"
+)
+
+
+def stream_weighted_reservoir(docs: DataFrame) -> DataFrame:
+    """Streaming Efraimidis–Spirakis weighted reservoir, k=5 per source
+    — A-ES *is* a one-pass streaming algorithm (keep the k best
+    priority keys ever seen; an evicted item can never re-qualify
+    because its key is fixed), so the custom state is exactly the
+    reservoir: the ≤k best ``(e, doc_id, weight)`` triples per source.
+
+    The priority ``e = -ln(u)/w`` (u = the md5 device, w = n_chars) is
+    computed JVM-side with the batch query's exact expressions, so the
+    drained reservoir equals ``q_weighted_reservoir_docs``'s output for
+    the same data — the twin test's contract. ``update`` mode emits
+    each key's refreshed top-k per micro-batch with a cumulative
+    ``n_rows`` so consumers can identify the final emission.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    k = _RES_K
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            es, ids, ws, n_rows = state.get
+            pool = list(zip(es, ids, ws))
+        else:
+            pool, n_rows = [], 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            pool.extend(
+                zip(
+                    pdf["e"].astype(float),
+                    pdf["doc_id"].astype("int64"),
+                    pdf["weight"].astype("int64"),
+                )
+            )
+        # ascending (e, doc_id) — the batch window's exact order
+        pool.sort(key=lambda t: (t[0], t[1]))
+        pool = pool[:k]
+        state.update(
+            (
+                [float(t[0]) for t in pool],
+                [int(t[1]) for t in pool],
+                [int(t[2]) for t in pool],
+                n_rows,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(pool),
+                "rank": list(range(1, len(pool) + 1)),
+                "doc_id": [int(t[1]) for t in pool],
+                "weight": [int(t[2]) for t in pool],
+                "n_rows": [n_rows] * len(pool),
+            }
+        )
+
+    u = (_h60(F.col("doc_id")).cast("double") + F.lit(1.0)) / F.lit(float(_TWO60))
+    pri = docs.filter(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (-F.log(u) / F.col("n_chars")).alias("e"),
+    )
+    return pri.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
         outputMode="update",
         timeoutConf="NoTimeout",
     )

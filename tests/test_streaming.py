@@ -887,3 +887,35 @@ def test_stream_kmv_final_state_matches_batch(spark, events_path):
         exact, want_est = want[et]
         assert est == want_est
         assert n_kept == min(exact, _KMV_K)
+
+
+def test_stream_weighted_reservoir_final_matches_batch(spark, documents_path):
+    """A-ES is one-pass: the k best fixed priority keys survive any
+    arrival order, so the stream's final reservoir per source must
+    equal q_weighted_reservoir_docs exactly — ranks, doc ids, weights."""
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.streaming import sketches as SK
+
+    stream = SK.read_documents_stream(spark, documents_path)
+    q = (
+        SK.stream_weighted_reservoir(stream)
+        .writeStream.format("memory")
+        .queryName("reservoir_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+    rows = spark.sql("SELECT * FROM reservoir_updates").collect()
+    assert rows
+    last_n: dict[str, int] = {}
+    for r in rows:
+        last_n[r.source] = max(last_n.get(r.source, 0), r.n_rows)
+    final = {
+        (r.source, r.rank): (r.doc_id, r.weight)
+        for r in rows
+        if r.n_rows == last_n[r.source]
+    }
+    batch = all_specs()["q_weighted_reservoir_docs"].builder(spark, SF_ORACLE)
+    want = {(r.source, r.rank): (r.doc_id, r.weight) for r in batch.collect()}
+    assert final == want
