@@ -243,23 +243,34 @@ def minhash_near_dup_pairs(
 
     df = ensure_parallelism(df)
     rows_per_band = n_hashes // bands
+    # Grams are hashed to int64 AT THE SOURCE (round-8; same device and
+    # documented collision bound as ngram_jaccard_pairs): every
+    # downstream consumer — the 64-member signature family, the
+    # persisted cache, the exact-verify inverted index — needs only a
+    # stable gram identity, never the text, so the ~50-byte gram
+    # strings are dropped before anything is cached or shuffled. At
+    # the sf10 sweep the persisted gram rows were ~40 GB as strings
+    # (the cache pressure that GC-killed the 8 g JVM) vs ~8 GB as
+    # longs, and the verify join's candidate×gram intermediate slims
+    # by the same factor. The signature values are UNCHANGED: the
+    # member family was already xxhash64(xxhash64(gram), j).
     rows = (
         ngram_rows(df, id_col, text_col, n=shingle_k)
         if use_token_ngrams
         else shingle_rows(df, id_col, text_col, k=shingle_k)
-    )
+    ).select("_id", F.xxhash64("_gram").alias("_gram"))
 
-    # Hash family: ONE xxhash64 over the gram *string*, then 64 derived
-    # members by re-hashing the resulting 8-byte long with the member
-    # index as seed column. Hashing 8 fixed bytes beats hashing the
-    # string 64× (~1.7× faster measured), and the expression stays
+    # Hash family: ONE xxhash64 over the gram string (above), then 64
+    # derived members by re-hashing the resulting 8-byte long with the
+    # member index as seed column. Hashing 8 fixed bytes beats hashing
+    # the string 64× (~1.7× faster measured), and the expression stays
     # small enough that its one-off codegen compile is cheap — a
     # multiply-add mod-p family was faster steady-state but ~1 s slower
     # to compile, a loss for run-once plans. Derived members of a
     # single 64-bit hash are min-wise independent enough here because
     # candidates are verified with exact Jaccard anyway.
-    sig = rows.withColumn("_bh", F.xxhash64("_gram")).groupBy("_id").agg(
-        *[F.min(F.xxhash64("_bh", F.lit(j))).alias(f"_h{j}") for j in range(n_hashes)]
+    sig = rows.groupBy("_id").agg(
+        *[F.min(F.xxhash64("_gram", F.lit(j))).alias(f"_h{j}") for j in range(n_hashes)]
     )
     # sig feeds 4 plan branches (band self-join ×2 + both prefilter
     # sides) and rows feeds 2; without persist Spark re-executes the
