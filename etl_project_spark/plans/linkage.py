@@ -233,11 +233,12 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spatial radius join via grid bucketing: the geo analogue of LSH.
 # Deterministic md5-derived coordinates (same derivation contract as
 # the geocoding enrichment, replayable in SQL) place customers and
-# suppliers in a 20°×20° region; 1° grid cells + a 3×3 neighbor
+# suppliers in a 20°×20° region; 0.5° grid cells + a 3×3 neighbor
 # explode turn "within 40 km" into an equi-join. Complete by
 # construction: 40 km spans < 1 cell in both axes everywhere in the
-# region (lat: 0.36°; lng at |lat|max=40°: 0.47°). The exact haversine
-# runs only on co-celled candidates — never a cross join.
+# region (lat: 0.36°; lng at |lat|max=40°: 0.47° — both < 0.5°, so
+# points ≥ 2 cells apart are > 40 km). The exact haversine runs only
+# on co-celled candidates — never a cross join.
 # --------------------------------------------------------------------------
 _GEO_EARTH_KM = 6371.0
 _GEO_RADIUS_KM = 40.0
