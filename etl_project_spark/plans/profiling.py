@@ -192,20 +192,19 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     whale): G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over spend ranked ascending.
 
     The rank runs over the customer-level AGGREGATE (1 row per
-    customer), not orders; Σi·xᵢ stays in exact long/decimal
-    arithmetic so both engines divide the identical integers. At
-    100 TB the exact-rank stage becomes a quantile-sketch
-    approximation; the exact form is kept because it is
-    oracle-checkable.
+    customer), not orders, and is computed with the two-phase bucketed
+    scheme (`two_phase.bucketed_global_rank`) — per-spend-bucket
+    row_number plus broadcast cumulative offsets — so no task ever
+    ranks more than one bucket of customers (the global-window form
+    funneled every customer through one partition). Σi·xᵢ stays in
+    exact long arithmetic so both engines divide identical integers.
     """
     from etl_project_spark.plans.money import cents
+    from etl_project_spark.plans.two_phase import bucketed_global_rank
 
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("c"))
-    ranked = spend.select(
-        F.col("c"),
-        F.row_number().over(W.orderBy("c", "o_custkey")).alias("i"),
-    )
+    ranked = bucketed_global_rank(spend, "c", ["o_custkey"]).select("c", "i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("c").cast("double") / 100.0).alias("total_spend"),
@@ -368,17 +367,24 @@ def q_pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto curve: revenue share of each customer-spend decile (1 =
     biggest spenders) with the cumulative share — the 80/20 check.
 
-    NTILE runs over the customer AGGREGATE; the cumulative window runs
-    over the 10-row decile rollup. Companion to q_customer_spend_gini
-    (same concentration story, curve form instead of a scalar).
+    NTILE runs over the customer AGGREGATE but is computed
+    arithmetically from the two-phase bucketed global rank
+    (`two_phase.bucketed_global_rank` + `ntile_from_rank`): ANSI NTILE
+    is a pure function of (rank, n), so the decile assignment needs no
+    entity-scale window — the only unbounded-frame window left is the
+    cumulative over the 10-row decile rollup. Companion to
+    q_customer_spend_gini (same concentration story, curve form).
     """
+    from etl_project_spark.plans.two_phase import bucketed_global_rank, ntile_from_rank
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    scored = spend.select(
-        "rev",
-        F.ntile(10).over(W.orderBy(F.desc("rev"), "o_custkey")).alias("decile"),
+    tot = spend.agg(F.sum("rev").alias("t"), F.count(F.lit(1)).alias("n"))
+    ranked = bucketed_global_rank(spend, "rev", ["o_custkey"], descending=True)
+    scored = ranked.crossJoin(F.broadcast(tot.select("n"))).select(
+        "rev", ntile_from_rank(F.col("i"), F.col("n"), 10).alias("decile")
     )
-    tot = spend.agg(F.sum("rev").alias("t"))
+    tot = tot.select("t")
     per = (
         scored.groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("r"))

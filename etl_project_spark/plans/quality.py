@@ -402,26 +402,21 @@ def q_token_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches and how many tokens it holds (all 2048 except the tail).
 
     The document→chunk span mapping is pure arithmetic once each doc
-    knows its global token OFFSET: a prefix-sum window ordered by
-    doc_id, then ``sequence(first_chunk, last_chunk)`` + explode to
-    materialize the span. The prefix sum is the one sequential
-    dependency; at 100 TB it becomes the standard two-pass scheme
-    (per-partition subtotal, driver-side cumulative of ~thousands of
-    subtotals broadcast back) — the window form here expresses the
-    same contract the oracle checks.
+    knows its global token OFFSET — computed with the two-phase
+    bucketed prefix sum (`two_phase.bucketed_prefix_sum`): per-doc_id-
+    bucket subtotals, a cumulative over the ≤1024-row bucket table,
+    and an in-bucket exclusive window partitioned by bucket, so the
+    document stream never funnels through one task (the global-window
+    form did). Then ``sequence(first_chunk, last_chunk)`` + explode
+    materializes each doc's chunk span.
     """
-    from pyspark.sql import Window as W
+    from etl_project_spark.plans.two_phase import bucketed_prefix_sum
 
     tune_session(spark)
     d = read_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
     sized = d.select("doc_id", F.size(toks).alias("n"))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    offs = sized.select(
-        "doc_id",
-        "n",
-        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"),
-    )
+    offs = bucketed_prefix_sum(sized, "doc_id", "n", out_col="off")
     spans = offs.select(
         "doc_id",
         "n",
