@@ -292,11 +292,12 @@ FROM pairs WHERE km <= {_GEO_RADIUS_KM}
 def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers within 40 km of a supplier, via grid-cell equi-join.
 
-    The supplier side explodes its 3×3 cell neighborhood (9× a small
-    dim — broadcast), the customer side joins on its own cell — one
-    equi-join keyed by (lat_cell, lng_cell). At 100 TB both sides
-    shuffle on the cell key instead; dense cells are the skew-salting
-    case.
+    The supplier side explodes its 3×3 cell neighborhood (9× the dim
+    table), the customer side joins on its own cell — one equi-join
+    keyed by (lat_cell, lng_cell), sized by AQE (broadcast when the
+    exploded side is genuinely small, shuffle otherwise). At 100 TB
+    both sides shuffle on the cell key; dense cells are the
+    skew-salting case.
     """
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -332,7 +333,15 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = c.withColumn("cell_lat", F.floor(F.col("c_lat") * 2)).withColumn(
         "cell_lng", F.floor(F.col("c_lng") * 2)
     )
-    joined = cc.join(F.broadcast(s9), ["cell_lat", "cell_lng"])
+    # NO static broadcast hint (round-9): rounds ≤8 hinted F.broadcast
+    # on the 9×-exploded supplier side, the same ungated-broadcast
+    # class q_benchmark_contamination shed in round 8 — at 100×
+    # supplier density a 9× explode is an OOM-class build side. AQE
+    # decides from exact runtime shuffle stats instead: a small s9
+    # still converts to broadcast; a big one stays a shuffle join
+    # keyed on the cell, which is also the skew-salting shape the
+    # docstring names for dense cells.
+    joined = cc.join(s9, ["cell_lat", "cell_lng"])
     dphi = F.radians(F.col("c_lat") - F.col("s_lat")) / 2.0
     dlmb = F.radians(F.col("c_lng") - F.col("s_lng")) / 2.0
     a = F.sin(dphi) * F.sin(dphi) + F.cos(F.radians(F.col("s_lat"))) * F.cos(
