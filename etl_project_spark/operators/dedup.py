@@ -354,6 +354,15 @@ def ngram_jaccard_pairs(
         .select("_id", F.xxhash64("_gram").alias("_g64"))
         .dropDuplicates(["_id", "_g64"])
     )
+    return _inverted_index_jaccard(inv, threshold)
+
+
+def _inverted_index_jaccard(inv: DataFrame, threshold: float) -> DataFrame:
+    """Pair Jaccard from distinct ``(_id, _g64)`` inverted-index rows:
+    self-join on the gram hash → shared-gram counts per pair →
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. Sizes come from the SAME rows, so
+    a caller that pre-filters the gram universe (the capped variant)
+    gets exact Jaccard over the filtered feature set."""
     sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = inv.alias("a")
     b = inv.alias("b")
@@ -381,6 +390,63 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.3,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs over the DF-capped gram universe —
+    the production escape hatch for mirror-cluster corpora, WITH an
+    in-band audit of what the cap dropped.
+
+    The uncapped exact family is candidate-bound: a gram shared by
+    ``d`` documents emits ``d·(d-1)/2`` candidate rows, so Θ(Σ
+    cluster²) on corpora with large near-identical clusters (the sf10
+    sweep's disk-exhaust). Capping the gram DOCUMENT FREQUENCY at
+    ``df_cap`` bounds per-gram fan-out at ``df_cap²`` — candidate mass
+    becomes linear in corpus size — while the Jaccard over the
+    surviving grams stays exact (sizes and intersections both use the
+    capped universe, so the statistic is well-defined, not an
+    approximation of the uncapped one).
+
+    Output is a discriminated union: ``kind='pair'`` rows carry
+    ``(id_a, id_b, jaccard_sim)``; ONE ``kind='audit'`` row reports
+    what the cap did — ``id_a`` = number of distinct grams dropped,
+    ``id_b`` = number of documents that lost at least one gram,
+    ``jaccard_sim`` NULL. On a corpus where no gram exceeds the cap
+    the audit row is zeros and the pair set equals the uncapped
+    family's exactly.
+    """
+    inv = (
+        ngram_rows(ensure_parallelism(df), id_col, text_col, n=n)
+        .select("_id", F.xxhash64("_gram").alias("_g64"))
+        .dropDuplicates(["_id", "_g64"])
+    )
+    # DF tagging shuffles on _g64 — the same key the inverted-index
+    # self-join uses, so AQE reuses the exchange partitioning.
+    gdf = inv.groupBy("_g64").agg(F.count(F.lit(1)).alias("_df"))
+    tagged = inv.join(gdf, "_g64")
+    kept = tagged.filter(F.col("_df") <= df_cap).select("_id", "_g64")
+    dropped = tagged.filter(F.col("_df") > df_cap)
+    audit = dropped.agg(
+        F.countDistinct("_g64").alias("_ng"),
+        F.countDistinct("_id").alias("_nd"),
+    ).select(
+        F.lit("audit").alias("kind"),
+        F.col("_ng").alias("id_a"),
+        F.col("_nd").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard_sim"),
+    )
+    pairs = _inverted_index_jaccard(kept, threshold).select(
+        F.lit("pair").alias("kind"), "id_a", "id_b", "jaccard_sim"
+    )
+    return pairs.unionByName(audit)
 
 
 # -- SimHash ---------------------------------------------------------------

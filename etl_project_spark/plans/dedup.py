@@ -206,6 +206,63 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ngram_jaccard_pairs_capped",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), gdf AS (
+  SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+), kept AS (
+  SELECT r.doc_id, r.g FROM grams r JOIN gdf USING (g) WHERE gdf.df <= 64
+), dropped AS (
+  SELECT r.doc_id, r.g FROM grams r JOIN gdf USING (g) WHERE gdf.df > 64
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT 'pair' AS kind, s.id_a, s.id_b,
+       ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) AS jaccard_sim
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.2
+UNION ALL
+SELECT 'audit',
+       (SELECT COUNT(DISTINCT g) FROM dropped),
+       (SELECT COUNT(DISTINCT doc_id) FROM dropped),
+       CAST(NULL AS DOUBLE)
+""",
+    tags=("dedup", "ngram", "capped"),
+)
+def q_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped word-3-gram Jaccard pairs (cap=64) + in-band audit —
+    the bounded-candidate production form of `q_ngram_jaccard_pairs`.
+
+    The exact family is Θ(Σ cluster²) in candidate mass and exhausts
+    disk on mirror-cluster corpora (sf10 sweep, BASELINE.md §Round 8);
+    this variant drops grams whose document frequency exceeds 64
+    before the inverted-index join, bounding per-gram fan-out at 64²,
+    and EMITS one ``kind='audit'`` row (grams dropped, docs affected)
+    so a pipeline can see exactly what the cap cost. The oracle
+    replays the cap itself, so parity holds at ANY scale — at driver
+    SF the max gram DF is 7 (sf0.01) / 25 (sf0.1), the audit row is
+    zeros, and the pair set equals the uncapped family's.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs_capped(
+        d, "doc_id", "text", n=3, threshold=0.2, df_cap=64
+    ).orderBy("kind", "id_a", "id_b")
+
+
+@register(
     "q_embedding_near_dup_pairs",
     oracle="""
 WITH corpus AS (

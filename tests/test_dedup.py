@@ -487,3 +487,49 @@ def test_embedding_near_dup_verify_forms_agree(spark):
     assert [r.cosine_sim for r in grouped] == [r.cosine_sim for r in joined]
     with pytest.raises(ValueError, match="verify"):
         DD.embedding_near_dup_pairs(emb, "vec_id", "embedding", verify="nope", **kwargs)
+
+
+def test_ngram_capped_cap_fires_and_audit_counts(spark):
+    """With a tiny df_cap on a mirror-cluster corpus, the shared gram
+    universe is dropped, the audit row reports exactly what was cut,
+    and the surviving pairs are exact Jaccard over the kept grams."""
+    # 6 identical docs (every gram has DF 6) + 2 unrelated docs whose
+    # grams are unique (DF 1) + one near-pair sharing low-DF grams.
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+    rows += [(10, "unique ten words here nothing shared at all"),
+             (11, "other text entirely distinct from everything else")]
+    rows += [(20, "red green blue cyan magenta yellow"),
+             (21, "red green blue cyan magenta violet")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.ngram_jaccard_pairs_capped(
+        df, "doc_id", "text", n=3, threshold=0.2, df_cap=5
+    ).collect()
+    audit = [r for r in out if r.kind == "audit"]
+    pairs = [r for r in out if r.kind == "pair"]
+    assert len(audit) == 1
+    # The 6-doc mirror cluster: 4 distinct 3-grams, all with DF 6 > 5.
+    assert audit[0].id_a == 4 and audit[0].id_b == 6
+    assert audit[0].jaccard_sim is None
+    # The mirror cluster contributes NO pairs (its grams are gone);
+    # the (20, 21) near-pair survives: 4 grams each, 3 shared -> 3/5.
+    assert {(r.id_a, r.id_b) for r in pairs} == {(20, 21)}
+    assert abs(pairs[0].jaccard_sim - 0.6) < 1e-9
+
+
+def test_ngram_capped_equals_uncapped_when_cap_never_fires(spark, docs):
+    capped = DD.ngram_jaccard_pairs_capped(
+        docs, "doc_id", "text", n=3, threshold=0.2, df_cap=10**6
+    )
+    audit = capped.filter(F.col("kind") == "audit").collect()
+    assert [(r.id_a, r.id_b) for r in audit] == [(0, 0)]
+    got = {
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in capped.filter(F.col("kind") == "pair").collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.2
+        ).collect()
+    }
+    assert got == want
