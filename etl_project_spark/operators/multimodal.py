@@ -10,10 +10,12 @@ training-data pipeline at 100 TB:
   a payload.
 - Byte-level feature extraction (size, entropy, magic-number sniffing)
   is REAL and runs vectorized over Arrow batches via ``mapInPandas``.
-- Actual media decode (pixels, PCM, frames) requires codec libraries
-  not present in this environment; :func:`decode_payload` is the
-  clearly-marked stub seam — the Spark-side contract (schema,
-  batching, partition shape) is identical for a real decoder.
+- Image decode (BMP, PNG, baseline JPEG) and PCM WAV decode are REAL
+  — pure stdlib/numpy parsers and codecs, no imaging library. Video
+  (and non-baseline JPEG / non-PCM WAV) stay behind clearly-marked
+  ``NotImplementedError`` seams in :func:`decode_payload` — the
+  Spark-side contract (schema, batching, partition shape) is
+  identical for a plugged-in codec.
 
 Scale notes: payload work is embarrassingly parallel — no shuffle at
 all; ``maxPartitionBytes`` governs batch size. Feature extraction emits
@@ -125,24 +127,32 @@ DECODED_IMAGE_SCHEMA = T.StructType(
 
 
 def decode_payload(payload: bytes, modality: str):
-    """Media decode seam: REAL for uncompressed formats, honest stub
-    for codec formats.
+    """Media decode seam: REAL for every image format this engine
+    emits, honest stub for the rest.
 
     BMP (``BM`` magic) decodes for real via :func:`decode_bmp` — pure
     byte arithmetic, no imaging library. PNG decodes for real via
     :func:`decode_png` — stdlib ``zlib`` inflate plus full spec
-    unfiltering (filters 0–4 incl. Paeth). Codec formats (JPEG/video)
-    require libraries not present in this environment and raise; plug
-    a real codec into ``decode_images(decoder=...)`` — the Spark
-    plumbing is identical.
+    unfiltering (filters 0–4 incl. Paeth). Baseline JPEG decodes for
+    real via :mod:`operators.jpeg` — marker walk, stream-declared
+    Huffman tables, entropy decode with DC prediction, dequant, float
+    IDCT, YCbCr→RGB (progressive/subsampled streams raise there).
+    Video decode requires codec libraries not present in this
+    environment and raises; plug a real codec into
+    ``decode_images(decoder=...)`` — the Spark plumbing is identical.
     """
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload, modality)
     if payload is not None and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload, modality)
+    if payload is not None and payload[:3] == b"\xff\xd8\xff":
+        from etl_project_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload, modality)
     raise NotImplementedError(
-        "codec-media decode requires codec libraries; BMP and PNG decode "
-        "natively — plug other decoders into decode_images(decoder=...)"
+        "video decode requires codec libraries; BMP, PNG, and baseline "
+        "JPEG decode natively — plug other decoders into "
+        "decode_images(decoder=...)"
     )
 
 
@@ -960,6 +970,52 @@ def make_png_table(docs: DataFrame) -> DataFrame:
 
     return (
         docs.filter((F.col("doc_id") % 4) == 0)
+        .select("doc_id")
+        .mapInPandas(build, schema="id long, payload binary, modality string")
+    )
+
+
+def make_jpeg_table(docs: DataFrame) -> DataFrame:
+    """Image table with REAL baseline-JPEG payloads (``doc_id % 4 = 1``
+    — disjoint from the PNG family's ``% 4 = 0``), built by the full
+    encoder (DCT, Annex-K quantization, Huffman entropy coding, byte
+    stuffing).
+
+    The pixel rule is chosen so the LOSSY codec is bit-exact and SQL
+    can replay decoded stats: grayscale, constant per 8×8 block, block
+    (bx, by) value ``2·((3·doc_id + 7·bx + 11·by) mod 128)``. Constant
+    blocks make every AC coefficient exactly 0 and the DC coefficient
+    ``16·(v−128)/2``; even values put the /16 quantization ≥0.5 from
+    every rounding boundary, so encode→decode returns the input pixels
+    exactly (proven by test_jpeg_block_constant_roundtrip_is_exact).
+    Dims: ``w = 8·(1 + doc_id mod 3)``, ``h = 8·(1 + (doc_id div 3)
+    mod 3)`` — multi-block both ways, so Huffman DC PREDICTION across
+    blocks is exercised, not just single-block streams.
+    """
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+
+    from etl_project_spark.operators.jpeg import encode_jpeg
+
+    def build(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                wb = 1 + doc_id % 3
+                hb = 1 + (doc_id // 3) % 3
+                by, bx = np.meshgrid(np.arange(hb), np.arange(wb), indexing="ij")
+                v = (2 * ((3 * doc_id + 7 * bx + 11 * by) % 128)).astype(np.uint8)
+                px = np.kron(v, np.ones((8, 8), dtype=np.uint8))
+                ids.append(doc_id)
+                payloads.append(encode_jpeg(px))
+            yield pd.DataFrame(
+                {"id": ids, "payload": payloads, "modality": "image"}
+            )
+
+    return (
+        docs.filter((F.col("doc_id") % 4) == 1)
         .select("doc_id")
         .mapInPandas(build, schema="id long, payload binary, modality string")
     )

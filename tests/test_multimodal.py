@@ -320,3 +320,92 @@ def test_png_table_decodes_through_spark(spark):
     for doc_id in ids[:10]:
         r = decoded[doc_id]
         assert (r.width, r.height) == (4 + doc_id % 11, 4 + (5 * doc_id) % 9)
+
+
+# --- JPEG codec (operators/jpeg.py) ---------------------------------------
+
+def test_jpeg_block_constant_roundtrip_is_exact():
+    """The oracle family's exactness claim: block-constant even-valued
+    grayscale survives the lossy codec bit-for-bit."""
+    import numpy as np
+
+    from etl_project_spark.operators import jpeg as J
+
+    for doc_id in (1, 5, 13, 21, 101):
+        wb, hb = 1 + doc_id % 3, 1 + (doc_id // 3) % 3
+        by, bx = np.meshgrid(np.arange(hb), np.arange(wb), indexing="ij")
+        v = (2 * ((3 * doc_id + 7 * bx + 11 * by) % 128)).astype(np.uint8)
+        px = np.kron(v, np.ones((8, 8), dtype=np.uint8))
+        out = J.decode_jpeg_grid(J.encode_jpeg(px))
+        assert out.shape == px.shape
+        assert np.array_equal(out, px)
+
+
+def test_jpeg_roundtrip_error_bounds_general():
+    """General images (AC coefficients, DC prediction, color transform,
+    edge padding on non-multiple-of-8 dims) roundtrip within lossy
+    bounds: near-exact on smooth content, sane on noise."""
+    import numpy as np
+
+    from etl_project_spark.operators import jpeg as J
+
+    y, x = np.meshgrid(np.arange(32), np.arange(48), indexing="ij")
+    smooth = ((x * 3 + y * 2) % 256).astype(np.uint8)
+    err = np.abs(
+        J.decode_jpeg_grid(J.encode_jpeg(smooth)).astype(int) - smooth.astype(int)
+    )
+    assert err.max() <= 8
+
+    color = np.stack(
+        [(x * 2 + y) % 256, (x + y * 2) % 256, (255 - x) % 256], axis=-1
+    ).astype(np.uint8)
+    out = J.decode_jpeg_grid(J.encode_jpeg(color))
+    assert out.shape == color.shape == (32, 48, 3)
+    err = np.abs(out.astype(int) - color.astype(int))
+    assert err.max() <= 24 and err.mean() <= 4
+
+    rng = np.random.default_rng(11)
+    noisy = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    out = J.decode_jpeg_grid(J.encode_jpeg(noisy))
+    assert out.shape == (13, 21, 3)  # original dims, not padded
+
+
+def test_jpeg_decoder_rejects_unsupported_streams():
+    """The decoder raises on out-of-scope streams, never guesses."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_project_spark.operators import jpeg as J
+
+    px = np.full((8, 8), 100, dtype=np.uint8)
+    good = bytearray(J.encode_jpeg(px))
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_grid(b"\x00\x01not a jpeg")
+    # flip SOF0 (FFC0) to SOF2 (FFC2) = progressive
+    i = bytes(good).find(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2:])
+    with _pytest.raises(NotImplementedError):
+        J.decode_jpeg_grid(prog)
+    # corrupt a sampling factor to 4:2:0
+    sof = bytes(good).find(b"\xff\xc0")
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # component 1 sampling 2x2
+    with _pytest.raises(NotImplementedError):
+        J.decode_jpeg_grid(bytes(sub))
+
+
+def test_jpeg_table_decodes_through_spark(spark):
+    """make_jpeg_table → decode_images end to end matches the pixel
+    rule (the q_jpeg_decoded_stats oracle's claim)."""
+    docs = read_table(spark, SF_ORACLE, "documents")
+    decoded = {r.id: r for r in
+               MM.decode_images(MM.make_jpeg_table(docs),
+                                decoder=MM.decode_payload).collect()}
+    ids = [r.doc_id for r in
+           docs.filter("doc_id % 4 = 1").select("doc_id").collect()]
+    assert sorted(decoded) == sorted(ids)
+    for doc_id in ids[:10]:
+        r = decoded[doc_id]
+        assert (r.width, r.height) == (
+            8 * (1 + doc_id % 3), 8 * (1 + (doc_id // 3) % 3))
+        assert r.n_channels == 1
