@@ -43,6 +43,12 @@ from pyspark.sql.types import StringType, StructField
 ServiceFn = Callable[[str], Any]
 
 
+class GeocoderConfigError(RuntimeError):
+    """Definitive client-side failure (bad key, malformed URL): raised
+    through the retry loop unretried so a config error surfaces once
+    instead of costing ``max_attempts`` backoffs on every corpus row."""
+
+
 def deterministic_geocoder(query: str) -> str:
     """Pure stand-in geocoder: derives stable pseudo-coordinates from the
     md5 of the query text. Mirrorable in ANSI SQL —
@@ -115,7 +121,18 @@ class HttpGeocoder:
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 return None  # definitive miss — do not retry
-            raise  # 5xx / 429 / anything else: transient, retried
+            # Definitive client errors (ADVICE r8): a bad API key (401/
+            # 403) or malformed request (400 etc.) fails identically on
+            # every attempt — burning the exponential-backoff budget on
+            # every row of the corpus hides a config error behind
+            # max_attempts × rows retries. Only 408 (server timeout)
+            # and 429 (rate limit) are retryable client codes.
+            if 400 <= e.code < 500 and e.code not in (408, 429):
+                raise GeocoderConfigError(
+                    f"geocoder returned definitive client error {e.code} "
+                    f"for {self.base_url!r} — not retrying"
+                ) from e
+            raise  # 5xx / 429 / 408 / network: transient, retried
         loc = payload
         if isinstance(payload, dict) and "results" in payload:
             results = payload["results"]
@@ -182,6 +199,8 @@ def _call_with_retry(
     for attempt in range(max_attempts):
         try:
             result = service(query)
+        except GeocoderConfigError:
+            raise  # definitive config error: surface ONCE, never retry
         except Exception:
             if attempt == max_attempts - 1:
                 return None

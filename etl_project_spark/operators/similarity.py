@@ -299,6 +299,14 @@ def knn_join(
     )
 
 
+def round_half_up4(x: "np.ndarray") -> "np.ndarray":
+    """HALF-UP (half away from zero) rounding at 4 decimals — the same
+    rule as Spark's F.round and SQL ROUND, unlike np.round's banker's
+    half-to-even (ADVICE r8: 0.90625 must round to 0.9063 in every
+    scorer, not 0.9062 in one of them)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+
+
 def group_pairs_scorer(df, id_col: str, vec_col: str, threshold: float):
     """Shared per-group all-pairs cosine kernel for ``applyInPandas``.
 
@@ -312,9 +320,13 @@ def group_pairs_scorer(df, id_col: str, vec_col: str, threshold: float):
     group) and generates pairs inside numpy.
 
     Arithmetic is EXACTLY :func:`pairwise_cosine_udf`'s kernel (einsum
-    row-dot, then divide by the norm product) — a blocked matmul would
+    row-dot, then divide by the norm product, then HALF-UP rounding at
+    4 decimals to match the join paths' F.round and the oracles' SQL
+    ROUND — not numpy's banker's rounding) — a blocked matmul would
     sum in a different order and could flip a round-4 boundary vs the
-    oracle's sequential fold. Chunked: a skewed group of depth d holds
+    oracle's sequential fold. Self-pairs are excluded by id inequality,
+    matching the join forms' strict ``id_a < id_b`` predicate even when
+    the input carries duplicate ids. Chunked: a skewed group of depth d holds
     d(d-1)/2 pairs; bounding the per-chunk pair count keeps peak
     memory flat no matter the skew (2M pairs × 64 dims ≈ 1 GB HWM).
     """
@@ -343,11 +355,13 @@ def group_pairs_scorer(df, id_col: str, vec_col: str, threshold: float):
             s0, s1 = iu0[lo : lo + CHUNK], iu1[lo : lo + CHUNK]
             dots = np.einsum("ij,ij->i", M[s0], M[s1])
             denom = norms[s0] * norms[s1]
-            sims = np.round(
-                np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0),
-                4,
-            )
-            keep = sims >= thr
+            raw = np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0)
+            sims = round_half_up4(raw)
+            # Strict id_a < id_b contract (ADVICE r8): the join forms
+            # exclude self-pairs via a < predicate; with duplicate ids
+            # in the input (the scaled twin corpora collide above 10k
+            # vec_ids) the grouped form must not emit id==id rows.
+            keep = (sims >= thr) & (ids[s0] != ids[s1])
             if keep.any():
                 ia, ib = ids[s0[keep]], ids[s1[keep]]
                 out_a.append(np.minimum(ia, ib))

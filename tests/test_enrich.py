@@ -212,3 +212,52 @@ def test_http_geocoder_flat_response_shape():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_geocoder_definitive_client_errors_fail_fast():
+    """401/403/400 raise GeocoderConfigError through the retry loop
+    (one surface, zero backoffs); 404 stays a definitive miss; 429
+    stays retryable."""
+    import http.server
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    import pytest as _pytest
+
+    from etl_project_spark.operators.enrich import (
+        GeocoderConfigError,
+        HttpGeocoder,
+        _call_with_retry,
+    )
+
+    hits = {"n": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits["n"] += 1
+            q = parse_qs(urlparse(self.path).query).get("q", [""])[0]
+            code = {"badkey": 401, "forbidden": 403, "bad": 400,
+                    "missing": 404, "ratelimited": 429}.get(q, 500)
+            self.send_response(code)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        geo = HttpGeocoder(f"http://127.0.0.1:{srv.server_address[1]}/g")
+        for q in ("badkey", "forbidden", "bad"):
+            hits["n"] = 0
+            with _pytest.raises(GeocoderConfigError):
+                _call_with_retry(geo, q, 5, 0.0, lambda s: None)
+            assert hits["n"] == 1  # exactly one request, no retries
+        assert geo("missing") is None  # 404: miss, no exception
+        hits["n"] = 0
+        assert _call_with_retry(geo, "ratelimited", 3, 0.0, lambda s: None) is None
+        assert hits["n"] == 3  # 429 burned the whole retry budget
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -342,3 +342,57 @@ def test_lsh_join_sizing_holds_recall_as_corpus_grows():
     # config would have lost neighbors
     tables_10m, planes_10m = SIM.lsh_join_sizing(10_000_000)
     assert recall(16, planes_10m) < 0.99 < recall(tables_10m, planes_10m)
+
+
+def test_round_half_up4_matches_spark_round(spark):
+    """The grouped scorer's rounding rule equals F.round (HALF_UP) on
+    exact midpoints and ordinary values, where np.round (banker's)
+    diverges — the ADVICE-r8 latent mismatch."""
+    import numpy as np
+
+    from etl_project_spark.operators.similarity import round_half_up4
+
+    vals = [0.90625, -0.90625, 0.12345, 0.5, -0.5, 0.99995, 0.33333,
+            0.0, 1.0, -1.0, 0.87185, 0.123450001]
+    got = round_half_up4(np.array(vals))
+    want = [
+        r.v for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 4).alias("v")).collect()
+    ]
+    assert list(got) == want
+    # and np.round really does differ on the midpoint (sanity that the
+    # test would catch a regression to banker's rounding)
+    assert np.round(0.90625, 4) == 0.9062 and round_half_up4(
+        np.array([0.90625]))[0] == 0.9063
+
+
+def test_group_pairs_scorer_excludes_duplicate_id_self_pairs():
+    """With duplicate ids in a group (the scaled twin corpora collide
+    above 10k vec_ids), the grouped kernel must honor the join forms'
+    strict id_a < id_b contract: no id==id rows, even for identical
+    vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_project_spark.operators.similarity import group_pairs_scorer
+
+    class _FakeDF:
+        schema = type("S", (), {"fields": []})()
+
+    # bypass the df-schema probe with a minimal stand-in
+    import pyspark.sql.types as T
+
+    fake = type("D", (), {})()
+    fake.schema = T.StructType([T.StructField("id", T.LongType()),
+                                T.StructField("v", T.ArrayType(T.DoubleType()))])
+    fn, schema = group_pairs_scorer(fake, "id", "v", threshold=0.5)
+    pdf = pd.DataFrame({
+        "id": [1, 1, 2],
+        "v": [np.array([1.0, 0.0]), np.array([1.0, 0.0]),
+              np.array([1.0, 0.01])],
+    })
+    out = fn(pdf)
+    assert not (out["id_a"] == out["id_b"]).any()
+    # the two distinct-id pairs survive (cosine ~ 1 >= 0.5), twice —
+    # once per duplicate row of id 1
+    assert ((out["id_a"] == 1) & (out["id_b"] == 2)).sum() == 2

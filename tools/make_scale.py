@@ -119,8 +119,21 @@ def main() -> None:
                         if r > 0
                         else "embedding"
                     )
-                    if (i // 64) % 2 == 1:
-                        rolled = f"list_transform({rolled}, x -> -x)"
+                    # Per-cycle scale (ADVICE r8): the two-state sign
+                    # flip repeats with period 128, so replica 128+j
+                    # would clone replica j exactly. Scaling by a
+                    # cycle-dependent constant (1, -1, 1/2, -1/2, …)
+                    # never repeats: cosine direction stays decorrelated
+                    # by the roll, and magnitudes differ across cycles.
+                    cyc = i // 64
+                    if cyc > 0:
+                        sign = "-" if cyc % 2 == 1 else ""
+                        denom = 2 ** ((cyc + 1) // 2)
+                        rolled = (
+                            f"list_transform({rolled}, x -> {sign}x / {denom}.0)"
+                            if denom > 1
+                            else f"list_transform({rolled}, x -> {sign}x)"
+                        )
                     cols.append(f"{rolled} AS embedding")
                 else:
                     cols.append(name)
