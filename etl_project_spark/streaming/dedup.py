@@ -1,0 +1,101 @@
+"""Streaming twin of incremental dedup (plans/dedup.py::
+q_incremental_dedup_new_batch) — round-8 verdict task #7.
+
+The batch×history shape IS the stream-static join: arriving documents
+are the stream, the historical gram index is the static side (in
+production: the persisted corpus index, refreshed by a slower batch
+job). Design decisions, Spark-first:
+
+- **Per-doc distinct grams are computed STATELESSLY.** The batch form
+  uses ``dropDuplicates(["_id", "_g"])``; on a stream that operator
+  keeps every gram hash in state forever. But gram dedup is per-
+  document, and a document's grams all arrive in its own row — so
+  ``array_distinct`` over the doc's gram-hash ARRAY before the explode
+  gives the same distinct rows with zero state, and the doc's gram-set
+  size falls out as ``size(array)`` without a second aggregation.
+- **The gram join is stream-static** — stateless on the stream side:
+  each matching (batch-doc, history-doc, gram) row flows through
+  without watermarks, and only the MATCHING slice of history is read
+  (the static side is an ordinary Catalyst plan under the join, so
+  pushdown applies per micro-batch).
+- **Intersection counts are the one stateful stage**: an update-mode
+  ``groupBy(batch_doc, history_doc)`` count. State is bounded by the
+  candidate fan-in of in-flight documents, the same bound the batch
+  plan's shuffle carries. The per-doc ARGMAX (best match) is NOT a
+  streaming-legal second stage (window-after-agg); it is a cheap
+  rollup the consumer runs on the drained/current state — exactly how
+  the batch query finishes, and what the pytest twin does before
+  asserting equality with the batch plan's full output.
+
+At 100 TB the static index is the thing to engineer (bucketed by gram
+hash so the per-trigger join avoids a history shuffle); the stream
+side shuffles only the arriving batch — the asymmetric-join economics
+the batch docstring describes, carried to continuous ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_project_spark.operators.dedup import normalize_text
+
+
+def _distinct_gram_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct xxhash64'd word-``n``-grams of ``text`` as an array —
+    the stateless twin of ``ngram_rows(...).dropDuplicates()`` +
+    ``xxhash64``: same tokenization, same gram slices, same hashing,
+    but per-row (document-local), so a stream can use it without
+    deduplication state."""
+    toks = F.split(normalize_text(text), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+            ),
+            lambda p: F.xxhash64(F.concat_ws(" ", F.slice(toks, p, n))),
+        )
+    )
+
+
+def history_gram_index(history_docs: DataFrame, n: int = 3) -> DataFrame:
+    """Static-side index ``(_g, _hid, _szh)``: one row per distinct
+    (gram, history doc), carrying the doc's distinct-gram count. In
+    production this is a persisted table bucketed by ``_g``."""
+    return history_docs.select(
+        F.col("doc_id").alias("_hid"),
+        _distinct_gram_hashes(F.col("text"), n).alias("_gs"),
+    ).select(
+        "_hid", F.size("_gs").alias("_szh"), F.explode("_gs").alias("_g")
+    )
+
+
+def stream_incremental_dedup_scores(
+    new_docs: DataFrame, history_index: DataFrame, n: int = 3
+) -> DataFrame:
+    """Streaming candidate scores ``(doc_id, _hid, jac)`` for arriving
+    documents against the static history index.
+
+    ``new_docs`` is a STREAMING DataFrame of (doc_id, text, ...);
+    ``history_index`` is :func:`history_gram_index`'s static output.
+    Run with ``outputMode("update")``; each trigger refreshes the
+    scores of documents whose grams arrived. The Jaccard uses the
+    identical arithmetic and HALF-UP 4-decimal rounding as the batch
+    plan, so the drained scores feed the same argmax rollup.
+    """
+    b = new_docs.select(
+        "doc_id", _distinct_gram_hashes(F.col("text"), n).alias("_gs")
+    ).select(
+        "doc_id", F.size("_gs").alias("_szb"), F.explode("_gs").alias("_g")
+    )
+    joined = b.join(history_index, "_g")  # stream-static, stateless
+    counts = joined.groupBy("doc_id", "_szb", "_hid", "_szh").agg(
+        F.count(F.lit(1)).alias("_ix")
+    )
+    return counts.select(
+        "doc_id",
+        "_hid",
+        F.round(
+            F.col("_ix") / (F.col("_szb") + F.col("_szh") - F.col("_ix")), 4
+        ).alias("jac"),
+    )

@@ -919,3 +919,76 @@ def test_stream_weighted_reservoir_final_matches_batch(spark, documents_path):
     batch = all_specs()["q_weighted_reservoir_docs"].builder(spark, SF_ORACLE)
     want = {(r.source, r.rank): (r.doc_id, r.weight) for r in batch.collect()}
     assert final == want
+
+
+from etl_project_spark.streaming.sketches import (
+    DOCUMENTS_RAW_SCHEMA as SD_DOCS_SCHEMA,
+)
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """Stream-static incremental dedup: src19 documents streamed over
+    multiple triggers against the static history gram index; the
+    drained candidate scores + the consumer argmax rollup reproduce
+    q_incremental_dedup_new_batch's full output exactly."""
+    from pyspark.sql import Window as W
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.streaming import dedup as SD
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    batch_dir = str(tmp_path / "arriving")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    docs.filter("source = 'src19'").repartition(4).write.parquet(batch_dir)
+    history = docs.filter("source <> 'src19'")
+    index = SD.history_gram_index(history)
+
+    stream = (
+        spark.readStream.schema(SD_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_dir)
+    )
+    q = (
+        SD.stream_incremental_dedup_scores(stream, index)
+        .writeStream.format("memory")
+        .queryName("incdedup_scores")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+    scores = spark.sql(
+        "SELECT DISTINCT doc_id, _hid, jac FROM incdedup_scores"
+    )
+    # each doc's grams arrive in one trigger, so (doc_id, _hid) must
+    # finalize once — distinct may not collapse conflicting values
+    assert (
+        scores.groupBy("doc_id", "_hid").count().filter("count > 1").count() == 0
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("jac"), F.asc("_hid"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "_hid", "jac")
+    )
+    got = {
+        r.doc_id: (r.best_match_id, r.best_jaccard, r.is_near_dup)
+        for r in docs.filter("source = 'src19'")
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_hid").alias("best_match_id"),
+            F.coalesce("jac", F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce("jac", F.lit(0.0)) >= 0.5).alias("is_near_dup"),
+        )
+        .collect()
+    }
+    want = {
+        r.doc_id: (r.best_match_id, r.best_jaccard, r.is_near_dup)
+        for r in all_specs()["q_incremental_dedup_new_batch"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    }
+    assert got == want
