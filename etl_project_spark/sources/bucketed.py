@@ -1,0 +1,83 @@
+"""Bucketed (co-located) table layout — the shuffle-elimination lever
+for repeated large-×-large joins.
+
+Every big equi-join in this engine shuffles both sides on the join key
+once per query. At 100 TB the join key is usually stable across the
+workload (doc_id for dedup verify joins, gram/bucket hashes for
+inverted indexes, custkey for the order-fact family), and the Spark
+answer is HIVE BUCKETING: persist both sides pre-hash-partitioned AND
+pre-sorted on the key (``bucketBy(n, key).sortBy(key)``), after which
+every join between them is a SortMergeJoin with NO Exchange on either
+side — the shuffle (the network-bound scale cost) is paid once at
+write time and amortized over every subsequent query (see
+tests/test_bucketed.py::test_bucketed_join_plan_has_no_exchange for
+the asserted plan shape). A partition-LOCAL sort per bucket remains:
+Spark ≥3.0 no longer trusts scan-reported sort order from bucketed
+files (SPARK-28220, legacy-gated), so the merge join re-sorts each
+bucket in memory — O(bucket), no network, and why ``sortBy`` plus
+one-file-per-bucket still matters: sorted row groups make that local
+sort a near-no-op and keep min/max pruning effective.
+
+Scale rules encoded here:
+
+- Bucket count is chosen once per table family and MUST match across
+  tables that join (Spark only elides the exchange when both sides
+  hash into the same bucket layout); it should be a multiple of the
+  cluster's target parallelism at the data's full scale, not the test
+  scale.
+- ``sortBy`` keeps each bucket file internally ordered, so the
+  per-query local re-sort is a near-no-op over already-ordered runs
+  and parquet min/max pruning on the key stays sharp.
+- This is a *persisted-layout* decision, so it lives in sources/, not
+  plans/: registry queries stay layout-agnostic and the same builder
+  runs against flat parquet (shuffle) or bucketed tables (no
+  shuffle) unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    *,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a managed parquet table bucketed AND sorted on
+    ``key`` — the one-time shuffle that later joins on ``key`` skip.
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same
+    murmur3 hash as the bucket spec, so each bucket lands in exactly
+    ONE file: that is the condition under which the scan reports its
+    write-time sort order and the merge join skips the per-query Sort
+    too (multiple files per bucket keep the no-Exchange property but
+    force a re-sort)."""
+    (
+        df.repartition(n_buckets, key)
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str,
+) -> DataFrame:
+    """Join two same-bucket-layout tables on their bucket key.
+
+    With matching bucket specs this plans as a SortMergeJoin with zero
+    Exchange nodes (verified by test); with mismatched or absent
+    bucketing Spark falls back to a normal shuffled join — correctness
+    is identical either way, which is the property that lets a
+    pipeline migrate tables to bucketed layout incrementally.
+    """
+    return spark.table(left_table).join(spark.table(right_table), key)
