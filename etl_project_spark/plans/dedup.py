@@ -312,27 +312,34 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    # Verify form + signature width gate on corpus size (round-8, from
-    # the two-decade sweep's measured crossover; the count() is
-    # index-build metadata from parquet footers):
+    # Verify form + signature width gate on corpus size (measured
+    # crossover; the count() is index-build metadata from parquet
+    # footers):
     #
-    # - ≤ 1M vectors: 'join' verify with depth-~4 buckets (bits =
+    # - ≤ 100k vectors: 'join' verify with depth-~4 buckets (bits =
     #   log2(n/4)) — the r6/r7 config. Candidates are few, posting
     #   lists are skinny, and the bucket-grouped form's ~50 µs
     #   per-group dispatch over shallow, plentiful buckets is pure
-    #   overhead (measured 3× slower at sf0.1, 1.4× at sf1).
-    # - > 1M vectors: 'grouped' verify with depth-~128 buckets (bits =
-    #   log2(n/128)) — candidate pairs never exist as Spark rows, the
-    #   within-bucket d²/2 einsum is nearly free, and the analytic
-    #   table count drops (depth-4 sizing needs 100 tables at 4M
-    #   vectors vs ~30 at depth 128). Measured at sf10: 574.8 s (join,
-    #   depth 4) → 117.5 s (grouped, depth 128), same hash-green pair
-    #   set. Recall ≥ 0.99 holds at either width by construction; the
-    #   sf0.01 driver corpus floors at the proven 12-bit config.
+    #   overhead (measured 3× slower at sf0.1 [1k corpus], 1.4× at
+    #   sf1 [40k corpus]).
+    # - > 100k vectors: 'grouped' verify with depth-~128 buckets (bits
+    #   = log2(n/128)) — candidate pairs never exist as Spark rows,
+    #   the within-bucket d²/2 einsum is nearly free, and the analytic
+    #   table count drops (depth-4 sizing needs ~60 tables at 400k
+    #   vectors vs ~30 at depth 128). Measured at sf10's 400k corpus:
+    #   574.8 s (join, depth 4) → 117.5 s (grouped, depth 128), same
+    #   hash-green pair set — which places the crossover BETWEEN the
+    #   sf1 and sf10 corpora. Round-8 shipped this gate at 1M, ABOVE
+    #   its own sf10 measurement point, so the round-9 sweep re-took
+    #   the 574.8 s join path at 400k (1020.2 s on a ~1.7× slower VM,
+    #   BASELINE.md §Round 9) — the gate now sits at 100k, inside the
+    #   measured bracket (40k join-wins, 400k grouped-wins). Recall
+    #   ≥ 0.99 holds at either width by construction; the sf0.01
+    #   driver corpus floors at the proven 12-bit config.
     import math
 
     n_corpus = 2 * e.count()
-    if n_corpus > 1_000_000:
+    if n_corpus > 100_000:
         verify, depth = "grouped", 128
     else:
         verify, depth = "join", 4
