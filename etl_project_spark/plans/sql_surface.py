@@ -198,8 +198,21 @@ def q_sql_recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFr
     bit-identical in both engines; the anchor's WHERE rides the
     parquet scan, and each level is a map-side projection — no joins,
     state bounded by the 7-level guard.
+
+    Scale note: Spark guards recursive CTEs with a row-count safety
+    net (``spark.sql.cteRecursionRowLimit``, default 1M) that this
+    bounded recursion outgrows linearly — 7 levels x |customer| blew
+    the default at the sf10 sweep's 1.5M customers. The recursion here
+    is provably finite (``period < 6``), so the net is resized to
+    8x the anchor's upper bound from the parquet footer count (a
+    metadata-only job), keeping runaway protection meaningful at any
+    corpus size instead of hard-failing at ~143k accounts per level.
     """
     _register_views(spark, sf_dir, "customer")
+    n_customer = read_table(spark, sf_dir, "customer").count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 8 * n_customer))
+    )
     return spark.sql(_SQL_RECURSIVE_BALANCE.format(intdiv="div"))
 
 
