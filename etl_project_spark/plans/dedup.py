@@ -669,6 +669,82 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_cluster_labels_capped",
+    oracle="""
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[p : p + 2], ' ') AS g
+  FROM norm, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(p)
+), gdf AS (
+  SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+), kept AS (
+  SELECT r.doc_id, r.g FROM grams r JOIN gdf USING (g) WHERE gdf.df <= 64
+), dropped AS (
+  SELECT r.doc_id, r.g FROM grams r JOIN gdf USING (g) WHERE gdf.df > 64
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), lbl(id, l) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, lbl.l FROM edges e JOIN lbl ON lbl.id = e.dst
+)
+SELECT 'member' AS kind, id, MIN(l) AS cluster FROM lbl GROUP BY id
+UNION ALL
+SELECT 'audit',
+       (SELECT COUNT(DISTINCT g) FROM dropped),
+       (SELECT COUNT(DISTINCT doc_id) FROM dropped)
+""",
+    tags=("dedup", "graph", "capped"),
+)
+def q_dedup_cluster_labels_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the DF-capped Jaccard pair graph —
+    the bounded production form of `q_dedup_cluster_labels`.
+
+    The uncapped components query inherits the exact pair family's
+    Θ(Σ cluster²) candidate mass and became the sf10 sweep's newest
+    disk-exhaust (it consumes `q_ngram_jaccard_pairs` wholesale).
+    This form feeds `ngram_jaccard_pairs_capped` (df_cap=64, candidate
+    mass linear in corpus size) into the same O(log diameter)
+    min-label + pointer-jump loop, and forwards the cap's in-band
+    audit row (``kind='audit'``, id = distinct grams dropped, cluster
+    = docs affected) alongside the ``kind='member'`` labels, so the
+    keep-one decision downstream can see exactly which documents were
+    clustered on a truncated gram universe. At driver SF no gram
+    exceeds the cap, the audit row is zeros, and the member set equals
+    the uncapped query's — the oracle replays the cap, so parity holds
+    at any scale.
+    """
+    d = _t(spark, sf_dir, "documents")
+    capped = DD.ngram_jaccard_pairs_capped(
+        d, "doc_id", "text", n=3, threshold=0.2, df_cap=64
+    )
+    pairs = capped.filter(F.col("kind") == "pair").select("id_a", "id_b")
+    members = DD.connected_components(pairs).select(
+        F.lit("member").alias("kind"), "id", "cluster"
+    )
+    audit = capped.filter(F.col("kind") == "audit").select(
+        "kind",
+        F.col("id_a").cast("long").alias("id"),
+        F.col("id_b").cast("long").alias("cluster"),
+    )
+    return members.unionByName(audit).orderBy("kind", "id")
+
+
+@register(
     "q_ngram_containment_pairs",
     oracle="""
 WITH norm AS (
