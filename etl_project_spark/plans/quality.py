@@ -338,12 +338,15 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cumulative-distinct is NOT computed with a running set: each
     token's FIRST bucket comes from one min-aggregate (the standard
     distributed first-occurrence trick), new-vocabulary-per-bucket is
-    a count over that, and the cumulative curve is a prefix-sum window
-    over BUCKET rows — cardinality n_docs/100, so the unpartitioned
-    window is config-sized at any corpus scale (the raw token rows
-    never enter a window).
+    a count over that, and the cumulative curve runs over BUCKET rows.
+    The bucket table is n_docs/100 — 100× smaller than the corpus but
+    still corpus-proportional, so the cumulative uses the two-phase
+    bucketed prefix sum (`two_phase.bucketed_prefix_sum`) rather than
+    one unpartitioned window: at 1B documents that window would drag
+    10M rows through a single task (r9 sweep audit; raw token rows
+    never enter a window in either form).
     """
-    from pyspark.sql import Window as W
+    from etl_project_spark.plans.two_phase import bucketed_prefix_sum
 
     tune_session(spark)
     d = read_table(spark, sf_dir, "documents")
@@ -358,16 +361,15 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokc = tok_rows.groupBy((F.col("doc_id") / 100).cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        tokc.join(newv, "bucket", "left")
-        .select(
-            "bucket",
-            F.sum("n").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce(F.col("new_tokens"), F.lit(0))).over(w).alias(
-                "cum_vocab"
-            ),
-        )
+    joined = tokc.join(newv, "bucket", "left").select(
+        "bucket", "n", F.coalesce(F.col("new_tokens"), F.lit(0)).alias("nv")
+    )
+    cum = bucketed_prefix_sum(joined, "bucket", "n", out_col="_ct")
+    cum = bucketed_prefix_sum(cum, "bucket", "nv", out_col="_cv")
+    return cum.select(
+        "bucket",
+        (F.col("_ct") + F.col("n")).alias("cum_tokens"),
+        (F.col("_cv") + F.col("nv")).alias("cum_vocab"),
     )
 
 

@@ -987,14 +987,10 @@ def q_bigram_next_token_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("bg.tok").alias("tok"), F.col("bg.nxt").alias("nxt"))
     counts = pairs.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("c"))
     ctx = counts.groupBy("tok").agg(F.sum("c").alias("ctx_total"))
-    top_ctx = (
-        ctx.withColumn(
-            "ctx_rank",
-            F.row_number().over(W.orderBy(F.desc("ctx_total"), "tok")),
-        )
-        .where(F.col("ctx_rank") <= 20)
-        .select("tok", "ctx_total")
-    )
+    # Distributed partial top-k (TakeOrderedAndProject) — the context
+    # table is vocab-sized, so a global rank window here would funnel
+    # every distinct token through one task (r9 sf10 sweep finding).
+    top_ctx = ctx.orderBy(F.desc("ctx_total"), "tok").limit(20)
     ranked = counts.join(F.broadcast(top_ctx), "tok").withColumn(
         "rnk", F.row_number().over(W.partitionBy("tok").orderBy(F.desc("c"), "nxt"))
     )
@@ -1206,15 +1202,21 @@ def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     log(rank) over the top-1000 token types (healthy natural text sits
     near −1; templated or synthetic corpora deviate).
 
-    Token counts hash-agg, ranks over the type table (vocab-sized, not
-    corpus-sized), and the fit is a single-pass regression aggregate —
+    Token counts hash-agg; the top-1000 cut is a distributed partial
+    top-k (`limit` → TakeOrderedAndProject, per-partition heaps + one
+    driver merge of 32×1000 rows) and ONLY the surviving ≤1000-row
+    table enters the rank window — the r9 sf10 sweep caught the prior
+    form ranking the ENTIRE vocab table through one window task before
+    discarding all but 1000 rows (vocab grows with the corpus: typos,
+    numerals, hashes). The fit is a single-pass regression aggregate —
     the corpus-health screen a pretraining pipeline runs per source.
     """
     tune_session(spark)
     counts = _alnum_term_counts(read_table(spark, sf_dir, "documents"))
-    ranked = counts.select(
+    topk = counts.orderBy(F.desc("c"), "term").limit(1000)
+    ranked = topk.select(
         "c", F.row_number().over(W.orderBy(F.desc("c"), "term")).alias("rnk")
-    ).where(F.col("rnk") <= 1000)
+    )
     lc = F.log(F.col("c").cast("double"))
     lr = F.log(F.col("rnk").cast("double"))
     return ranked.agg(
@@ -1248,18 +1250,19 @@ def q_negative_sampling_distribution(spark: SparkSession, sf_dir: str) -> DataFr
     (the smoothing that keeps rare words drawable), top-50 tokens with
     their normalized sampling probabilities.
 
-    Everything past the token hash-agg operates on the vocab table;
-    the normalizer is a 1-row broadcast. The pow/divide doubles are
-    identical in both engines; the sum-order difference in Z sits
-    ~1e-15 under the 8-decimal rounding.
+    The normalizer Z sums the FULL vocab (a hash aggregate), but the
+    top-50 cut is a distributed partial top-k (`limit` →
+    TakeOrderedAndProject) so no vocab-scale row ever enters a window
+    — the prior form ranked every type through one task (r9 sf10
+    sweep finding, same fix as q_zipf_exponent). The pow/divide
+    doubles are identical in both engines; the sum-order difference in
+    Z sits ~1e-15 under the 8-decimal rounding.
     """
     tune_session(spark)
     counts = _alnum_term_counts(read_table(spark, sf_dir, "documents"))
     powed = counts.withColumn("p75", F.pow(F.col("c").cast("double"), 0.75))
     tot = powed.agg(F.sum("p75").alias("z"))
-    ranked = powed.withColumn(
-        "rnk", F.row_number().over(W.orderBy(F.desc("c"), "term"))
-    ).where(F.col("rnk") <= 50)
+    ranked = powed.orderBy(F.desc("c"), "term").limit(50)
     return ranked.crossJoin(F.broadcast(tot)).select(
         "term",
         F.col("c").cast("long").alias("n_occurrences"),

@@ -160,7 +160,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recency anchored to the corpus max order date (scalar agg,
     broadcast). Quartiles: best = 1 on every axis (most recent, most
     frequent, highest spend), so 'R1F1M1' is the champion segment.
+
+    Each quartile is ANSI NTILE(4) computed ARITHMETICALLY from the
+    two-phase bucketed global rank (`two_phase.bucketed_global_rank` +
+    `ntile_from_rank`) — the r9 sweep caught this query running three
+    global NTILE windows over every customer through one task, the
+    same entity-scale disease distributed out of gini/pareto/packing
+    this round. Three bucketed ranks cost three bounded shuffles; no
+    window frame here grows with the customer count.
     """
+    from etl_project_spark.plans.two_phase import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("max_d"))
     rfm = (
@@ -178,11 +191,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = rfm.select(
+    n = rfm.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = bucketed_global_rank(
+        rfm, "recency_days", ["o_custkey"]
+    ).withColumnRenamed("i", "_ri")
+    ranked = bucketed_global_rank(
+        ranked, "frequency", ["o_custkey"], descending=True
+    ).withColumnRenamed("i", "_fi")
+    ranked = bucketed_global_rank(
+        ranked, "monetary", ["o_custkey"], descending=True
+    ).withColumnRenamed("i", "_mi")
+    scored = ranked.crossJoin(F.broadcast(n)).select(
         "monetary",
-        F.ntile(4).over(W.orderBy("recency_days", "o_custkey")).alias("r_q"),
-        F.ntile(4).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_q"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_q"),
+        ntile_from_rank(F.col("_ri"), F.col("_n"), 4).alias("r_q"),
+        ntile_from_rank(F.col("_fi"), F.col("_n"), 4).alias("f_q"),
+        ntile_from_rank(F.col("_mi"), F.col("_n"), 4).alias("m_q"),
     )
     return scored.groupBy(
         F.concat(F.lit("R"), "r_q", F.lit("F"), "f_q", F.lit("M"), "m_q").alias("segment")
