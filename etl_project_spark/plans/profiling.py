@@ -180,7 +180,7 @@ ranked AS (
 )
 SELECT COUNT(*) AS n_customers,
        CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_spend,
-       ROUND(2.0 * CAST(SUM(i * cents) AS DOUBLE)
+       ROUND(2.0 * CAST(SUM(CAST(i AS HUGEINT) * cents) AS DOUBLE)
              / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
              - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
 FROM ranked
@@ -196,8 +196,12 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme (`two_phase.bucketed_global_rank`) — per-spend-bucket
     row_number plus broadcast cumulative offsets — so no task ever
     ranks more than one bucket of customers (the global-window form
-    funneled every customer through one partition). Σi·xᵢ stays in
-    exact long arithmetic so both engines divide identical integers.
+    funneled every customer through one partition). Σi·xᵢ accumulates
+    in 128-bit integers on BOTH sides — Spark DECIMAL(38,0), DuckDB
+    HUGEINT — because the sum is Θ(n²·x̄) and overflowed int64 at the
+    sf10 sweep's 1.5M customers (ANSI ARITHMETIC_OVERFLOW; DuckDB's
+    SUM silently widens to HUGEINT, so only Spark failed). Exact
+    integers divide at the end, so parity still holds bit-for-bit.
     """
     from etl_project_spark.plans.money import cents
     from etl_project_spark.plans.two_phase import bucketed_global_rank
@@ -209,7 +213,8 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("c").cast("double") / 100.0).alias("total_spend"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("c")).cast("double")
+            2.0
+            * F.sum(F.col("i").cast("decimal(38,0)") * F.col("c")).cast("double")
             / (F.count(F.lit(1)) * F.sum("c").cast("double"))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             6,

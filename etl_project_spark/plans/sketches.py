@@ -323,15 +323,20 @@ def q_weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Johnson-Lindenstrauss: 64-dim embeddings -> 16-dim +-1 projection.
 _JL_T = 16
-_JL_MOD = 13  # vec_id % 13 == 0 -> sampled vectors for the pair audit
+_JL_MOD = 13    # vec_id % 13 == 0 -> sampled vectors for the pair audit
+_JL_CAP = 4096  # hard bound on the audit set: pairs are quadratic
 
 _JL_ORACLE = f"""
-WITH q AS (
+WITH samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_JL_MOD} = 0
+  ORDER BY vec_id LIMIT {_JL_CAP}
+),
+q AS (
   SELECT vec_id,
          generate_subscripts(embedding, 1) - 1 AS i,
          CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
-  FROM embeddings
-  WHERE vec_id % {_JL_MOD} = 0
+  FROM samp
 ),
 proj AS (
   SELECT q.vec_id, j.j,
@@ -376,15 +381,28 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance/projection is EXACT integer arithmetic (a float dot
     product would be summation-order-dependent); the ±1 entries come
     from the md5 device on (i,j); the only float op is the final
-    ratio division. Scale shape: projection is explode → hash-agg
-    (map-side combinable); the pair join runs on the SAMPLED set only
-    — the full-corpus path would go through the LSH/IVF family, this
-    query is the quality audit you run beside it.
+    ratio division.
+
+    Scale shape (rebuilt after the r9 sf10 sweep exhausted disk here):
+    the audit set is the lowest-`_JL_CAP` sampled vec_ids — a
+    distributed partial top-k, mirrored by ORDER BY/LIMIT in the
+    oracle — because pairwise audits are Θ(k²) no matter how they are
+    expressed, so k must be a constant, not corpus-proportional. The
+    old form also joined exploded COMPONENT rows on `j`/`i` (16 and 64
+    distinct values): every pair materialized 80 shuffle rows and the
+    join keys had corpus-scale skew groups — ~7.6e9 rows at sf10.
+    Distances now compute on PACKED arrays: one broadcast
+    nested-loop pair join over the ≤4096-row vector table (broadcast
+    is safe — the side is cap-bounded by construction), with
+    `zip_with`/`aggregate` doing the exact integer Σ(Δ²) per pair
+    inside codegen. Same integers, same histogram, no explosion.
     """
     tune_session(spark)
     emb = (
         read_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % _JL_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_JL_CAP)
         .select(
             "vec_id",
             F.expr(
@@ -392,9 +410,7 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qarr"),
         )
     )
-    q = emb.select(
-        "vec_id", F.posexplode("qarr").alias("i", "qv")
-    )
+    q = emb.select("vec_id", F.posexplode("qarr").alias("i", "qv"))
     sign = F.when(
         _h60(F.col("i") * 16 + F.col("j")) % 2 == 0, F.col("qv")
     ).otherwise(-F.col("qv"))
@@ -403,41 +419,29 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "j")
         .agg(F.sum(sign).alias("p"))
     )
-    pa, pb = proj.alias("a"), proj.alias("b")
-    dproj = (
-        pa.join(
-            pb,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .groupBy(
-            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
-        )
-        .agg(
-            F.sum(
-                (F.col("a.p") - F.col("b.p")) * (F.col("a.p") - F.col("b.p"))
-            ).alias("d2p")
-        )
+    parr = proj.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "p"))), lambda s: s["p"]
+        ).alias("parr")
     )
-    qa, qb = q.alias("a"), q.alias("b")
-    dorig = (
-        qa.join(
-            qb,
-            (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    vecs = emb.join(parr, "vec_id")
+    a, b = vecs.alias("a"), vecs.alias("b")
+
+    def _d2(lhs, rhs):
+        return F.aggregate(
+            F.zip_with(lhs, rhs, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
         )
-        .groupBy(
-            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
-        )
-        .agg(
-            F.sum(
-                (F.col("a.qv") - F.col("b.qv")) * (F.col("a.qv") - F.col("b.qv"))
-            ).alias("d2o")
-        )
+
+    pairs = a.join(
+        F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")
+    ).select(
+        _d2(F.col("a.parr"), F.col("b.parr")).alias("d2p"),
+        _d2(F.col("a.qarr"), F.col("b.qarr")).alias("d2o"),
     )
     return (
-        dproj.join(dorig, ["va", "vb"])
-        .filter(F.col("d2o") > 0)
+        pairs.filter(F.col("d2o") > 0)
         .groupBy(
             F.round(
                 F.col("d2p").cast("double") / (F.lit(float(_JL_T)) * F.col("d2o")),
