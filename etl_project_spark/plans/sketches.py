@@ -424,7 +424,11 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("j", "p"))), lambda s: s["p"]
         ).alias("parr")
     )
-    vecs = emb.join(parr, "vec_id")
+    # limit() collapses its result to ONE partition; without this
+    # re-spread the Θ(k²) pair loop below would run on a single core
+    # (measured 280.9 s at sf10 — vs 17.6 s spread over 64 tasks).
+    # A 4096-row shuffle is free; the broadcast side is unaffected.
+    vecs = emb.join(parr, "vec_id").repartition(64, "vec_id")
     a, b = vecs.alias("a"), vecs.alias("b")
 
     def _d2(lhs, rhs):
