@@ -426,7 +426,7 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # limit() collapses its result to ONE partition; without this
     # re-spread the Θ(k²) pair loop below would run on a single core
-    # (measured 280.9 s at sf10 — vs 17.6 s spread over 64 tasks).
+    # (measured 280.9 s at sf10 — vs 23.5 s spread over 64 tasks).
     # A 4096-row shuffle is free; the broadcast side is unaffected.
     vecs = emb.join(parr, "vec_id").repartition(64, "vec_id")
     a, b = vecs.alias("a"), vecs.alias("b")
