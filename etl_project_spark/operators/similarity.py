@@ -162,6 +162,52 @@ def lsh_bucketed_topk(
     return brute_force_topk(candidates, vec_col, query_vec, k=k, id_col=id_col)
 
 
+def grouped_topk(
+    scored: DataFrame,
+    group_col: str,
+    k: int,
+    *,
+    order_col: str = "score",
+    tiebreak_col: str | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact per-group top-k that stays parallel when there are FEW
+    groups.
+
+    A plain ``row_number() OVER (PARTITION BY group)`` funnels each
+    group through ONE reduce task: with 5 anchor groups over ~9M scored
+    rows at sf10, q_hard_negative_mining ran 42× on 10× data because
+    five tasks each fully sorted ~2M rows while 27 cores idled. Phase 1
+    here ranks within (group, input-partition id) — the shuffle spreads
+    over n_groups × n_partitions reducers and every local sort is
+    bounded by one partition's share of one group — and keeps k rows
+    per cell; phase 2 ranks the ≤ k·n_partitions survivors per group, a
+    kilobyte-scale window. Exact because a row in the global top-k of
+    its group is a fortiori in the top-k of its (group, partition)
+    cell. Both phases order by (order_col DESC, tiebreak ASC), so the
+    emitted rank is deterministic under score ties.
+
+    Use when group count is small or unknown (probe/anchor batches).
+    For many-small-groups shapes (e.g. the LSH rerank, one group per
+    probe over a whole corpus) phase 1 keeps nearly every row and the
+    second shuffle is pure overhead — keep the single window there.
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w1 = W.partitionBy(group_col, "_gtk_pid").orderBy(*order)
+    cand = (
+        scored.withColumn("_gtk_pid", F.spark_partition_id())
+        .withColumn("_gtk_r", F.row_number().over(w1))
+        .filter(F.col("_gtk_r") <= k)
+        .drop("_gtk_pid", "_gtk_r")
+    )
+    w2 = W.partitionBy(group_col).orderBy(*order)
+    return cand.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -176,6 +222,7 @@ def knn_join(
     broadcast_threshold_bytes: int = 64 << 20,
     right_rows: int | None = None,
     dim: int | None = None,
+    broadcast_side: str = "right",
 ) -> DataFrame:
     """Batch kNN join: for every left row, its k nearest right rows.
 
@@ -273,29 +320,40 @@ def knn_join(
             dim=dim,
             right_rows=right_rows,
         )
-    scored = (
-        left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"))
-        .crossJoin(
-            F.broadcast(
-                right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec"))
-            )
+    if broadcast_side not in ("left", "right"):
+        raise ValueError(
+            f"knn_join broadcast_side must be 'left' or 'right'; got {broadcast_side!r}"
         )
-        .select(
-            "_lid",
-            "_rid",
-            F.round(pairwise_cosine_udf()(F.col("_lvec"), F.col("_rvec")), 4).alias("score"),
-        )
+    lsel = left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"))
+    rsel = right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec"))
+    # Broadcast the SMALL side and stream the big one: parallelism of
+    # the O(|L|·|R|) scoring stage is the stream side's partition
+    # count. A 20-probe batch against a 2M-vector corpus must
+    # broadcast the probes (broadcast_side='left') — broadcasting the
+    # corpus ships ~600 MB to every executor and runs the 40M-pair
+    # cross join on the probe side's 1-2 input partitions (measured
+    # 15× on 10× data at sf10 before this knob existed).
+    if broadcast_side == "left":
+        joined = rsel.crossJoin(F.broadcast(lsel))
+    else:
+        joined = lsel.crossJoin(F.broadcast(rsel))
+    scored = joined.select(
+        "_lid",
+        "_rid",
+        F.round(pairwise_cosine_udf()(F.col("_lvec"), F.col("_rvec")), 4).alias("score"),
     )
-    w = W.partitionBy("_lid").orderBy(F.col("score").desc(), F.col("_rid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("_lid").alias(left_id),
-            F.col("_rid").alias(right_id),
-            "score",
-            "rank",
-        )
+    # Two-phase grouped top-k: the broadcast path's group count is the
+    # probe count, which is exactly the shape where a single
+    # PARTITION BY _lid window collapses to probe-count-way
+    # parallelism. Phase-1 output is ≤ k·|L| rows, so the extra
+    # phase-2 shuffle is noise even when |L| is large.
+    return grouped_topk(
+        scored, "_lid", k, order_col="score", tiebreak_col="_rid"
+    ).select(
+        F.col("_lid").alias(left_id),
+        F.col("_rid").alias(right_id),
+        "score",
+        "rank",
     )
 
 

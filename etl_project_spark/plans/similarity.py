@@ -146,7 +146,8 @@ def q_knn_join_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_vec="embedding",
         right_vec="embedding",
         k=3,
-        strategy="broadcast",  # right side is known-small here
+        strategy="broadcast",
+        broadcast_side="left",  # 20 probes broadcast; 2M corpus streams
     )
     return out.orderBy("probe_id", "rank")
 
@@ -397,6 +398,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_knn_join_lsh) is the 100 TB path for large anchor sets.
     """
     from etl_project_spark.operators.dedup import cosine_similarity
+    from etl_project_spark.operators.similarity import grouped_topk
 
     tune_session(spark)
     e = read_table(spark, sf_dir, "embeddings").select(
@@ -409,8 +411,6 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("a_label"),
         F.col("emb").alias("a_emb"),
     )
-    from pyspark.sql import Window as W
-
     scored = (
         e.join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
         .select(
@@ -419,12 +419,13 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity(F.col("emb"), F.col("a_emb")), 4).alias("score"),
         )
     )
-    w = W.partitionBy("a_id").orderBy(F.desc("score"), "neg_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("a_id", "neg_id", "score", "rank")
-    )
+    # 5 anchor groups over n_vectors·4.5 scored rows: a single
+    # PARTITION BY a_id window is 5-way parallel with a 2M-row sort
+    # per task at sf10 (the sweep's 42×-on-10×-data outlier). The
+    # two-phase grouped top-k keeps the sorts partition-local.
+    return grouped_topk(
+        scored, "a_id", 5, order_col="score", tiebreak_col="neg_id"
+    ).select("a_id", "neg_id", "score", "rank")
 
 
 @register(
