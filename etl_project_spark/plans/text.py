@@ -1077,11 +1077,14 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # Vocabulary is corpus-proportional (typos/numerals/hashes keep
+    # adding distinct words), so the top-200 cut must be a
+    # TakeOrderedAndProject (per-partition top-k + driver merge), not a
+    # row_number() over an unpartitioned window that would funnel the
+    # whole vocab through one sort task — same fix as q_zipf_exponent.
     vocab = (
-        words.withColumn(
-            "rnk", F.row_number().over(W.orderBy(F.desc("cnt"), "word"))
-        )
-        .where(F.col("rnk") <= 200)
+        words.orderBy(F.desc("cnt"), "word")
+        .limit(200)
         .select(
             F.concat(
                 F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
