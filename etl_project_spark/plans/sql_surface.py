@@ -207,11 +207,23 @@ def q_sql_recursive_compound_balance(spark: SparkSession, sf_dir: str) -> DataFr
     8x the anchor's upper bound from the parquet footer count (a
     metadata-only job), keeping runaway protection meaningful at any
     corpus size instead of hard-failing at ~143k accounts per level.
+
+    The override is INTENTIONALLY session-lifetime: the returned
+    DataFrame is lazy, so the limit must still be raised when the
+    caller materializes it later — a save/restore inside this builder
+    would put the old ceiling back before the recursion ever runs.
+    The setting is monotone (``max`` with the current need, never
+    lowered), only weakens a runaway guard rather than changing any
+    result, and is sized from this corpus's own footer count, so a
+    shared benchmark session keeps protection proportionate to the
+    largest corpus it has touched.
     """
     _register_views(spark, sf_dir, "customer")
     n_customer = read_table(spark, sf_dir, "customer").count()
+    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
     spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 8 * n_customer))
+        "spark.sql.cteRecursionRowLimit",
+        str(max(current, 1_000_000, 8 * n_customer)),
     )
     return spark.sql(_SQL_RECURSIVE_BALANCE.format(intdiv="div"))
 

@@ -37,6 +37,31 @@ from pyspark.sql import functions as F
 __all__ = ["bucketed_global_rank", "bucketed_prefix_sum", "ntile_from_rank"]
 
 
+def _non_null_or_raise(col_name: str, fn_name: str) -> Column:
+    """Ordering value with an in-data-path NULL trap.
+
+    Both two-phase helpers join rows to bucket offsets on a bucket id
+    derived from the ordering value; a NULL value yields a NULL bucket
+    id that never matches the inner join, silently DROPPING the row —
+    whereas the ROW_NUMBER/SUM window forms they replace rank NULLs
+    first. No current call site can produce NULLs (all feed non-null
+    aggregates), so rather than pick a NULLS FIRST emulation nobody
+    exercises, fail loudly if a future call site violates the contract.
+    ``raise_error`` sits inside the bucket expression itself, so
+    Catalyst cannot prune it away as an unused check column.
+    """
+    return F.when(
+        F.col(col_name).isNull(),
+        F.raise_error(
+            F.lit(
+                f"{fn_name}: NULL in ordering column '{col_name}' — the "
+                "two-phase bucket scheme requires non-null ordering values "
+                "(the window form it replaces would rank NULLs first)"
+            )
+        ),
+    ).otherwise(F.col(col_name))
+
+
 def _bucket_col(v: Column, lo: Column, hi: Column, nb: int, descending: bool) -> Column:
     """Fixed-width bucket id of ``v`` over [lo, hi]; bucket 0 holds the
     FIRST values in the requested order.  Degenerate range (hi == lo)
@@ -62,9 +87,15 @@ def bucketed_global_rank(
 
     ``tiebreak_cols`` must make the total order deterministic (the same
     contract the window form had).  Adds ``i``; preserves input columns.
+
+    ``value_col`` must be non-null: the window form ranks NULLs first,
+    but here a NULL bucket id would silently miss the offsets join and
+    drop the row. Rather than diverge silently, a NULL ordering value
+    fails the job with an explicit error (the guard lives inside the
+    bucket expression, so column pruning cannot eliminate it).
     """
     rng = df.agg(F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
-    v = F.col(value_col)
+    v = _non_null_or_raise(value_col, "bucketed_global_rank")
     bucketed = df.crossJoin(F.broadcast(rng)).withColumn(
         "_bk", _bucket_col(v, F.col("_lo"), F.col("_hi"), nb, descending)
     )
@@ -96,12 +127,21 @@ def bucketed_prefix_sum(
     (``SUM() OVER (ORDER BY k ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``)
     as column ``out_col``, without streaming every row through one task.
 
-    ``order_col`` must be a unique numeric key (doc_id-like); equal
-    keys would make the exclusive sum ambiguous in either formulation.
+    ``order_col`` must be a unique, NON-NULL numeric key (doc_id-like);
+    equal keys would make the exclusive sum ambiguous in either
+    formulation, and a NULL key fails the job explicitly (see
+    :func:`_non_null_or_raise`) instead of silently dropping the row.
     """
     rng = df.agg(F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi"))
     bucketed = df.crossJoin(F.broadcast(rng)).withColumn(
-        "_bk", _bucket_col(F.col(order_col), F.col("_lo"), F.col("_hi"), nb, False)
+        "_bk",
+        _bucket_col(
+            _non_null_or_raise(order_col, "bucketed_prefix_sum"),
+            F.col("_lo"),
+            F.col("_hi"),
+            nb,
+            False,
+        ),
     )
     sums = bucketed.groupBy("_bk").agg(F.sum(sum_col).alias("_s"))
     wcum = W.orderBy("_bk").rowsBetween(W.unboundedPreceding, -1)

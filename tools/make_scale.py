@@ -113,19 +113,23 @@ def main() -> None:
                     # (empty-slice SQL semantics) and every vector would
                     # gain perfect twins, collapsing the ANN sweep into a
                     # clone-detection benchmark (round-8 sf10 fix).
-                    r = i % 64
+                    # Cycle-dependent roll (ADVICE r9): with a plain
+                    # i % 64 roll, replicas j and 128+j share BOTH the
+                    # roll and the sign parity, so their directions are
+                    # identical and cosine is exactly 1.0 — the perfect
+                    # -twin degeneracy again, just two cycles out. The
+                    # +cyc offset makes (roll, sign-parity) pairs never
+                    # repeat within 64·128 replicas.
+                    cyc = i // 64
+                    r = (i % 64 + cyc) % 64
                     rolled = (
                         f"embedding[{r + 1}:] || embedding[1:{r}]"
                         if r > 0
                         else "embedding"
                     )
-                    # Per-cycle scale (ADVICE r8): the two-state sign
-                    # flip repeats with period 128, so replica 128+j
-                    # would clone replica j exactly. Scaling by a
-                    # cycle-dependent constant (1, -1, 1/2, -1/2, …)
-                    # never repeats: cosine direction stays decorrelated
-                    # by the roll, and magnitudes differ across cycles.
-                    cyc = i // 64
+                    # Per-cycle scale: magnitudes also differ across
+                    # cycles (1, -1, 1/2, -1/2, …) so wrapped cycles are
+                    # never exact value clones either.
                     if cyc > 0:
                         sign = "-" if cyc % 2 == 1 else ""
                         denom = 2 ** ((cyc + 1) // 2)
