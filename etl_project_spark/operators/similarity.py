@@ -208,6 +208,161 @@ def grouped_topk(
     )
 
 
+def grouped_probe_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    corpus_id: str,
+    probe_id: str,
+    corpus_vec: str,
+    probe_vec: str,
+    k: int,
+    n_cells: int = 64,
+    hash_side: str = "corpus",
+    neq_cols: tuple[str, str] | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact per-probe cosine top-k WITHOUT per-pair materialization:
+    the r10 cure for the broadcast-kNN shape, same disease the r8
+    ``group_pairs_scorer`` cured for dedup verify joins.
+
+    The cross-join forms materialize |probes|·|corpus| rows, each
+    dragging two 64-dim arrays — through Arrow (per-pair pandas UDF,
+    24 s for 4M pairs at sf10) or through CodegenFallback higher-order
+    functions (115 s) or even an unrolled 192-term ``element_at``
+    expression (85 s; per-pair UnsafeArrayData access is the cost, not
+    the lambda). Here each vector crosses the wire ONCE: the
+    ``hash_side`` table is hashed into ``n_cells`` cogroup cells, the
+    other side is replicated to every cell (tiny — cells × rows of the
+    small side), and a numpy kernel scores each cell with the EXACT
+    chunked-einsum arithmetic of :func:`pairwise_cosine_udf` /
+    :func:`group_pairs_scorer` (same summation order, same HALF-UP
+    round-4 — a blocked matmul could flip a round-4 boundary vs the
+    oracle's fold). Per (cell, probe) it emits only the local top-k; a
+    final window merges the ≤ k·n_cells survivors per probe — bounded,
+    never entity-scale. Wall-clock at sf10 (200k corpus × 20 probes):
+    29 s cross-join pandas → ~2 s grouped.
+
+    ``hash_side="corpus"`` (default) shuffles the corpus once and
+    replicates the probe batch — right when probes are the small side.
+    ``hash_side="probes"`` mirrors it for a small corpus under a large
+    probe batch. Either way the shuffle is linear in the big side; at
+    100 TB that is a spill-able exchange, not an O(|L|·|R|) blow-up.
+
+    ``neq_cols=(corpus_col, probe_col)`` excludes pairs whose values
+    are equal — the hard-negative-mining contract (nearest rows with a
+    DIFFERENT label) — applied as a score mask inside the kernel, so
+    excluded pairs can never crowd out valid ones.
+
+    Output: (probe_id, corpus_id, score, rank) with rank 1..k ordered
+    by (score DESC, corpus_id ASC) — deterministic under round-4 ties.
+    ``probe_id`` and ``corpus_id`` must be distinct names.
+    """
+    if probe_id == corpus_id:
+        raise ValueError(
+            "grouped_probe_topk: probe_id and corpus_id must be distinct "
+            f"column names; both are {probe_id!r} — alias one side"
+        )
+    if hash_side not in ("corpus", "probes"):
+        raise ValueError(
+            f"grouped_probe_topk hash_side must be 'corpus' or 'probes'; "
+            f"got {hash_side!r}"
+        )
+    types = {
+        f.name: f.dataType.simpleString()
+        for df in (corpus, probes)
+        for f in df.schema.fields
+    }
+    out_schema = (
+        f"{probe_id} {types[probe_id]}, {corpus_id} {types[corpus_id]}, "
+        "score double"
+    )
+    c_neq, p_neq = neq_cols if neq_cols is not None else (None, None)
+    ccols = [corpus_id, corpus_vec] + ([c_neq] if c_neq else [])
+    pcols = [probe_id, probe_vec] + ([p_neq] if p_neq else [])
+
+    spark = corpus.sparkSession
+    cells = F.broadcast(
+        spark.range(n_cells).select(F.col("id").cast("int").alias("_gpc"))
+    )
+    if hash_side == "corpus":
+        cside = corpus.select(*ccols).withColumn(
+            "_gpc", F.pmod(F.hash(F.col(corpus_id)), F.lit(n_cells)).cast("int")
+        )
+        pside = probes.select(*pcols).crossJoin(cells)
+    else:
+        cside = corpus.select(*ccols).crossJoin(cells)
+        pside = probes.select(*pcols).withColumn(
+            "_gpc", F.pmod(F.hash(F.col(probe_id)), F.lit(n_cells)).cast("int")
+        )
+
+    kk = int(k)
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({probe_id: [], corpus_id: [], "score": []}).astype(
+            {"score": "float64"}
+        )
+
+    def score_cell(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or pdf.empty:
+            return empty()
+        # Base order by corpus id so the stable per-column argsort
+        # breaks round-4 score ties by ascending id — the same
+        # (score DESC, id ASC) order the merge window uses.
+        base = np.argsort(cdf[corpus_id].to_numpy(), kind="stable")
+        cids = cdf[corpus_id].to_numpy()[base]
+        C = np.stack(cdf[corpus_vec].to_numpy())[base].astype(np.float64)
+        P = np.stack(pdf[probe_vec].to_numpy()).astype(np.float64)
+        pids = pdf[probe_id].to_numpy()
+        m, p = len(cids), len(pids)
+        cn = np.linalg.norm(C, axis=1)
+        pn = np.linalg.norm(P, axis=1)
+        S = np.empty((m, p), dtype=np.float64)
+        flat = S.reshape(-1)
+        # Chunked per-pair einsum — identical arithmetic (and summation
+        # order) to pairwise_cosine_udf, bounded peak memory like
+        # group_pairs_scorer's 2M-pair chunks.
+        CHUNK = 2_000_000
+        total = m * p
+        for lo in range(0, total, CHUNK):
+            hi = min(lo + CHUNK, total)
+            ci, pj = np.unravel_index(np.arange(lo, hi), (m, p))
+            dots = np.einsum("ij,ij->i", C[ci], P[pj])
+            denom = cn[ci] * pn[pj]
+            flat[lo:hi] = round_half_up4(
+                np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0)
+            )
+        if c_neq is not None:
+            eq = (
+                cdf[c_neq].to_numpy()[base][:, None]
+                == pdf[p_neq].to_numpy()[None, :]
+            )
+            S[eq] = np.nan  # NaN sorts last under argsort → never top-k
+        k_eff = min(kk, m)
+        # Column-wise stable argsort on -S: score DESC, then the id-ASC
+        # base order for ties; NaN-masked pairs sink below every score.
+        idx = np.argsort(-S, axis=0, kind="stable")[:k_eff]  # (k_eff, p)
+        gathered = np.take_along_axis(S, idx, axis=0)  # (k_eff, p)
+        valid = ~np.isnan(gathered).ravel()
+        return pd.DataFrame(
+            {
+                probe_id: np.broadcast_to(pids, (k_eff, p)).ravel()[valid],
+                corpus_id: cids[idx].ravel()[valid],
+                "score": gathered.ravel()[valid],
+            }
+        )
+
+    local = (
+        cside.groupby("_gpc")
+        .cogroup(pside.groupby("_gpc"))
+        .applyInPandas(score_cell, out_schema)
+    )
+    wm = W.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return local.withColumn(rank_col, F.row_number().over(wm)).filter(
+        F.col(rank_col) <= kk
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -223,6 +378,7 @@ def knn_join(
     right_rows: int | None = None,
     dim: int | None = None,
     broadcast_side: str = "right",
+    exact_impl: str = "grouped",
 ) -> DataFrame:
     """Batch kNN join: for every left row, its k nearest right rows.
 
@@ -326,13 +482,38 @@ def knn_join(
         )
     lsel = left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"))
     rsel = right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec"))
-    # Broadcast the SMALL side and stream the big one: parallelism of
-    # the O(|L|·|R|) scoring stage is the stream side's partition
-    # count. A 20-probe batch against a 2M-vector corpus must
-    # broadcast the probes (broadcast_side='left') — broadcasting the
-    # corpus ships ~600 MB to every executor and runs the 40M-pair
-    # cross join on the probe side's 1-2 input partitions (measured
-    # 15× on 10× data at sf10 before this knob existed).
+    if exact_impl == "grouped":
+        # Default exact path: cogroup-einsum top-k. ``broadcast_side``
+        # names the SMALL side; the other side is hashed into cells, so
+        # each vector crosses the wire once instead of once per pair
+        # (sf10 A/B: 29 s cross-join pandas → ~2 s grouped; the JVM
+        # expression forms are worse still — HOF 115 s, unrolled
+        # element_at 85 s — per-pair UnsafeArrayData access dominates).
+        out = grouped_probe_topk(
+            rsel,
+            lsel,
+            corpus_id="_rid",
+            probe_id="_lid",
+            corpus_vec="_rvec",
+            probe_vec="_lvec",
+            k=k,
+            hash_side="corpus" if broadcast_side == "left" else "probes",
+        )
+        return out.select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "score",
+            "rank",
+        )
+    if exact_impl != "pairs":
+        raise ValueError(
+            f"knn_join exact_impl must be 'grouped' or 'pairs'; got {exact_impl!r}"
+        )
+    # Escape hatch: shuffle-free broadcast cross join + per-pair Arrow
+    # scorer. Streams the big side with ZERO exchanges — right when the
+    # pair count is small or a corpus shuffle is unaffordable — but
+    # materializes |L|·|R| rows each dragging two vectors, so it loses
+    # to the grouped kernel as soon as pairs reach the millions.
     if broadcast_side == "left":
         joined = rsel.crossJoin(F.broadcast(lsel))
     else:

@@ -391,40 +391,39 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5 most-similar corpus vectors with a DIFFERENT label.
 
     The mining recipe behind dense-retriever training (in-batch
-    negatives are easy; the useful ones are near-misses). The anchor
-    set is a broadcast (5 rows); scoring is the JVM zip_with cosine,
-    and the top-5 cut is a per-anchor window — with a realistic anchor
-    batch this is the brute-force kNN-join shape, and the LSH variant
-    (q_knn_join_lsh) is the 100 TB path for large anchor sets.
+    negatives are easy; the useful ones are near-misses). This is the
+    kNN-join shape with a label-inequality constraint, so it runs on
+    the cogroup-einsum kernel (`grouped_probe_topk`): the corpus
+    hashes into cells, the 5-anchor batch replicates to each cell, and
+    the different-label rule is a score mask inside the kernel — no
+    per-pair row ever materializes. The r9 sweep measured the
+    join-then-window form at 42× on 10× data (five label-mismatch
+    fan-out rows per corpus vector, each dragging two vectors through
+    a CodegenFallback HOF cosine); the grouped kernel moves each
+    vector once and scores in numpy. The LSH variant (q_knn_join_lsh)
+    remains the 100 TB path for large anchor sets.
     """
-    from etl_project_spark.operators.dedup import cosine_similarity
-    from etl_project_spark.operators.similarity import grouped_topk
+    from etl_project_spark.operators.similarity import grouped_probe_topk
 
     tune_session(spark)
-    e = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-    )
+    e = read_table(spark, sf_dir, "embeddings")
     anchors = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
-        F.col("emb").alias("a_emb"),
+        F.col("embedding").alias("a_emb"),
     )
-    scored = (
-        e.join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
-        .select(
-            "a_id",
-            F.col("vec_id").alias("neg_id"),
-            F.round(cosine_similarity(F.col("emb"), F.col("a_emb")), 4).alias("score"),
-        )
+    corpus = e.select(
+        F.col("vec_id").alias("neg_id"), "label", "embedding"
     )
-    # 5 anchor groups over n_vectors·4.5 scored rows: a single
-    # PARTITION BY a_id window is 5-way parallel with a 2M-row sort
-    # per task at sf10 (the sweep's 42×-on-10×-data outlier). The
-    # two-phase grouped top-k keeps the sorts partition-local.
-    return grouped_topk(
-        scored, "a_id", 5, order_col="score", tiebreak_col="neg_id"
+    return grouped_probe_topk(
+        corpus,
+        anchors,
+        corpus_id="neg_id",
+        probe_id="a_id",
+        corpus_vec="embedding",
+        probe_vec="a_emb",
+        k=5,
+        neq_cols=("label", "a_label"),
     ).select("a_id", "neg_id", "score", "rank")
 
 

@@ -396,3 +396,90 @@ def test_group_pairs_scorer_excludes_duplicate_id_self_pairs():
     # the two distinct-id pairs survive (cosine ~ 1 >= 0.5), twice —
     # once per duplicate row of id 1
     assert ((out["id_a"] == 1) & (out["id_b"] == 2)).sum() == 2
+
+
+def test_knn_join_grouped_matches_pairs_impl(spark, emb):
+    """The cogroup-einsum exact path and the broadcast-cross-join
+    escape hatch are two physical plans for the same logical operator:
+    identical (probe, neighbor, score, rank) output, both
+    broadcast_side values."""
+    probes = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    others = emb.filter(F.col("vec_id") >= 5).withColumnRenamed("vec_id", "neighbor_id")
+    kwargs = dict(
+        left_id="probe_id", right_id="neighbor_id",
+        left_vec="embedding", right_vec="embedding",
+        k=3, strategy="broadcast",
+    )
+    for side in ("left", "right"):
+        grouped = sorted(
+            SIM.knn_join(probes, others, broadcast_side=side, **kwargs).collect()
+        )
+        pairs = sorted(
+            SIM.knn_join(
+                probes, others, broadcast_side=side, exact_impl="pairs", **kwargs
+            ).collect()
+        )
+        assert grouped == pairs
+
+
+def test_grouped_probe_topk_neq_mask_vs_local(spark, emb):
+    """neq_cols must exclude equal-label pairs WITHOUT letting masked
+    rows crowd out valid ones — checked against a local recompute of
+    'top-3 different-label neighbors' per probe."""
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    corpus = emb.select(F.col("vec_id").alias("n_id"), "label", "embedding")
+    out = SIM.grouped_probe_topk(
+        corpus, probes,
+        corpus_id="n_id", probe_id="a_id",
+        corpus_vec="embedding", probe_vec="a_emb",
+        k=3, neq_cols=("label", "a_label"), n_cells=7,
+    ).collect()
+    crows = corpus.collect()
+    for p in probes.collect():
+        got = sorted(
+            [(r.score, r.n_id, r.rank) for r in out if r.a_id == p.a_id],
+            key=lambda t: t[2],
+        )
+        want = _local_topk(
+            [
+                type("R", (), {"vec_id": c.n_id, "embedding": c.embedding})
+                for c in crows
+                if c.label != p.a_label
+            ],
+            p.a_emb, 3,
+        )
+        assert [(s, i) for s, i, _ in got] == want
+        assert [r for _, _, r in got] == [1, 2, 3]
+
+
+def test_grouped_probe_topk_hash_sides_agree(spark, emb):
+    """hash_side='corpus' (shuffle corpus, replicate probes) and
+    hash_side='probes' (mirror) are physically different, logically
+    identical."""
+    probes = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 6).select(
+        F.col("vec_id").alias("n_id"), "embedding"
+    )
+    kwargs = dict(
+        corpus_id="n_id", probe_id="a_id",
+        corpus_vec="embedding", probe_vec="a_emb", k=4, n_cells=5,
+    )
+    a = sorted(SIM.grouped_probe_topk(corpus, probes, hash_side="corpus", **kwargs).collect())
+    b = sorted(SIM.grouped_probe_topk(corpus, probes, hash_side="probes", **kwargs).collect())
+    assert a == b
+    assert len(a) == 6 * 4
+
+
+def test_grouped_probe_topk_rejects_colliding_id_names(spark, emb):
+    with pytest.raises(ValueError, match="distinct"):
+        SIM.grouped_probe_topk(
+            emb, emb,
+            corpus_id="vec_id", probe_id="vec_id",
+            corpus_vec="embedding", probe_vec="embedding", k=1,
+        )
