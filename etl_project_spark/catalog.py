@@ -41,6 +41,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     tune_session(spark)
+    # A registered bucketed layout (sources/bucketed.py) transparently
+    # substitutes the pre-hash-partitioned catalog table — same rows,
+    # same schema, but joins/aggs on the bucket key skip their
+    # Exchange. Registry builders stay layout-agnostic.
+    from etl_project_spark.sources.bucketed import bucketed_table_for
+
+    bucketed = bucketed_table_for(sf_dir, name)
+    if bucketed is not None:
+        return spark.table(bucketed)
     df = spark.read.parquet(table_path(sf_dir, name))
     return normalize_nanos_timestamps(df)
 

@@ -36,7 +36,61 @@ Scale rules encoded here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+#: (abs sf_dir, table name) -> catalog table holding the bucketed copy.
+#: Consulted by catalog.read_table, so EVERY registry builder runs
+#: unchanged against a bucketed layout once a family is registered —
+#: the layout-agnosticism promise in this module's docstring, made
+#: mechanical.
+_LAYOUT: dict[tuple[str, str], str] = {}
+
+
+def register_bucketed_layout(sf_dir: str, name: str, table: str) -> None:
+    """Route ``read_table(spark, sf_dir, name)`` to catalog ``table``."""
+    _LAYOUT[(os.path.abspath(sf_dir), name)] = table
+
+
+def clear_bucketed_layout() -> None:
+    _LAYOUT.clear()
+
+
+def bucketed_table_for(sf_dir: str, name: str) -> str | None:
+    return _LAYOUT.get((os.path.abspath(sf_dir), name))
+
+
+def persist_bucketed_family(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: dict[str, str],
+    *,
+    n_buckets: int = 32,
+    prefix: str = "bk",
+) -> dict[str, str]:
+    """Persist a table FAMILY bucketed on its join keys and register
+    the layout so registry builders pick it up transparently.
+
+    ``keys`` maps corpus table name -> bucket/sort key. All tables in a
+    family share ``n_buckets`` (Spark only elides the join exchange
+    when both sides hash into the same bucket layout). Returns the
+    catalog table names. This is the pay-once write: at 100 TB it runs
+    as the final stage of ingest, and every subsequent orderkey join or
+    orderkey-prefixed aggregation in the workload skips its shuffle.
+    """
+    from etl_project_spark.catalog import read_table
+
+    out: dict[str, str] = {}
+    for name, key in keys.items():
+        table = f"{prefix}_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        write_bucketed(
+            read_table(spark, sf_dir, name), table, key, n_buckets=n_buckets
+        )
+        register_bucketed_layout(sf_dir, name, table)
+        out[name] = table
+    return out
 
 
 def write_bucketed(

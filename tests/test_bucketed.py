@@ -87,3 +87,52 @@ def test_flat_same_join_does_shuffle(spark):
     b = docs.select("doc_id", F.length("text").alias("n"))
     plan = a.join(b, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_registry_query_runs_shuffle_free_on_bucketed_family(spark):
+    """END-TO-END layout claim: persist the order-fact family
+    (orders + lineitem) bucketed on orderkey, register the layout, and
+    the UNCHANGED q03 registry builder must (a) return identical rows
+    and (b) plan its lineitem-orders join with NO Exchange on either
+    side — the pay-the-shuffle-once story from a real workload query,
+    not a synthetic join."""
+    import re
+    import shutil
+
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.sources.bucketed import (
+        clear_bucketed_layout,
+        persist_bucketed_family,
+    )
+
+    q03 = all_specs()["q03_shipping_priority"].builder
+    flat = q03(spark, SF_SMOKE)
+    flat_rows = [tuple(r) for r in flat.collect()]
+    flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    try:
+        persist_bucketed_family(
+            spark,
+            SF_SMOKE,
+            {"orders": "o_orderkey", "lineitem": "l_orderkey"},
+            n_buckets=8,
+            prefix="bkt",
+        )
+        bucketed = q03(spark, SF_SMOKE)
+        assert [tuple(r) for r in bucketed.collect()] == flat_rows
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        orderkey_exchanges = re.findall(
+            r"Exchange hashpartitioning\((?:l_|o_)orderkey", plan
+        )
+        assert not orderkey_exchanges, plan
+        # the flat plan DOES shuffle on orderkey — otherwise this test
+        # proves nothing
+        assert re.search(r"Exchange hashpartitioning\((?:l_|o_)orderkey", flat_plan)
+    finally:
+        clear_bucketed_layout()
+        for t in ("bkt_orders", "bkt_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
