@@ -60,6 +60,50 @@ EXTRA_PLANS = (
 )
 
 
+#: Queries whose plans legitimately contain an UNPARTITIONED window —
+#: each audited to run over a provably bounded frame (post-limit top-k
+#: tables, decile/bin/month rollups, the fixed 64-dim spectrum, ≤nb
+#: bucket-offset tables). Any query NOT listed here whose headline plan
+#: grows an unpartitioned WindowExec fails this script — the structural
+#: guard the r9 verdict asked for (the q_bpe_learned_merges full-vocab
+#: window shipped precisely because nothing tripped on it).
+BOUNDED_UNPARTITIONED_WINDOWS: dict[str, str] = {
+    "q_max_concurrent_open_orders": (
+        "exclusive carry over the month-totals table (one row per "
+        "month; in-month running sums are partitioned by month)"
+    ),
+    "q_countmin_token_freq": (
+        "rank over the 20 survivors of a TakeOrderedAndProject top-k "
+        "cut, never the vocabulary table"
+    ),
+}
+
+
+def _unpartitioned_windows(formatted: str) -> int:
+    """Count Window nodes with NO partition spec in a formatted plan.
+
+    In explain('formatted') details, a Window node's Arguments line is
+    ``[funcs], [partitionExprs], [orderExprs]`` when partitioned and
+    only ``[funcs], [orderExprs]`` when not — two top-level bracket
+    lists instead of three. A partitioned-but-UNORDERED window
+    (``partitionBy(k)`` + count/sum over the whole frame) also prints
+    two lists, but its trailing list is partition columns with no
+    ASC/DESC markers — only sort markers in the last list mean the
+    sort is global.
+    """
+    n = 0
+    lines = formatted.splitlines()
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            for arg in lines[i : i + 6]:
+                if arg.strip().startswith("Arguments: [") and "windowspecdefinition" in arg:
+                    parts = re.split(r"\], \[", arg)
+                    if len(parts) == 2 and re.search(r" (ASC|DESC)\b", parts[-1]):
+                        n += 1
+                    break
+    return n
+
+
 def main() -> None:
     import __spark_entry__ as mod
     from bench import BENCH_QUERIES
@@ -75,6 +119,7 @@ def main() -> None:
 
     out = [HEADER]
     seen: set[str] = set()
+    window_failures: list[str] = []
     for name in tuple(BENCH_QUERIES) + ("---",) + EXTRA_PLANS:
         if name == "---":
             out.append(
@@ -124,6 +169,14 @@ def main() -> None:
         )
         if pystages:
             stats += " · Python stages: " + ", ".join(pystages)
+        n_upw = _unpartitioned_windows(formatted)
+        if n_upw:
+            reason = BOUNDED_UNPARTITIONED_WINDOWS.get(name)
+            if reason is None:
+                window_failures.append(name)
+                stats += f" · **UNPARTITIONED WINDOWS: {n_upw} (UNAUDITED)**"
+            else:
+                stats += f" · unpartitioned windows: {n_upw} (bounded: {reason})"
         out.append(stats)
         if pushed:
             out.append("- pushdown: " + "; ".join(p[:140] for p in pushed[:4]))
@@ -137,6 +190,14 @@ def main() -> None:
         f.write("\n".join(out))
     print("wrote PLANS.md")
     spark.stop()
+    if window_failures:
+        print(
+            "FAIL: unpartitioned WindowExec in headline plan(s) with no "
+            f"bounded-frame audit entry: {window_failures} — either fix the "
+            "plan (orderBy().limit() / two-phase bucket scheme) or add an "
+            "audited reason to BOUNDED_UNPARTITIONED_WINDOWS."
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
