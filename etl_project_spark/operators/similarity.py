@@ -754,6 +754,97 @@ def knn_join_lsh(
     )
 
 
+# -- Product quantization (PQ) ----------------------------------------------
+
+def pq_codebooks(seeds: list[list[float]], n_sub: int) -> "np.ndarray":
+    """Split ``ks`` seed vectors into per-subspace codebooks.
+
+    Returns shape ``(n_sub, ks, dim // n_sub)``: codeword ``c`` of
+    subspace ``s`` is the ``s``-th slice of seed vector ``c`` — the
+    same deterministic no-RNG device as the IVF coarse centroids
+    (:func:`deterministic_centroids`), which keeps every downstream
+    stage SQL-replayable. Config-sized (ks × dim floats); a k-means
+    refinement per subspace would tighten cells without changing any
+    plan shape.
+    """
+    A = np.asarray(seeds, dtype=np.float64)
+    ks, dim = A.shape
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    return np.ascontiguousarray(A.reshape(ks, n_sub, dsub).transpose(1, 0, 2))
+
+
+def pq_encode_udf(codebooks: "np.ndarray"):
+    """Arrow-batched PQ encoder: vector → (codes, per-subspace sq-err).
+
+    ``codes[s]`` is the L2-nearest codeword of slice ``s`` (ties to the
+    LOWER codeword id — np.argmin's first-minimum rule, mirrored by the
+    oracle's ``ORDER BY d, c``), ``errs[s]`` the winning squared
+    distance (the reconstruction error of that slice). Squared
+    distances accumulate ELEMENT-BY-ELEMENT, left to right — the same
+    fold order as the oracle SQL's explicit 8-term sum, so argmin
+    comparisons see bit-identical doubles in both engines (numpy's
+    ``.sum`` is pairwise-blocked and could flip an ulp-tie).
+
+    One scan, codebook in the task closure, no shuffle: the 100 TB
+    shape for memory-bound ANN — 64 float dims become 8 uint8 codes
+    (64× smaller residency), and ADC lookups against a query table
+    replace full dot products.
+    """
+    CB = np.asarray(codebooks, dtype=np.float64)  # (S, K, D)
+    S, K, D = CB.shape
+
+    @pandas_udf(f"struct<codes: array<int>, errs: array<double>>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, S*D)
+        n = M.shape[0]
+        V = M.reshape(n, S, 1, D)
+        d = (V[..., 0] - CB[None, :, :, 0]) ** 2  # (n, S, K)
+        for i in range(1, D):
+            d = d + (V[..., i] - CB[None, :, :, i]) ** 2
+        codes = np.argmin(d, axis=2).astype("int32")  # (n, S)
+        errs = np.take_along_axis(d, codes[..., None].astype(np.intp), axis=2)[
+            ..., 0
+        ]
+        return pd.DataFrame({"codes": list(codes), "errs": list(errs)})
+
+    return enc
+
+
+def pq_adc_table(
+    codebooks: "np.ndarray", query_vec: Sequence[float], decimals: int = 6
+) -> list[list[float]]:
+    """Query-to-codeword squared-distance lookup table for ADC search.
+
+    ``dt[s][c] = round6(Σ_i (q_slice[i] - codeword[i])²)`` with a
+    left-to-right fold and HALF-UP rounding — computed driver-side
+    (config-sized: n_sub × ks) with exactly the arithmetic the oracle
+    SQL spells out, so the per-row ADC sums downstream start from
+    bit-identical table entries. Pre-rounding each entry puts every
+    ADC total on the 1e-6 grid, which makes the final ROUND(·, 6)
+    engine-order-proof.
+    """
+    CB = np.asarray(codebooks, dtype=np.float64)
+    S, K, D = CB.shape
+    q = np.asarray(list(query_vec), dtype=np.float64).reshape(S, 1, D)
+    scale = 10.0**decimals
+    out: list[list[float]] = []
+    for s in range(S):
+        row = []
+        for c in range(K):
+            acc = 0.0
+            for i in range(D):
+                diff = q[s, 0, i] - CB[s, c, i]
+                acc = acc + diff * diff
+            # HALF-UP at `decimals`, matching SQL ROUND
+            row.append(
+                float(np.sign(acc) * np.floor(abs(acc) * scale + 0.5) / scale)
+            )
+        out.append(row)
+    return out
+
+
 # -- IVF (inverted-file) coarse quantization --------------------------------
 
 def ivf_assign(

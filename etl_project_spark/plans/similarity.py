@@ -593,3 +593,172 @@ def q_embedding_energy_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 6).alias("variance"),
         F.round(F.sum(F.col("v") / F.col("tv")).over(w), 6).alias("cum_energy_share"),
     )
+
+
+# -- Product quantization ----------------------------------------------------
+
+_PQ_SUB, _PQ_KS, _PQ_DSUB = 8, 16, 8
+
+
+def _pq_sq_terms(a: str, b: str, s: int) -> str:
+    """Explicit left-to-right 8-term squared-distance sum with literal
+    1-based indices — the fold order the Spark encoder reproduces."""
+    terms = []
+    for i in range(_PQ_DSUB):
+        idx = s * _PQ_DSUB + i + 1
+        terms.append(f"({a}[{idx}] - {b}[{idx}])*({a}[{idx}] - {b}[{idx}])")
+    return " + ".join(terms)
+
+
+def _pq_query_sq_terms(s: int) -> str:
+    terms = []
+    for i in range(_PQ_DSUB):
+        idx = s * _PQ_DSUB + i + 1
+        q = repr(QUERY_VEC[idx - 1])
+        terms.append(f"(({q}) - cw[{idx}])*(({q}) - cw[{idx}])")
+    return " + ".join(terms)
+
+
+def _pq_codes_ctes() -> str:
+    dist_arms = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {s} AS s, c, {_pq_sq_terms('emb', 'cw', s)} AS d\n"
+        "  FROM corpus CROSS JOIN seeds"
+        for s in range(_PQ_SUB)
+    )
+    return f"""
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+         CAST(embedding AS DOUBLE[]) AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT {_PQ_KS})
+), corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), dists AS (
+{dist_arms}
+), codes AS (
+  SELECT vec_id, s, c, d FROM (
+    SELECT vec_id, s, c, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+    FROM dists)
+  WHERE rn = 1
+)"""
+
+
+def _pq_adc_oracle() -> str:
+    qd_arms = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS s, c, ROUND({_pq_query_sq_terms(s)}, 6) AS dq FROM seeds"
+        for s in range(_PQ_SUB)
+    )
+    return (
+        _pq_codes_ctes()
+        + f""",
+qd AS (
+{qd_arms}
+)
+SELECT vec_id, adc, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, adc,
+         ROW_NUMBER() OVER (ORDER BY adc, vec_id) AS rank FROM (
+    SELECT k.vec_id, ROUND(SUM(q.dq), 6) AS adc
+    FROM codes k JOIN qd q ON q.s = k.s AND q.c = k.c
+    GROUP BY k.vec_id))
+WHERE rank <= 10
+"""
+    )
+
+
+def _pq_recon_oracle() -> str:
+    return (
+        _pq_codes_ctes()
+        + """
+SELECT CAST(s AS INTEGER) AS subspace,
+       ROUND(AVG(d), 6) AS avg_sq_err,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM codes GROUP BY s
+"""
+    )
+
+
+def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    seeds = SIM.deterministic_centroids(e, "embedding", "vec_id", n_cells=_PQ_KS)
+    cbs = SIM.pq_codebooks(seeds, _PQ_SUB)
+    return (
+        e.select("vec_id", SIM.pq_encode_udf(cbs)(F.col("embedding")).alias("_pq")),
+        cbs,
+    )
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    tags=("similarity", "pq", "quantization", "embedding"),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search: top-10 by asymmetric-distance
+    (sum of per-subspace query→codeword squared distances) — the
+    memory-bound ANN path that serves 100 TB of vectors from 8 bytes
+    each.
+
+    64 float dims → 8 codes over 16-codeword subspace codebooks (the
+    IVF seed-vector device, sliced — deterministic, no RNG, fully
+    SQL-replayable). The encode is one Arrow-batched scan with the
+    codebook in the task closure; ADC scoring is 8 JVM element_at
+    lookups per row into the driver-computed (8×16) distance-table
+    literal — no join, no shuffle; the top-10 cut is a
+    TakeOrderedAndProject. Compose with the IVF cell layout
+    (q_knn_ivf_indexed_topk) for IVF-PQ: cells prune the scan, codes
+    shrink residency 64×.
+
+    Cross-engine determinism: squared distances fold left-to-right in
+    both engines (numpy's pairwise .sum could flip an ulp-tie);
+    argmin ties break to the lower codeword id; distance-table entries
+    pre-round to the 1e-6 grid so the ADC total's final ROUND(·, 6) is
+    summation-order-proof.
+    """
+    tune_session(spark)
+    enc, cbs = _pq_encoded(spark, sf_dir)
+    dt = SIM.pq_adc_table(cbs, QUERY_VEC)
+    dtlit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dt])
+    adc = None
+    for s in range(_PQ_SUB):
+        term = F.element_at(
+            F.element_at(dtlit, s + 1),
+            F.element_at(F.col("_pq.codes"), s + 1) + F.lit(1),
+        )
+        adc = term if adc is None else (adc + term)
+    top = (
+        enc.select("vec_id", F.round(adc, 6).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )
+    # rank over the 10 post-limit survivors — bounded by construction
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy("adc", "vec_id"))
+    )
+
+
+@register(
+    "q_pq_reconstruction_error",
+    oracle=_pq_recon_oracle(),
+    tags=("similarity", "pq", "quantization", "audit"),
+)
+def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction error (mean squared distance to
+    the chosen codeword) — the audit that decides whether a codebook
+    is good enough to serve, and which subspaces need more codewords.
+
+    Same one-scan encode as q_pq_adc_topk; the winning distance per
+    subspace comes back from the encoder for free, so the rollup is a
+    posexplode + 8-group hash agg with map-side combine — kilobytes of
+    shuffle at any corpus size.
+    """
+    tune_session(spark)
+    enc, _ = _pq_encoded(spark, sf_dir)
+    return (
+        enc.select(F.posexplode("_pq.errs").alias("subspace", "err"))
+        .groupBy("subspace")
+        .agg(
+            F.round(F.avg("err"), 6).alias("avg_sq_err"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

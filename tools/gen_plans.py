@@ -57,6 +57,10 @@ EXTRA_PLANS = (
     "q_haversine_distance_bands",
     "q_asof_tolerance_error_before_purchase",
     "q_sql_recursive_compound_balance",
+    # round-10 additions
+    "q_pq_adc_topk",
+    "q_hard_negative_mining",
+    "q_knn_join_labels",
 )
 
 
@@ -75,6 +79,10 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, str] = {
     "q_countmin_token_freq": (
         "rank over the 20 survivors of a TakeOrderedAndProject top-k "
         "cut, never the vocabulary table"
+    ),
+    "q_pq_adc_topk": (
+        "rank over the 10 survivors of the ADC TakeOrderedAndProject "
+        "cut"
     ),
 }
 
