@@ -762,3 +762,109 @@ def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+def _ivfpq_oracle() -> str:
+    qd_arms = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS s, c, ROUND({_pq_query_sq_terms(s)}, 6) AS dq FROM seeds"
+        for s in range(_PQ_SUB)
+    )
+    dist_arms = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {s} AS s, c, {_pq_sq_terms('emb', 'cw', s)} AS d\n"
+        "  FROM kept CROSS JOIN seeds"
+        for s in range(_PQ_SUB)
+    )
+    return f"""
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+         CAST(embedding AS DOUBLE[]) AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT {_PQ_KS})
+), probes AS (
+  SELECT c AS cell_id FROM (
+    SELECT c,
+           ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(cw, CAST({_QUERY_SQL_ARRAY} AS DOUBLE[])) DESC,
+                      c) AS rn
+    FROM seeds)
+  WHERE rn <= 4
+), kept AS (
+  SELECT vec_id, emb FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, s.c AS cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cw) DESC,
+                      s.c) AS rn
+    FROM embeddings e CROSS JOIN seeds s)
+  WHERE rn = 1 AND cell_id IN (SELECT cell_id FROM probes)
+), dists AS (
+{dist_arms}
+), codes AS (
+  SELECT vec_id, s, c, d FROM (
+    SELECT vec_id, s, c, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+    FROM dists)
+  WHERE rn = 1
+), qd AS (
+{qd_arms}
+)
+SELECT vec_id, adc, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, adc,
+         ROW_NUMBER() OVER (ORDER BY adc, vec_id) AS rank FROM (
+    SELECT k.vec_id, ROUND(SUM(q.dq), 6) AS adc
+    FROM codes k JOIN qd q ON q.s = k.s AND q.c = k.c
+    GROUP BY k.vec_id))
+WHERE rank <= 10
+"""
+
+
+@register(
+    "q_knn_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "pq", "ivf", "ann"),
+)
+def q_knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse cells prune the scan, product codes replace the
+    vectors — the composition that serves web-scale ANN from RAM
+    (Jégou et al., TPAMI'11 shape, relational throughout).
+
+    Stage 1 (IVF) assigns every vector to its nearest of 16 coarse
+    centroids and keeps only the 4 cells nearest the query — with the
+    materialized cell layout of q_knn_ivf_indexed_topk this is
+    planning-time partition pruning, a 4/16 scan. Stage 2 (PQ) encodes
+    only the kept quarter and ranks by ADC lookups — 8 bytes touched
+    per candidate instead of 256. Both stages reuse the same 16
+    deterministic seed vectors (centroids = full vectors, codebooks =
+    their slices), so the whole two-stage plan is replayed exactly by
+    one SQL oracle. Approximation is two-layer (cell recall × code
+    resolution) — the per-stage audits are q_knn_ivf_topk (cell
+    recall vs brute) and q_pq_reconstruction_error (code resolution).
+    """
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    seeds = SIM.deterministic_centroids(e, "embedding", "vec_id", n_cells=_PQ_KS)
+    cbs = SIM.pq_codebooks(seeds, _PQ_SUB)
+    probed = SIM.probe_cells(QUERY_VEC, seeds, n_probe=4)
+    kept = SIM.ivf_assign(e, "embedding", seeds).filter(
+        F.col("_cell").isin([int(p) for p in probed])
+    )
+    enc = kept.select(
+        "vec_id", SIM.pq_encode_udf(cbs)(F.col("embedding")).alias("_pq")
+    )
+    dt = SIM.pq_adc_table(cbs, QUERY_VEC)
+    dtlit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dt])
+    adc = None
+    for s in range(_PQ_SUB):
+        term = F.element_at(
+            F.element_at(dtlit, s + 1),
+            F.element_at(F.col("_pq.codes"), s + 1) + F.lit(1),
+        )
+        adc = term if adc is None else (adc + term)
+    top = (
+        enc.select("vec_id", F.round(adc, 6).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy("adc", "vec_id"))
+    )

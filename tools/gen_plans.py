@@ -59,6 +59,7 @@ EXTRA_PLANS = (
     "q_sql_recursive_compound_balance",
     # round-10 additions
     "q_pq_adc_topk",
+    "q_knn_ivfpq_topk",
     "q_hard_negative_mining",
     "q_knn_join_labels",
 )
@@ -81,6 +82,10 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, str] = {
         "cut, never the vocabulary table"
     ),
     "q_pq_adc_topk": (
+        "rank over the 10 survivors of the ADC TakeOrderedAndProject "
+        "cut"
+    ),
+    "q_knn_ivfpq_topk": (
         "rank over the 10 survivors of the ADC TakeOrderedAndProject "
         "cut"
     ),
