@@ -11,8 +11,12 @@ deterministic, so a recall miss is a hard hash failure, not flake).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from etl_project_spark.catalog import read_table
 from etl_project_spark.operators import similarity as SIM
@@ -868,3 +872,124 @@ def q_knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(W.orderBy("adc", "vec_id"))
     )
+
+
+_INT8_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), qv AS (
+  SELECT vec_id, emb,
+         CASE WHEN m > 0
+              THEN list_transform(emb, x -> floor(x * (127.0 / m) + 0.5))
+              ELSE list_transform(emb, x -> floor(x * 0.0)) END AS qe
+  FROM (SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) AS m
+        FROM corpus)
+), scored AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(emb, CAST({_QUERY_SQL_ARRAY} AS DOUBLE[])), 4)
+             AS cos_exact,
+         CASE WHEN list_dot_product(qe, qe) > 0
+              THEN ROUND(list_dot_product(qe, CAST({{QQ}} AS DOUBLE[]))
+                         / (sqrt(list_dot_product(qe, qe))
+                            * sqrt(list_dot_product(CAST({{QQ}} AS DOUBLE[]),
+                                                    CAST({{QQ}} AS DOUBLE[])))), 4)
+              ELSE 0.0 END AS cos_q
+  FROM qv
+), et AS (
+  SELECT vec_id, cos_exact, cos_q FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY cos_exact DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= 10
+), qt AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_q DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= 10
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM et JOIN qt USING (vec_id)) AS recall_at_10,
+  (SELECT ROUND(AVG(ABS(cos_q - cos_exact)), 6) FROM et) AS avg_abs_cos_err,
+  (SELECT ROUND(MAX(ABS(cos_q - cos_exact)), 6) FROM et) AS max_abs_cos_err
+"""
+
+
+def _int8_query_literal() -> str:
+    import math
+
+    m = max(abs(v) for v in QUERY_VEC)
+    s = 127.0 / m
+    qq = [float(math.floor(v * s + 0.5)) for v in QUERY_VEC]
+    return "[" + ", ".join(f"{v!r}" for v in qq) + "]"
+
+
+@register(
+    "q_int8_quantized_recall",
+    oracle=_INT8_ORACLE.replace("{QQ}", _int8_query_literal()),
+    tags=("similarity", "quantization", "int8", "audit"),
+)
+def q_int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Can the index serve int8? Symmetric absmax per-vector
+    quantization (the standard embedding-serving compression), then
+    recall@10 and cosine drift of the quantized index against the
+    exact one — the audit run before switching a 100 TB vector store
+    to 1-byte weights.
+
+    Every quantized value is an exact small integer (floor(x·s + 0.5),
+    |q| ≤ 127), so dot products and squared norms are EXACT in both
+    engines regardless of summation order — the whole int8 scoring
+    path is bit-deterministic cross-engine, no fold-order care needed
+    (unlike the float kernels). Exact cosine reuses the brute-force
+    oracle arithmetic. One Arrow-batched scan scores both forms; the
+    two top-10 cuts are TakeOrderedAndProject; the audit row is a
+    3-scalar crossJoin of kilobyte aggregates.
+    """
+    import math
+
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+
+    q = np.asarray(QUERY_VEC, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    qs = 127.0 / float(np.max(np.abs(q)))
+    qq = np.floor(q * qs + 0.5)
+    qqn = float(np.sqrt(qq @ qq))
+
+    @pandas_udf("struct<cos_exact: double, cos_q: double>")
+    def both_scores(vecs: pd.Series) -> pd.DataFrame:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        dots = M @ q
+        norms = np.linalg.norm(M, axis=1)
+        denom = norms * qn
+        ce = np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0)
+        m = np.abs(M).max(axis=1)
+        s_v = np.where(m > 0, 127.0 / np.where(m > 0, m, 1.0), 0.0)
+        QV = np.floor(M * s_v[:, None] + 0.5)
+        dq = QV @ qq
+        nq = np.sqrt(np.einsum("ij,ij->i", QV, QV))
+        dn = nq * qqn
+        cq = np.divide(dq, dn, out=np.zeros_like(dq), where=dn > 0)
+        return pd.DataFrame(
+            {
+                "cos_exact": SIM.round_half_up4(ce),
+                "cos_q": SIM.round_half_up4(cq),
+            }
+        )
+
+    scored = e.select(
+        "vec_id", both_scores(F.col("embedding")).alias("_s")
+    ).select(
+        "vec_id",
+        F.col("_s.cos_exact").alias("cos_exact"),
+        F.col("_s.cos_q").alias("cos_q"),
+    )
+    et = scored.orderBy(F.desc("cos_exact"), "vec_id").limit(10)
+    qt = scored.orderBy(F.desc("cos_q"), "vec_id").limit(10).select("vec_id")
+    rec = et.join(qt, "vec_id").agg(F.count(F.lit(1)).alias("recall_at_10"))
+    errs = et.agg(
+        F.round(F.avg(F.abs(F.col("cos_q") - F.col("cos_exact"))), 6).alias(
+            "avg_abs_cos_err"
+        ),
+        F.round(F.max(F.abs(F.col("cos_q") - F.col("cos_exact"))), 6).alias(
+            "max_abs_cos_err"
+        ),
+    )
+    return rec.crossJoin(errs)
