@@ -1077,12 +1077,18 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    from etl_project_spark.session import scoped_persist
+
     # Vocabulary is corpus-proportional (typos/numerals/hashes keep
     # adding distinct words), so the top-200 cut must be a
     # TakeOrderedAndProject (per-partition top-k + driver merge), not a
     # row_number() over an unpartitioned window that would funnel the
     # whole vocab through one sort task — same fix as q_zipf_exponent.
-    vocab = (
+    # The 200-row frame then persists: each merge round AND each
+    # round's output row re-reads it, and without the cache every
+    # reference re-runs the full corpus→vocab reduction (measured ~7
+    # corpus scans: 15 s at sf1 for a 3-round learn, vs one scan).
+    vocab = scoped_persist(
         words.orderBy(F.desc("cnt"), "word")
         .limit(200)
         .select(
