@@ -483,3 +483,49 @@ def test_grouped_probe_topk_rejects_colliding_id_names(spark, emb):
             corpus_id="vec_id", probe_id="vec_id",
             corpus_vec="embedding", probe_vec="embedding", k=1,
         )
+
+
+def test_pq_codebooks_slice_layout():
+    """Codeword c of subspace s must be seed c's s-th slice — the
+    contract that makes the SQL oracle's literal-index arithmetic
+    equal the numpy encoder's."""
+    seeds = [[float(c * 100 + i) for i in range(16)] for c in range(4)]
+    cbs = SIM.pq_codebooks(seeds, n_sub=4)
+    assert cbs.shape == (4, 4, 4)
+    assert list(cbs[2][3]) == [308.0, 309.0, 310.0, 311.0]
+    with pytest.raises(ValueError, match="divisible"):
+        SIM.pq_codebooks(seeds, n_sub=5)
+
+
+def test_pq_encode_matches_local_argmin(spark, emb):
+    """Encoder codes/errs equal a local float64 recompute with
+    first-minimum tie-break."""
+    rows = emb.select("vec_id", "embedding").limit(40).collect()
+    seeds = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=16)
+    cbs = SIM.pq_codebooks(seeds, 8)
+    enc = (
+        emb.filter(F.col("vec_id").isin([r.vec_id for r in rows]))
+        .select("vec_id", SIM.pq_encode_udf(cbs)(F.col("embedding")).alias("p"))
+        .collect()
+    )
+    got = {r.vec_id: (list(r.p.codes), list(r.p.errs)) for r in enc}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64).reshape(8, 1, 8)
+        d = ((v - cbs) ** 2).sum(axis=2)  # (8, 16)
+        codes = d.argmin(axis=1)
+        errs = d[np.arange(8), codes]
+        assert got[r.vec_id][0] == [int(c) for c in codes]
+        assert np.allclose(got[r.vec_id][1], errs, rtol=0, atol=1e-12)
+
+
+def test_pq_adc_table_half_up_grid():
+    """ADC table entries sit on the 1e-6 grid with HALF-UP rounding —
+    the property that makes the downstream sum's ROUND(·,6)
+    summation-order-proof."""
+    seeds = [[0.1 * (i + c) for i in range(16)] for c in range(3)]
+    cbs = SIM.pq_codebooks(seeds, 2)
+    dt = SIM.pq_adc_table(cbs, [0.25] * 16)
+    assert len(dt) == 2 and all(len(row) == 3 for row in dt)
+    for row in dt:
+        for v in row:
+            assert abs(v * 1e6 - round(v * 1e6)) < 1e-6
