@@ -63,6 +63,10 @@ BENCH_QUERIES = (
     "q_rake_keywords_per_source",
     "q_countmin_token_freq",
     "q_png_decoded_stats",
+    # round-10 additions: vector quantization family (PQ/IVF-PQ/int8)
+    "q_pq_adc_topk",
+    "q_knn_ivfpq_topk",
+    "q_int8_quantized_recall",
 )
 
 
