@@ -333,11 +333,20 @@ def grouped_probe_topk(
                 np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0)
             )
         if c_neq is not None:
-            eq = (
-                cdf[c_neq].to_numpy()[base][:, None]
-                == pdf[p_neq].to_numpy()[None, :]
+            # Mirror SQL's `c.col <> p.col` join predicate exactly:
+            # equal values are excluded AND so is any pair with a NULL
+            # on either side (NULL <> x is NULL → row dropped). A bare
+            # == mask would let NULL-label rows through, since
+            # NaN == NaN and None == x are both False in numpy/pandas
+            # (r10 review).
+            cv = cdf[c_neq].to_numpy()[base]
+            pv = pdf[p_neq].to_numpy()
+            drop = (
+                (cv[:, None] == pv[None, :])
+                | pd.isna(cv)[:, None]
+                | pd.isna(pv)[None, :]
             )
-            S[eq] = np.nan  # NaN sorts last under argsort → never top-k
+            S[drop] = np.nan  # NaN sorts last under argsort → never top-k
         k_eff = min(kk, m)
         # Column-wise stable argsort on -S: score DESC, then the id-ASC
         # base order for ties; NaN-masked pairs sink below every score.

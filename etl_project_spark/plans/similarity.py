@@ -682,13 +682,40 @@ FROM codes GROUP BY s
     )
 
 
-def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_encoded(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, object]":
     e = read_table(spark, sf_dir, "embeddings")
     seeds = SIM.deterministic_centroids(e, "embedding", "vec_id", n_cells=_PQ_KS)
     cbs = SIM.pq_codebooks(seeds, _PQ_SUB)
     return (
         e.select("vec_id", SIM.pq_encode_udf(cbs)(F.col("embedding")).alias("_pq")),
         cbs,
+    )
+
+
+def _adc_topk(enc: DataFrame, cbs, k: int = 10) -> DataFrame:
+    """ADC top-k over an encoded frame: 8 element_at lookups into the
+    driver-computed distance-table literal, summed left-to-right,
+    rounded to the 1e-6 grid, TakeOrderedAndProject cut, rank over the
+    bounded survivors. Shared by q_pq_adc_topk and q_knn_ivfpq_topk so
+    the ADC arithmetic and tie-break cannot silently diverge between
+    the flat and IVF-pruned paths (r10 review)."""
+    dt = SIM.pq_adc_table(cbs, QUERY_VEC)
+    dtlit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dt])
+    adc = None
+    for s in range(_PQ_SUB):
+        term = F.element_at(
+            F.element_at(dtlit, s + 1),
+            F.element_at(F.col("_pq.codes"), s + 1) + F.lit(1),
+        )
+        adc = term if adc is None else (adc + term)
+    top = (
+        enc.select("vec_id", F.round(adc, 6).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(k)
+    )
+    # rank over the k post-limit survivors — bounded by construction
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy("adc", "vec_id"))
     )
 
 
@@ -721,24 +748,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     enc, cbs = _pq_encoded(spark, sf_dir)
-    dt = SIM.pq_adc_table(cbs, QUERY_VEC)
-    dtlit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dt])
-    adc = None
-    for s in range(_PQ_SUB):
-        term = F.element_at(
-            F.element_at(dtlit, s + 1),
-            F.element_at(F.col("_pq.codes"), s + 1) + F.lit(1),
-        )
-        adc = term if adc is None else (adc + term)
-    top = (
-        enc.select("vec_id", F.round(adc, 6).alias("adc"))
-        .orderBy("adc", "vec_id")
-        .limit(10)
-    )
-    # rank over the 10 post-limit survivors — bounded by construction
-    return top.withColumn(
-        "rank", F.row_number().over(W.orderBy("adc", "vec_id"))
-    )
+    return _adc_topk(enc, cbs, k=10)
 
 
 @register(
@@ -855,23 +865,7 @@ def q_knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = kept.select(
         "vec_id", SIM.pq_encode_udf(cbs)(F.col("embedding")).alias("_pq")
     )
-    dt = SIM.pq_adc_table(cbs, QUERY_VEC)
-    dtlit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dt])
-    adc = None
-    for s in range(_PQ_SUB):
-        term = F.element_at(
-            F.element_at(dtlit, s + 1),
-            F.element_at(F.col("_pq.codes"), s + 1) + F.lit(1),
-        )
-        adc = term if adc is None else (adc + term)
-    top = (
-        enc.select("vec_id", F.round(adc, 6).alias("adc"))
-        .orderBy("adc", "vec_id")
-        .limit(10)
-    )
-    return top.withColumn(
-        "rank", F.row_number().over(W.orderBy("adc", "vec_id"))
-    )
+    return _adc_topk(enc, cbs, k=10)
 
 
 _INT8_ORACLE = f"""
@@ -974,12 +968,18 @@ def q_int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    scored = e.select(
-        "vec_id", both_scores(F.col("embedding")).alias("_s")
-    ).select(
-        "vec_id",
-        F.col("_s.cos_exact").alias("cos_exact"),
-        F.col("_s.cos_q").alias("cos_q"),
+    from etl_project_spark.session import scoped_persist
+
+    # Three consumers reference `scored` (exact top-10 twice, quantized
+    # top-10 once); without the cache each re-runs the full Arrow
+    # dual-score scan — the same re-scan disease q_bpe_learned_merges
+    # had (r10 review).
+    scored = scoped_persist(
+        e.select("vec_id", both_scores(F.col("embedding")).alias("_s")).select(
+            "vec_id",
+            F.col("_s.cos_exact").alias("cos_exact"),
+            F.col("_s.cos_q").alias("cos_q"),
+        )
     )
     et = scored.orderBy(F.desc("cos_exact"), "vec_id").limit(10)
     qt = scored.orderBy(F.desc("cos_q"), "vec_id").limit(10).select("vec_id")

@@ -78,12 +78,25 @@ def persist_bucketed_family(
     catalog table names. This is the pay-once write: at 100 TB it runs
     as the final stage of ingest, and every subsequent orderkey join or
     orderkey-prefixed aggregation in the workload skips its shuffle.
+
+    The catalog name embeds a digest of the corpus directory, so two
+    scale factors persisted in one session get DISTINCT tables — a
+    shared ``bk_orders`` would let the second family's write silently
+    cross-wire the first's still-registered layout (r10 review). And
+    the source read explicitly bypasses any registration from a prior
+    call for the same (sf_dir, name): re-persisting must re-read the
+    parquet, not resolve through the layout to the table it is about
+    to drop.
     """
+    import hashlib
+
     from etl_project_spark.catalog import read_table
 
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     out: dict[str, str] = {}
     for name, key in keys.items():
-        table = f"{prefix}_{name}"
+        table = f"{prefix}_{tag}_{name}"
+        _LAYOUT.pop((os.path.abspath(sf_dir), name), None)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         write_bucketed(
             read_table(spark, sf_dir, name), table, key, n_buckets=n_buckets

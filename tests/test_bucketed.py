@@ -110,15 +110,30 @@ def test_registry_query_runs_shuffle_free_on_bucketed_family(spark):
     flat_rows = [tuple(r) for r in flat.collect()]
     flat_plan = flat._jdf.queryExecution().executedPlan().toString()
 
+    import hashlib
+    import os
+
+    tag = hashlib.sha256(os.path.abspath(SF_SMOKE).encode()).hexdigest()[:8]
+    tables = (f"bkt_{tag}_orders", f"bkt_{tag}_lineitem")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("bkt_orders", "bkt_lineitem"):
+    for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     try:
-        persist_bucketed_family(
+        made = persist_bucketed_family(
             spark,
             SF_SMOKE,
             {"orders": "o_orderkey", "lineitem": "l_orderkey"},
+            n_buckets=8,
+            prefix="bkt",
+        )
+        assert sorted(made.values()) == sorted(tables)
+        # re-persisting the same family must re-read the parquet, not
+        # resolve through its own just-registered layout (r10 review)
+        persist_bucketed_family(
+            spark,
+            SF_SMOKE,
+            {"orders": "o_orderkey"},
             n_buckets=8,
             prefix="bkt",
         )
@@ -134,5 +149,5 @@ def test_registry_query_runs_shuffle_free_on_bucketed_family(spark):
         assert re.search(r"Exchange hashpartitioning\((?:l_|o_)orderkey", flat_plan)
     finally:
         clear_bucketed_layout()
-        for t in ("bkt_orders", "bkt_lineitem"):
+        for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -529,3 +529,30 @@ def test_pq_adc_table_half_up_grid():
     for row in dt:
         for v in row:
             assert abs(v * 1e6 - round(v * 1e6)) < 1e-6
+
+
+def test_grouped_probe_topk_neq_mask_drops_null_labels(spark):
+    """SQL's `c.label <> p.label` drops NULL-label rows (NULL <> x is
+    NULL); the kernel's mask must too — a bare == check would let them
+    through (r10 review)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("lab", T.IntegerType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+    ])
+    corpus = spark.createDataFrame(
+        [(1, 7, [1.0, 0.0]), (2, None, [1.0, 0.01]), (3, 8, [0.9, 0.1])],
+        schema,
+    )
+    probes = spark.createDataFrame([(100, 7, [1.0, 0.0])], schema).select(
+        F.col("id").alias("p_id"), F.col("lab").alias("p_lab"), F.col("v").alias("p_v")
+    )
+    out = SIM.grouped_probe_topk(
+        corpus, probes,
+        corpus_id="id", probe_id="p_id", corpus_vec="v", probe_vec="p_v",
+        k=3, neq_cols=("lab", "p_lab"), n_cells=3,
+    ).collect()
+    # id 1 shares the probe's label, id 2 has NULL label: both excluded
+    assert [r.id for r in out] == [3]

@@ -108,35 +108,44 @@ def main() -> None:
                 elif t == "embeddings" and name == "embedding" and i > 0:
                     # roll elements by i: decorrelates replicas. dim=64,
                     # so beyond 64 replicas the roll must wrap (i mod 64)
-                    # and the wrapped cycle is NEGATED — otherwise
-                    # replica 64+j would be an exact clone of replica j
-                    # (empty-slice SQL semantics) and every vector would
-                    # gain perfect twins, collapsing the ANN sweep into a
-                    # clone-detection benchmark (round-8 sf10 fix).
-                    # Cycle-dependent roll (ADVICE r9): with a plain
-                    # i % 64 roll, replicas j and 128+j share BOTH the
-                    # roll and the sign parity, so their directions are
-                    # identical and cosine is exactly 1.0 — the perfect
-                    # -twin degeneracy again, just two cycles out. The
-                    # +cyc offset makes (roll, sign-parity) pairs never
-                    # repeat within 64·128 replicas.
+                    # and wrapped cycles need a DIRECTION change beyond
+                    # the roll — otherwise replica 64+j clones replica j
+                    # and every vector gains perfect twins, collapsing
+                    # the ANN sweep into clone detection (r8 sf10 fix).
+                    #
+                    # Roll + global sign alone admit only 64×2 = 128
+                    # distinct direction transforms, so by pigeonhole
+                    # replicas ≥ 129 MUST repeat one (the r10 review
+                    # caught cycle 0 vs cycle 2 colliding as sets under
+                    # the r9-advisory +cyc roll offset). Cycles ≥ 1
+                    # therefore apply a per-cycle deterministic ±1
+                    # element MASK (seeded by the cycle id): two
+                    # replicas share a direction only if they share BOTH
+                    # the cycle mask and the roll, and within a cycle
+                    # every roll is distinct — no direction twins at ANY
+                    # replica count. Magnitudes also shrink per cycle
+                    # (1, 1/2, 1/4, …) so no exact value clones either.
                     cyc = i // 64
-                    r = (i % 64 + cyc) % 64
+                    r = i % 64
                     rolled = (
                         f"embedding[{r + 1}:] || embedding[1:{r}]"
                         if r > 0
                         else "embedding"
                     )
-                    # Per-cycle scale: magnitudes also differ across
-                    # cycles (1, -1, 1/2, -1/2, …) so wrapped cycles are
-                    # never exact value clones either.
                     if cyc > 0:
-                        sign = "-" if cyc % 2 == 1 else ""
-                        denom = 2 ** ((cyc + 1) // 2)
+                        import hashlib
+
+                        mask = []
+                        denom = float(2**cyc)
+                        for j in range(64):
+                            h = hashlib.sha256(f"cycmask:{cyc}:{j}".encode()).digest()
+                            mask.append(
+                                f"{'-' if h[0] % 2 else ''}{1.0 / denom!r}"
+                            )
+                        mask_lit = "[" + ", ".join(mask) + "]"
                         rolled = (
-                            f"list_transform({rolled}, x -> {sign}x / {denom}.0)"
-                            if denom > 1
-                            else f"list_transform({rolled}, x -> {sign}x)"
+                            f"list_transform(list_zip({rolled}, {mask_lit}), "
+                            "p -> p[1] * p[2])"
                         )
                     cols.append(f"{rolled} AS embedding")
                 else:

@@ -36,14 +36,21 @@ def main() -> None:
     py = sys.executable
     run("plans", [py, "tools/gen_plans.py"])
     run("driver-contract", [py, "tools/verify_driver.py"])
-    r = run(
-        "bench",
-        [py, "bench.py"],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
-        text=True,
-    )
-    line = r.stdout.strip().splitlines()[-1]
+    # keep stderr in a file (not DEVNULL) so a bench failure is
+    # diagnosable after the earlier stages already spent minutes
+    with open("/tmp/bench_round_end.err", "w") as errf:
+        r = run(
+            "bench",
+            [py, "bench.py"],
+            stdout=subprocess.PIPE,
+            stderr=errf,
+            text=True,
+        )
+    lines = r.stdout.strip().splitlines()
+    if not lines:
+        print("FAIL: bench.py exited 0 but printed nothing — see /tmp/bench_round_end.err")
+        sys.exit(1)
+    line = lines[-1]
     print(line)
     with open("/tmp/bench_round_end.json", "w") as f:
         f.write(line + "\n")
