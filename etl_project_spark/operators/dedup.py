@@ -512,40 +512,78 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    eq_blocks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` on SimHash.
 
-    Pigeonhole blocking, COMPLETE by construction: the 64-bit
-    fingerprint splits into ``max_hamming + 1`` chunks, so any pair
-    within the bound has at least one chunk whose bits are all equal
-    (d differing bits cannot touch d+1 disjoint chunks) — the chunk
-    equi-join finds every qualifying pair without a cross join, and
-    exact Hamming (bit_count of xor) verifies candidates. Round-5 fix:
-    the old hardcoded 4×16-bit split only guaranteed completeness for
-    d ≤ 3 while the registered query asked for d ≤ 6, silently
-    dropping pairs at distances 4–6 (17 of 78 at sf0.01). Smaller
-    chunks admit more random collisions (2^-bits per chunk pair), but
-    candidates stay shuffle-bounded: equi-join on (chunk_idx, bits).
+    COMBINATION pigeonhole blocking (Manku/Jain/Sarma, WWW'07 shape):
+    the 64-bit fingerprint splits into ``k = max_hamming + eq_blocks``
+    blocks, and candidates are pairs equal on ALL blocks of some
+    ``eq_blocks``-subset — C(k, eq_blocks) posting keys per doc, each
+    ``eq_blocks·64/k`` bits wide. Complete by construction: d
+    differing bits touch at most d blocks, leaving ≥ ``eq_blocks``
+    blocks untouched, so some subset matches exactly. Exact Hamming
+    (bit_count of xor) then verifies candidates, so the OUTPUT is
+    identical for any valid parameterization — the knob only moves
+    the candidate mass.
+
+    Why combinations and not the r5 single-chunk split: with d = 6,
+    single chunks are 64/7 ≈ 9 bits, and RANDOM collisions run at
+    n²/2 · 7 · 2⁻⁹ regardless of corpus content — ~1.7 BILLION
+    candidate pairs at 500k docs (the r10 sf10 sweep ground for
+    >20 min writing ~48 GB of verify shuffle; wrongly adjudicated as
+    mirror-corpus shape at r9). With eq_blocks = 4 the key widens to
+    ~25.6 bits: collisions drop by 2^-16.6 per key while posting rows
+    grow 7→210 per doc — candidate mass falls ~3000× and the verify
+    join is bounded by TRUE near-pairs plus noise linear-ish in n. At
+    larger corpora raise ``eq_blocks`` (each +1 costs ×k/(c+1)
+    postings, pays ×2^{64/k} fewer random collisions).
     """
     from pyspark import StorageLevel
 
     if not (0 <= max_hamming <= 15):
-        # 16+ chunks of a 64-bit fingerprint would need <4-bit chunks
-        # whose collision rate makes blocking pointless, and silently
-        # clamping would reintroduce the exact silent-recall-loss bug
-        # the chunk formula exists to prevent.
+        # beyond 15 the blocks get so narrow that even combination
+        # keys stop pruning, and silently clamping would reintroduce
+        # the exact silent-recall-loss bug the block formula exists to
+        # prevent (r5: a hardcoded 4×16 split missed distances 4-6).
         raise ValueError(
             f"simhash_near_dup_pairs supports max_hamming in [0, 15] "
-            f"(completeness needs max_hamming+1 disjoint chunks of a "
-            f"64-bit fingerprint); got {max_hamming}"
+            f"(completeness needs max_hamming+eq_blocks disjoint blocks "
+            f"of a 64-bit fingerprint); got {max_hamming}"
         )
-    n_chunks = max_hamming + 1
-    base, extra = divmod(64, n_chunks)
-    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
-    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    if eq_blocks < 1:
+        raise ValueError(f"eq_blocks must be >= 1; got {eq_blocks}")
+    from itertools import combinations
 
-    # Fingerprints feed both sides of the chunk self-join — persist so
+    k = max_hamming + eq_blocks
+    if k > 64:
+        raise ValueError(
+            f"max_hamming + eq_blocks = {k} exceeds the 64 fingerprint bits"
+        )
+    base, extra = divmod(64, k)
+    widths = [base + (1 if c < extra else 0) for c in range(k)]
+    offsets = [sum(widths[:c]) for c in range(k)]
+
+    def block(c: int):
+        return F.shiftrightunsigned("_sim", offsets[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
+        )
+
+    # One posting key per eq_blocks-subset: concatenate the subset's
+    # block values into a single long (≤ eq_blocks·ceil(64/k) bits).
+    combo_keys = []
+    for combo in combinations(range(k), eq_blocks):
+        key = block(combo[0])
+        for c in combo[1:]:
+            key = F.shiftleft(key, widths[c]).bitwiseOR(block(c))
+        combo_keys.append(key)
+
+    # Fingerprints feed both sides of the combo self-join — persist so
     # the mapInPandas pass runs once, not once per join side; tracked
     # for harness-side release (session.release_persists).
     from etl_project_spark.session import scoped_persist
@@ -553,27 +591,18 @@ def simhash_near_dup_pairs(
     sh = scoped_persist(
         simhash_fingerprints(df, id_col, text_col), StorageLevel.MEMORY_AND_DISK
     )
-    chunks = sh.select(
+    postings = sh.select(
         "_id",
         "_sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("_sim", offsets[c]).bitwiseAND(
-                        F.lit((1 << widths[c]) - 1)
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("_chunk_idx", "_chunk"),
+        F.posexplode(F.array(*combo_keys)).alias("_combo", "_key"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    a = postings.alias("a")
+    b = postings.alias("b")
     return (
         a.join(
             b,
-            (F.col("a._chunk_idx") == F.col("b._chunk_idx"))
-            & (F.col("a._chunk") == F.col("b._chunk"))
+            (F.col("a._combo") == F.col("b._combo"))
+            & (F.col("a._key") == F.col("b._key"))
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(

@@ -69,6 +69,48 @@ def test_simhash_pairs_hamming_bound(spark, docs):
         assert r.hamming <= 6
 
 
+def test_simhash_combination_blocking_complete_vs_bruteforce(spark, docs):
+    """Combination blocking is exact-output for ANY valid eq_blocks.
+
+    eq_blocks=1 degenerates to the round-5 single-chunk pigeonhole
+    scheme (C(k,1)=k keys of one block each), so sweeping eq_blocks
+    and comparing against the brute-force all-pairs Hamming truth
+    proves both the completeness theorem (d differing bits leave
+    ≥ eq_blocks blocks untouched) and that the knob only moves
+    candidate mass, never the answer.
+    """
+    sh = DD.simhash_fingerprints(docs, "doc_id", "text")
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert truth, "corpus should contain at least one simhash near-pair"
+    # eq_blocks=8 (C(14,8)=3003 keys/doc) is excluded: the static
+    # planner underestimates the exploded postings frame and broadcasts
+    # it, OOMing the small test JVM — and no real corpus would pair
+    # max_hamming=6 with eq_blocks that high (the knob grows postings
+    # ×k/(c+1) per step; 4 already cuts random collisions 2^-16.6).
+    for eq in (1, 2, 4):
+        found = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in DD.simhash_near_dup_pairs(
+                docs, "doc_id", "text", max_hamming=6, eq_blocks=eq
+            ).collect()
+        }
+        assert found == truth, (
+            f"eq_blocks={eq}: {len(truth - found)} missed, "
+            f"{len(found - truth)} spurious"
+        )
+
+
 def test_simhash_exact_dups_have_zero_hamming(spark, docs):
     """Documents with identical normalized text must collide exactly."""
     sh = DD.simhash_fingerprints(docs, "doc_id", "text")
