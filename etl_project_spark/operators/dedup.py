@@ -25,6 +25,7 @@ hashes equal.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 from pyspark.sql import Column, DataFrame
@@ -511,13 +512,24 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return src.mapInPandas(batches, schema="_id long, _sim long")
 
 
+#: Corpus size above which auto mode switches from single-block
+#: pigeonhole keys (eq_blocks=1) to 3-block combination keys. Below
+#: it, random-collision candidate mass n²/2·(d+1)·2^-⌊64/(d+1)⌋ is
+#: small enough that the 1→C(k,3)× posting multiplicity and the
+#: forced sort-merge join cost more than they save (measured at
+#: sf0.1/5k docs: combos 5.1 s steady vs single-block 1.6 s; at
+#: sf1/50k they tie; at sf10/500k single-block is the 1.7B-candidate
+#: blow-up combos exist to kill).
+SIMHASH_COMBO_MIN_DOCS = 100_000
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
     max_hamming: int = 3,
-    eq_blocks: int = 4,
+    eq_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` on SimHash.
 
@@ -537,12 +549,27 @@ def simhash_near_dup_pairs(
     n²/2 · 7 · 2⁻⁹ regardless of corpus content — ~1.7 BILLION
     candidate pairs at 500k docs (the r10 sf10 sweep ground for
     >20 min writing ~48 GB of verify shuffle; wrongly adjudicated as
-    mirror-corpus shape at r9). With eq_blocks = 4 the key widens to
-    ~25.6 bits: collisions drop by 2^-16.6 per key while posting rows
-    grow 7→210 per doc — candidate mass falls ~3000× and the verify
-    join is bounded by TRUE near-pairs plus noise linear-ish in n. At
-    larger corpora raise ``eq_blocks`` (each +1 costs ×k/(c+1)
-    postings, pays ×2^{64/k} fewer random collisions).
+    mirror-corpus shape at r9). With eq_blocks = 3 the key widens to
+    ~21.3 bits: random collisions drop ~2^-12 per key while posting
+    rows grow 7→84 per doc. Each +1 on ``eq_blocks`` costs ×k/(c+1)
+    postings and pays ×2^{64/k} fewer random collisions — but on
+    corpora with dense near-dup clusters the floor is the CLUSTER
+    mass (every true pair collides on ~all combos until the canonical
+    filter below kills the duplicates), which grows with C(k, c), so
+    more combos eventually hurts: measured sf10 totals (500k docs,
+    16.2M true pairs) eq=2 53 s, eq=3 51 s, eq=4 105 s warm; sf1 (50k
+    docs) eq=2 5.7 s, eq=3 8.9 s vs 9.5 s for the old scheme. eq=3
+    for the at-scale regime: near-best at both sf1 and sf10, and its
+    21-bit keys keep the n²-growing random-collision term negligible
+    an order of magnitude further out than eq=2's 16-bit keys.
+
+    ``eq_blocks=None`` (default) picks the regime from a
+    metadata-cheap ``df.count()``: 1 (single-block keys, the r5
+    scheme, planner free to broadcast the 7×-exploded postings) below
+    ``SIMHASH_COMBO_MIN_DOCS``, else 3 with a forced sort-merge join
+    — the grouped-dispatch crossover pattern the kNN and contamination
+    families already use. Both regimes share the canonical-combo
+    filter, so neither pays the old ``distinct()`` shuffle.
     """
     from pyspark import StorageLevel
 
@@ -556,14 +583,21 @@ def simhash_near_dup_pairs(
             f"(completeness needs max_hamming+eq_blocks disjoint blocks "
             f"of a 64-bit fingerprint); got {max_hamming}"
         )
+    if eq_blocks is None:
+        n_docs = df.count()  # parquet scans answer this from footer metadata
+        eq_blocks = 1 if n_docs <= SIMHASH_COMBO_MIN_DOCS else 3
     if eq_blocks < 1:
         raise ValueError(f"eq_blocks must be >= 1; got {eq_blocks}")
     from itertools import combinations
 
     k = max_hamming + eq_blocks
-    if k > 64:
+    if k > 62:
+        # 64 would exhaust the fingerprint bits anyway, and the combo
+        # BITMASKS ride in signed-long columns: block index 63 would
+        # need 1<<63, overflowing int64.
         raise ValueError(
-            f"max_hamming + eq_blocks = {k} exceeds the 64 fingerprint bits"
+            f"max_hamming + eq_blocks = {k} exceeds 62 (64 fingerprint "
+            f"bits, combo bitmasks carried as signed longs)"
         )
     base, extra = divmod(64, k)
     widths = [base + (1 if c < extra else 0) for c in range(k)]
@@ -576,12 +610,21 @@ def simhash_near_dup_pairs(
 
     # One posting key per eq_blocks-subset: concatenate the subset's
     # block values into a single long (≤ eq_blocks·ceil(64/k) bits).
-    combo_keys = []
+    # Each posting carries its combo as a BITMASK of block indices (not
+    # an ordinal) so the canonical-combo filter below can compare it
+    # against a mask computed branch-free from the pair's fingerprints.
+    combo_entries = []
     for combo in combinations(range(k), eq_blocks):
         key = block(combo[0])
         for c in combo[1:]:
             key = F.shiftleft(key, widths[c]).bitwiseOR(block(c))
-        combo_keys.append(key)
+        cmask = sum(1 << c for c in combo)
+        full = (1 << (max(combo) + 1)) - 1  # all block indices ≤ msb(combo)
+        combo_entries.append(
+            F.struct(
+                F.lit(cmask).alias("m"), F.lit(full).alias("f"), key.alias("k")
+            )
+        )
 
     # Fingerprints feed both sides of the combo self-join — persist so
     # the mapInPandas pass runs once, not once per join side; tracked
@@ -594,23 +637,81 @@ def simhash_near_dup_pairs(
     postings = sh.select(
         "_id",
         "_sim",
-        F.posexplode(F.array(*combo_keys)).alias("_combo", "_key"),
+        F.explode(F.array(*combo_entries)).alias("_p"),
+    ).select(
+        "_id",
+        "_sim",
+        F.col("_p.m").alias("_cmask"),
+        F.col("_p.f").alias("_below"),
+        F.col("_p.k").alias("_key"),
     )
+    # In the combination regime, force a sort-merge self-join: the
+    # planner sizes the postings frame from the PRE-explode
+    # fingerprint stats, so it happily broadcasts a side that is
+    # really C(k, eq_blocks)× bigger — at sf10 that is a 42M-row
+    # broadcast build whose probe ran 3.2× slower than SMJ (131.6 s
+    # vs 41.6 s measured; shuffle_hash 97.3 s — the skewed posting
+    # keys make its per-partition builds lopsided while AQE can split
+    # SMJ sort spills). Single-block postings are only (d+1)× the
+    # estimate and single-block mode only runs on small corpora, where
+    # the planner's broadcast is the right call — leave it free.
+    if eq_blocks > 1:
+        postings = postings.hint("merge")
     a = postings.alias("a")
     b = postings.alias("b")
+
+    # Canonical-combo dedup (replaces distinct()): a near-identical
+    # pair matches on MOST of the C(k, eq_blocks) combos — on the sf10
+    # corpus (500k docs, 16.2M true pairs in replica clusters) that
+    # multiplicity made the joined stream ~3.0e9 rows, and a distinct()
+    # over it is a ~70 GB shuffle that dominated the whole query
+    # (252 s). After the equi-join BOTH fingerprints are in hand, so
+    # the pair's full set of matching blocks is recomputable
+    # row-locally: keep a joined row only when its combo is the
+    # CANONICAL one — the eq_blocks lowest matching block indices
+    # (= the lexicographically first matching combo). Every qualifying
+    # pair survives exactly once, duplicates die inside the join
+    # stage's codegen, and the only shuffle left is the posting
+    # exchange itself.
+    #
+    # The test "is this combo the eq_blocks lowest matching indices"
+    # compiles to ONE mask compare: with M = bitmask of matching
+    # blocks, combo is canonical iff M ∩ {0..msb(combo)} == combo —
+    # every matching index at or below the combo's top bit is in the
+    # combo (both masks ride along in the posting struct as literals).
+    # Keep this expression SMALL and single-evaluation: a first
+    # attempt as coalesce(C(k,c) × when-branches) blew past
+    # whole-stage codegen's method limit and ran interpreted; a second
+    # that peeled M's low bits with x & -x re-inlined the k-term M
+    # subtree ~3× per peel step and was as bad. Both were slower than
+    # the distinct() they replaced.
+    xor = F.col("a._sim").bitwiseXOR(F.col("b._sim"))
+    match_mask = functools.reduce(
+        lambda x, y: x + y,
+        [
+            F.when(
+                F.shiftrightunsigned(xor, offsets[c]).bitwiseAND(
+                    F.lit((1 << widths[c]) - 1)
+                )
+                == 0,
+                F.lit(1 << c),
+            ).otherwise(F.lit(0))
+            for c in range(k)
+        ],
+    )
     return (
         a.join(
             b,
-            (F.col("a._combo") == F.col("b._combo"))
+            (F.col("a._cmask") == F.col("b._cmask"))
             & (F.col("a._key") == F.col("b._key"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        .filter(match_mask.bitwiseAND(F.col("a._below")) == F.col("a._cmask"))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim"))).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -151,18 +151,23 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ 6 of 64 bits.
 
     ORACLE-BACKED, and unlike the LSH families this needs no corpus
-    luck: with ``max_hamming + 1`` pigeonhole chunks the blocked join
-    is COMPLETE by theorem (6 differing bits cannot touch 7 disjoint
-    chunks), and the md5 token-hash majority-vote fingerprint is pure
-    deterministic arithmetic DuckDB replays bit-for-bit (token md5 →
-    per-position majority vote → exact per-pair Hamming). Round-5 fix:
-    the previous 4×16-bit blocking silently missed distances 4–6
-    (17 of 78 true pairs at sf0.01).
+    luck: combination pigeonhole blocking is COMPLETE by theorem (d
+    differing bits leave ≥ eq_blocks of the max_hamming+eq_blocks
+    blocks untouched, so some eq_blocks-subset matches exactly), and
+    the md5 token-hash majority-vote fingerprint is pure deterministic
+    arithmetic DuckDB replays bit-for-bit (token md5 → per-position
+    majority vote → exact per-pair Hamming). Round-5 fix: a 4×16-bit
+    blocking silently missed distances 4–6 (17 of 78 true pairs at
+    sf0.01). Round-10: single-chunk → combination keys auto-dispatched
+    on corpus size, with a canonical-combo filter replacing the
+    distinct() shuffle (see the operator docstring), and NO output
+    orderBy — the parity harness canon-sorts rows itself, and a global
+    sort re-executes the whole pair pipeline once more just to sample
+    range bounds — structural waste even when a noisy host hides the
+    delta (the sf10 A/B landed inside co-tenant variance).
     """
     d = _t(spark, sf_dir, "documents")
-    return DD.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6).orderBy(
-        "id_a", "id_b"
-    )
+    return DD.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6)
 
 
 @register(
