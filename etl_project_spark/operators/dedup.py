@@ -154,6 +154,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     the entire MinHash hot path single-threaded). The guard keeps this
     a no-op on real multi-file inputs, so at scale nothing is shuffled.
     """
+    if df.isStreaming:
+        # no .rdd on a stream; micro-batch parallelism is the source
+        # rate's business (maxFilesPerTrigger etc.), not this guard's
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -584,6 +588,70 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 SIMHASH_COMBO_MIN_DOCS = 100_000
 
 
+def simhash_block_layout(
+    max_hamming: int, eq_blocks: int
+) -> tuple[int, list[int], list[int]]:
+    """``(k, widths, offsets)`` of the pigeonhole split of a 64-bit
+    fingerprint into ``k = max_hamming + eq_blocks`` blocks (widths
+    differ by at most one bit). Shared by the batch self-join and the
+    streaming twin so both sides derive identical posting keys."""
+    k = max_hamming + eq_blocks
+    base, extra = divmod(64, k)
+    widths = [base + (1 if c < extra else 0) for c in range(k)]
+    offsets = [sum(widths[:c]) for c in range(k)]
+    return k, widths, offsets
+
+
+def simhash_posting_entries(
+    sim: Column, widths: list[int], offsets: list[int], eq_blocks: int
+) -> list[Column]:
+    """One ``struct(m, f, k)`` per ``eq_blocks``-subset of blocks of
+    ``sim``: ``k`` = the subset's block values concatenated into a
+    single long posting key, ``m`` = the subset as a bitmask of block
+    indices, ``f`` = mask of all indices ≤ the subset's msb (the
+    canonical-combo filter's comparison window)."""
+    from itertools import combinations
+
+    def block(c: int) -> Column:
+        return F.shiftrightunsigned(sim, offsets[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
+        )
+
+    entries = []
+    for combo in combinations(range(len(widths)), eq_blocks):
+        key = block(combo[0])
+        for c in combo[1:]:
+            key = F.shiftleft(key, widths[c]).bitwiseOR(block(c))
+        cmask = sum(1 << c for c in combo)
+        full = (1 << (max(combo) + 1)) - 1  # all block indices ≤ msb(combo)
+        entries.append(
+            F.struct(F.lit(cmask).alias("m"), F.lit(full).alias("f"), key.alias("k"))
+        )
+    return entries
+
+
+def simhash_match_mask(
+    xor: Column, widths: list[int], offsets: list[int]
+) -> Column:
+    """Bitmask of blocks on which two fingerprints agree, computed
+    branch-free from their XOR — a flat ``k``-term sum that stays
+    inside whole-stage codegen (see the canonical-combo commentary in
+    :func:`simhash_near_dup_pairs` for the rejected alternatives)."""
+    return functools.reduce(
+        lambda x, y: x + y,
+        [
+            F.when(
+                F.shiftrightunsigned(xor, offsets[c]).bitwiseAND(
+                    F.lit((1 << widths[c]) - 1)
+                )
+                == 0,
+                F.lit(1 << c),
+            ).otherwise(F.lit(0))
+            for c in range(len(widths))
+        ],
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -649,8 +717,6 @@ def simhash_near_dup_pairs(
         eq_blocks = 1 if n_docs <= SIMHASH_COMBO_MIN_DOCS else 3
     if eq_blocks < 1:
         raise ValueError(f"eq_blocks must be >= 1; got {eq_blocks}")
-    from itertools import combinations
-
     k = max_hamming + eq_blocks
     if k > 62:
         # 64 would exhaust the fingerprint bits anyway, and the combo
@@ -660,32 +726,14 @@ def simhash_near_dup_pairs(
             f"max_hamming + eq_blocks = {k} exceeds 62 (64 fingerprint "
             f"bits, combo bitmasks carried as signed longs)"
         )
-    base, extra = divmod(64, k)
-    widths = [base + (1 if c < extra else 0) for c in range(k)]
-    offsets = [sum(widths[:c]) for c in range(k)]
-
-    def block(c: int):
-        return F.shiftrightunsigned("_sim", offsets[c]).bitwiseAND(
-            F.lit((1 << widths[c]) - 1)
-        )
+    k, widths, offsets = simhash_block_layout(max_hamming, eq_blocks)
 
     # One posting key per eq_blocks-subset: concatenate the subset's
     # block values into a single long (≤ eq_blocks·ceil(64/k) bits).
     # Each posting carries its combo as a BITMASK of block indices (not
     # an ordinal) so the canonical-combo filter below can compare it
     # against a mask computed branch-free from the pair's fingerprints.
-    combo_entries = []
-    for combo in combinations(range(k), eq_blocks):
-        key = block(combo[0])
-        for c in combo[1:]:
-            key = F.shiftleft(key, widths[c]).bitwiseOR(block(c))
-        cmask = sum(1 << c for c in combo)
-        full = (1 << (max(combo) + 1)) - 1  # all block indices ≤ msb(combo)
-        combo_entries.append(
-            F.struct(
-                F.lit(cmask).alias("m"), F.lit(full).alias("f"), key.alias("k")
-            )
-        )
+    combo_entries = simhash_posting_entries(F.col("_sim"), widths, offsets, eq_blocks)
 
     # Fingerprints feed both sides of the combo self-join — persist so
     # the mapInPandas pass runs once, not once per join side; tracked
@@ -747,19 +795,7 @@ def simhash_near_dup_pairs(
     # subtree ~3× per peel step and was as bad. Both were slower than
     # the distinct() they replaced.
     xor = F.col("a._sim").bitwiseXOR(F.col("b._sim"))
-    match_mask = functools.reduce(
-        lambda x, y: x + y,
-        [
-            F.when(
-                F.shiftrightunsigned(xor, offsets[c]).bitwiseAND(
-                    F.lit((1 << widths[c]) - 1)
-                )
-                == 0,
-                F.lit(1 << c),
-            ).otherwise(F.lit(0))
-            for c in range(k)
-        ],
-    )
+    match_mask = simhash_match_mask(xor, widths, offsets)
     return (
         a.join(
             b,

@@ -99,3 +99,109 @@ def stream_incremental_dedup_scores(
             F.col("_ix") / (F.col("_szb") + F.col("_szh") - F.col("_ix")), 4
         ).alias("jac"),
     )
+
+
+# -- SimHash streaming twin (round-10 verdict task #7) ----------------------
+
+def history_simhash_index(
+    history_docs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    eq_blocks: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Static-side SimHash posting index ``(_hid, _hsim, _cmask, _key)``
+    — one row per (history doc, block-combination), built with the SAME
+    layout/posting expressions as the batch self-join
+    (:func:`etl_project_spark.operators.dedup.simhash_posting_entries`),
+    so stream and history keys collide exactly when the batch plan's
+    would. In production this is a persisted table bucketed by
+    ``(_cmask, _key)``, refreshed by a slower batch job — the same
+    asymmetric-join economics as :func:`history_gram_index`."""
+    from etl_project_spark.operators.dedup import (
+        simhash_block_layout,
+        simhash_fingerprints,
+        simhash_posting_entries,
+    )
+
+    _, widths, offsets = simhash_block_layout(max_hamming, eq_blocks)
+    fp = simhash_fingerprints(history_docs, id_col, text_col)
+    entries = simhash_posting_entries(F.col("_sim"), widths, offsets, eq_blocks)
+    return fp.select(
+        F.col("_id").alias("_hid"),
+        F.col("_sim").alias("_hsim"),
+        F.explode(F.array(*entries)).alias("_p"),
+    ).select(
+        "_hid",
+        "_hsim",
+        F.col("_p.m").alias("_cmask"),
+        F.col("_p.k").alias("_key"),
+    )
+
+
+def stream_simhash_near_dup(
+    new_docs: DataFrame,
+    history_index: DataFrame,
+    *,
+    max_hamming: int = 3,
+    eq_blocks: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming near-dup matches ``(doc_id, match_id, hamming)`` of
+    arriving documents against the static history index — the
+    stream-static twin of the batch combination-pigeonhole self-join,
+    and FULLY STATELESS:
+
+    - **Fingerprinting is a stateless mapInPandas** — the same Arrow
+      kernel as the batch path, legal on a stream because a document's
+      fingerprint depends only on its own row.
+    - **Posting explode + join are stateless**: each arriving doc emits
+      its C(k, eq_blocks) posting rows; the equi-join on
+      ``(_cmask, _key)`` reads only the matching slice of the static
+      index per micro-batch (partition/bucket pruning applies).
+    - **The canonical-combo filter replaces dedup state**: a close pair
+      collides on many combos, and a streaming ``dropDuplicates`` over
+      pairs would hold every emitted pair in state forever. With both
+      fingerprints in hand post-join, keeping a row iff its combo is
+      the pair's lowest matching one emits each (doc, match) exactly
+      once with ZERO state — the same mask compare the batch plan runs.
+
+    Run with ``outputMode("append")``; each doc's matches finalize in
+    the trigger its row arrives."""
+    from etl_project_spark.operators.dedup import (
+        simhash_block_layout,
+        simhash_fingerprints,
+        simhash_match_mask,
+        simhash_posting_entries,
+    )
+
+    _, widths, offsets = simhash_block_layout(max_hamming, eq_blocks)
+    fp = simhash_fingerprints(new_docs, id_col, text_col)
+    entries = simhash_posting_entries(F.col("_sim"), widths, offsets, eq_blocks)
+    postings = fp.select(
+        "_id",
+        "_sim",
+        F.explode(F.array(*entries)).alias("_p"),
+    ).select(
+        "_id",
+        "_sim",
+        F.col("_p.m").alias("_cmask"),
+        F.col("_p.f").alias("_below"),
+        F.col("_p.k").alias("_key"),
+    )
+    joined = postings.join(history_index, ["_cmask", "_key"])  # stream-static
+    xor = F.col("_sim").bitwiseXOR(F.col("_hsim"))
+    return (
+        joined.filter(
+            simhash_match_mask(xor, widths, offsets).bitwiseAND(F.col("_below"))
+            == F.col("_cmask")
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_hid").alias("match_id"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

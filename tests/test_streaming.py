@@ -992,3 +992,62 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_simhash_near_dup_matches_bruteforce(spark, tmp_path):
+    """Stream-static SimHash twin: src19 documents streamed over
+    multiple triggers against the static posting index must emit
+    exactly the brute-force Hamming-<=3 (new x history) match set —
+    each match exactly once (the canonical-combo filter stands in for
+    dedup state), asserted against an oracle that is independent of
+    the blocking scheme entirely."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.operators.dedup import simhash_fingerprints
+    from etl_project_spark.streaming import dedup as SD
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    batch_dir = str(tmp_path / "arriving_simhash")
+    docs.filter("source = 'src19'").repartition(4).write.parquet(batch_dir)
+    history = docs.filter("source <> 'src19'")
+    index = SD.history_simhash_index(history, max_hamming=3, eq_blocks=2)
+
+    stream = (
+        spark.readStream.schema(SD_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_dir)
+    )
+    q = (
+        SD.stream_simhash_near_dup(stream, index, max_hamming=3, eq_blocks=2)
+        .writeStream.format("memory")
+        .queryName("simhash_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+    rows = spark.sql(
+        "SELECT doc_id, match_id, hamming FROM simhash_stream"
+    ).collect()
+    got = {(r.doc_id, r.match_id, r.hamming) for r in rows}
+    # exactly-once without state: no (doc, match) pair may repeat
+    assert len(got) == len(rows)
+
+    # Brute-force oracle over the same fingerprint kernel (batch side),
+    # independent of the posting/blocking scheme.
+    new_fp = [
+        (r._id, r._sim)
+        for r in simhash_fingerprints(
+            docs.filter("source = 'src19'"), "doc_id", "text"
+        ).collect()
+    ]
+    hist_fp = [
+        (r._id, r._sim)
+        for r in simhash_fingerprints(history, "doc_id", "text").collect()
+    ]
+    want = set()
+    for nid, nsim in new_fp:
+        for hid, hsim in hist_fp:
+            h = ((nsim ^ hsim) & 0xFFFFFFFFFFFFFFFF).bit_count()
+            if h <= 3:
+                want.add((nid, hid, h))
+    assert got == want
