@@ -23,6 +23,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline set: the flagship pipeline + one per operator family, chosen to
 #: stress scan/filter/join/agg/window/dedup/text/similarity paths.
+#:
+#: ORDER IS PINNED, APPEND-ONLY (round-10 verdict #4): every query's
+#: timing includes the session state (JIT, GC pressure, shuffle-file
+#: cache) left by the queries BEFORE it, so inserting a query mid-list
+#: silently changes what every later number means and mints spurious
+#: cross-round "regressions" on untouched queries. New headline
+#: queries go at the END; never reorder without recording a
+#: same-host A/B of both orders in BASELINE.md.
 BENCH_QUERIES = (
     "pipeline_flagship",
     "q01_pricing_summary",

@@ -4,6 +4,7 @@
 claims need checking at every SF the corpus ships).
 
 Usage: python tools/parity_sf.py <sf_dir> <query> [query ...]
+       python tools/parity_sf.py <sf_dir> --all    # full registry
 """
 
 from __future__ import annotations
@@ -37,6 +38,8 @@ def main() -> int:
 
     spark = get_spark("parity-sf", cpus=8, driver_memory="6g")
     specs = all_specs()
+    if names == ["--all"]:
+        names = sorted(specs)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
