@@ -227,11 +227,8 @@ def minhash_near_dup_pairs(
     path): shingle explode → 64 flat ``min(xxhash64(gram, j))``
     aggregates per doc (map-side partial combine collapses to one row
     per doc before the shuffle) → per-doc band hashing (16 cheap array
-    slices) → band explode (id + band-hash array rows) → self-equi-join
-    on (band_idx, band_hash) with a **canonical-collision filter** (a
-    pair colliding on many bands is kept only on its lowest matching
-    band — one branch-free mask compare inside the join stage, so no
-    candidate ``distinct()`` shuffle) → **signature-agreement prefilter** (the
+    slices) → band explode (long+id rows only) → self-equi-join on
+    (band_idx, band_hash) → **signature-agreement prefilter** (the
     fraction of equal minhash components is an unbiased Jaccard
     estimator; a flat 64-term comparison, two narrow sig joins) →
     exact-Jaccard verify via inverted-index joins on the shingle rows,
@@ -291,49 +288,14 @@ def minhash_near_dup_pairs(
     sig = scoped_persist(sig, StorageLevel.MEMORY_AND_DISK)
     rows = scoped_persist(rows, StorageLevel.MEMORY_AND_DISK)
     sig_arr = F.array(*[F.col(f"_h{j}") for j in range(n_hashes)])
-    # Posting rows carry the FULL band-hash array (bands longs, ~130 B)
-    # alongside the exploded (band_idx, band_hash) join key. That is the
-    # price of the canonical-collision filter below: a near-identical
-    # pair collides on MOST of the 16 bands, so the joined candidate
-    # stream carries that multiplicity, and the former ``.distinct()``
-    # over it was a full shuffle of the widest intermediate in the plan
-    # — the same disease the SimHash rebuild cured (BASELINE §r10:
-    # ~70 GB / 252 s at sf10 there). With both arrays in hand post-join
-    # the pair's full matching-band set is recomputable row-locally:
-    # keep a joined row iff NO band below the joined one also matches —
-    # i.e. the pair survives exactly once, on its LOWEST matching band,
-    # and duplicates die inside the join stage's codegen. Only shuffle
-    # left is the posting exchange itself (bands× rows of id + array,
-    # ~5× the bytes of the id-only postings — linear, vs the quadratic
-    # candidate-mass shuffle it replaces).
     banded = sig.select(
-        "_id", band_hashes(sig_arr, bands, rows_per_band).alias("_bands")
-    ).select("_id", "_bands", F.posexplode("_bands").alias("_band_idx", "_band_hash"))
+        "_id",
+        F.posexplode(band_hashes(sig_arr, bands, rows_per_band)).alias(
+            "_band_idx", "_band_hash"
+        ),
+    )
     left = banded.alias("l")
     right = banded.alias("r")
-    # Branch-free canonicality test (the SimHash mask-compare device,
-    # operators/dedup.py simhash_near_dup_pairs): build the bitmask of
-    # matching bands with a flat ``bands``-term sum — constant-index
-    # element_at compiles to direct array access — then keep iff no bit
-    # strictly below the joined band index is set.
-    band_match_mask = functools.reduce(
-        lambda x, y: x + y,
-        [
-            F.when(
-                F.element_at(F.col("l._bands"), j + 1)
-                == F.element_at(F.col("r._bands"), j + 1),
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-            for j in range(bands)
-        ],
-    )
-    # ``(1 << band_idx) - 1`` with band_idx a column: shiftleft's shift
-    # amount must be a Python int, so index a bands-long literal array
-    # instead (constant-folded, direct access in codegen).
-    below_joined_band = F.element_at(
-        F.array(*[F.lit((1 << j) - 1) for j in range(bands)]),
-        F.col("l._band_idx") + 1,
-    )
     candidates = (
         left.join(
             right,
@@ -341,8 +303,21 @@ def minhash_near_dup_pairs(
             & (F.col("l._band_hash") == F.col("r._band_hash"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .filter(band_match_mask.bitwiseAND(below_joined_band) == F.lit(0))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        # The distinct() is the RIGHT dedup here — adjudicated round 12
+        # (BASELINE §r12) against the simhash-style canonical-collision
+        # filter the r10 verdict prescribed. Measured at sf1: band-join
+        # multiplicity is 1.26 (5.43M raw matches / 4.29M pairs), so
+        # the shuffle carries the candidate SET, not meaningful
+        # duplicate mass — the opposite regime from simhash's combo
+        # postings (multiplicity ~180 at sf10), where the filter wins.
+        # The transferred filter also needs the 16-term band-match mask
+        # over two carried band-hash ARRAYS; Catalyst pushes that mask
+        # into the band join's residual condition, degrading the whole
+        # pipelined stage (matched-session sf1 A/B: 13.3 s -> 29.1 s
+        # steady). Keep distinct(): map-side partial agg + one narrow
+        # (id, id) exchange.
+        .distinct()
     )
 
     if prefilter:

@@ -12,7 +12,6 @@ k-row heaps merged on the driver, no global sort at any scale.
 
 from __future__ import annotations
 
-import functools
 import warnings
 from collections.abc import Sequence
 
@@ -724,54 +723,38 @@ def knn_join_lsh(
     # persisted these at MEMORY_AND_DISK and never unpersisted; in a
     # session issuing many joins the leaked blocks competed with shuffle
     # memory (ADVICE r2) and made repeat executions SLOWER than cold.
-    # Posting rows carry the FULL per-table signature array (n_tables
-    # longs — narrow) but NOT the vectors, which are joined back after
-    # candidate generation so the wide embedding column never rides the
-    # n_tables-way exploded shuffle. The array is the price of the
-    # canonical-collision filter: a close pair collides in MANY of the
-    # tables, and the former ``.distinct()`` over the joined candidate
-    # stream shuffled that full multiplicity (the same disease the
-    # SimHash canonical-combo rebuild cured, BASELINE §r10). With both
-    # signature arrays in hand post-join, keep a joined row iff ``_t``
-    # is the FIRST table where the signatures agree — every colliding
-    # pair survives exactly once and duplicates die inside the join
-    # stage's codegen, no extra shuffle.
     lpost = left.select(
-        F.col(left_id).alias("_lid"), sig_udf(F.col(left_vec)).alias("_lsigs")
-    ).select("_lid", "_lsigs", F.posexplode("_lsigs").alias("_t", "_sig"))
+        F.col(left_id).alias("_lid"),
+        F.posexplode(sig_udf(F.col(left_vec))).alias("_t", "_sig"),
+    )
     rpost = right.select(
-        F.col(right_id).alias("_rid"), sig_udf(F.col(right_vec)).alias("_rsigs")
-    ).select("_rid", "_rsigs", F.posexplode("_rsigs").alias("_t", "_sig"))
-    # Branch-free canonicality: bitmask of agreeing tables via a flat
-    # n_tables-term sum (constant-index element_at = direct array
-    # access), keep iff no bit strictly below the joined table is set.
-    # Mask lives in a long → valid for n_tables ≤ 62; larger table
-    # counts (never produced by lsh_join_sizing) fall back to distinct.
-    if n_tables <= 62:
-        table_match_mask = functools.reduce(
-            lambda x, y: x + y,
-            [
-                F.when(
-                    F.element_at(F.col("_lsigs"), t + 1)
-                    == F.element_at(F.col("_rsigs"), t + 1),
-                    F.lit(1 << t),
-                ).otherwise(F.lit(0))
-                for t in range(n_tables)
-            ],
-        )
-        # (1 << _t) - 1 via a literal lookup array — shiftleft's shift
-        # amount must be a Python int, not a Column.
-        below_joined_table = F.element_at(
-            F.array(*[F.lit((1 << t) - 1) for t in range(n_tables)]),
-            F.col("_t") + 1,
-        )
-        cand = (
-            lpost.join(rpost, ["_t", "_sig"])
-            .filter(table_match_mask.bitwiseAND(below_joined_table) == F.lit(0))
-            .select("_lid", "_rid")
-        )
-    else:
-        cand = lpost.join(rpost, ["_t", "_sig"]).select("_lid", "_rid").distinct()
+        F.col(right_id).alias("_rid"),
+        F.posexplode(sig_udf(F.col(right_vec))).alias("_t", "_sig"),
+    )
+    # Posting lists carry ONLY ids — vectors are joined back after the
+    # pair-distinct so the wide embedding column never rides the
+    # n_tables-way exploded shuffle.
+    #
+    # The distinct() is the RIGHT dedup here — adjudicated round 12
+    # (BASELINE §r12) against the canonical-collision filter the r10
+    # verdict prescribed (keep a pair only at its first agreeing
+    # table). Measured at sf1 (20k × 20k, auto-sized 23×11-bit
+    # tables): posting-join multiplicity is 1.07 (6.48M raw / 6.07M
+    # pairs) — candidate mass, not duplicate mass, dominates, so there
+    # is no meaningful shuffle to save. And the filter's n_tables-term
+    # mask over two carried signature ARRAYS gets pushed into the
+    # posting join's residual condition, where it degraded the entire
+    # pipelined serving stage ~6× (matched-session sf1 A/B: 10.1 s ->
+    # 75.8 s steady; staged bisection pinned the regression to the
+    # stage containing the mask, with the candidate count itself
+    # unchanged). The simhash canonical-combo filter wins in the
+    # OPPOSITE regime — multiplicity ~180, scalar shift-mask, forced
+    # SMJ — none of which holds here.
+    cand = (
+        lpost.join(rpost, ["_t", "_sig"])
+        .select("_lid", "_rid")
+        .distinct()  # collide once per pair
+    )
     scored = (
         cand.join(left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec")), "_lid")
         .join(right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec")), "_rid")
