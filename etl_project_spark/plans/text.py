@@ -8,6 +8,9 @@ text surface is oracle-checked, not just rows-only.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1598,4 +1601,132 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "kl_bits",
         F.round(F.col("e").cast("double") / z, 6).alias("mixture_weight"),
+    )
+
+
+# -- sequence packing (training-batch assembly) -----------------------------
+
+#: Context-window capacity for the packing family. Small enough that
+#: the driver-scale corpus produces multi-bin shards, large enough
+#: that typical documents co-pack.
+_PACK_CAP = 1024
+
+_PACK_CTE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source, {_SQL_TOKEN_COUNT} AS n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), pack AS (
+  SELECT doc_id, source, n, rn,
+         0 AS seq_idx, 0 AS seq_offset, n AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n, t.rn,
+         CASE WHEN p.fill > 0 AND p.fill + t.n > {_PACK_CAP}
+              THEN p.seq_idx + 1 ELSE p.seq_idx END,
+         CASE WHEN p.fill > 0 AND p.fill + t.n > {_PACK_CAP}
+              THEN 0 ELSE p.fill END,
+         CASE WHEN p.fill > 0 AND p.fill + t.n > {_PACK_CAP}
+              THEN t.n ELSE p.fill + t.n END
+  FROM toks t JOIN pack p ON t.source = p.source AND t.rn = p.rn + 1
+)
+"""
+
+
+@register(
+    "q_pack_sequences_nextfit",
+    oracle=_PACK_CTE
+    + """
+SELECT doc_id, source, CAST(n AS INTEGER) AS n_tokens,
+       CAST(seq_idx AS INTEGER) AS seq_idx,
+       CAST(seq_offset AS INTEGER) AS seq_offset
+FROM pack
+""",
+    tags=("text", "packing", "llm", "grouped-map"),
+)
+def q_pack_sequences_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy NEXT-FIT of documents into fixed
+    1024-token context windows, per source shard — the
+    training-batch-assembly op that turns a deduped corpus into dense
+    LM examples (padding waste is the thing being minimized; the audit
+    twin is :func:`q_pack_sequences_stats`).
+
+    Packing is inherently a sequential fold (each placement depends on
+    the running fill), so it CANNOT be a window expression — but it is
+    sequential only WITHIN a shard, and shards are independent: the
+    industry shape packs within loader shards, never globally. So the
+    plan is groupBy(source).applyInPandas with a numpy greedy pass per
+    shard — one Arrow round-trip per shard and zero shuffles beyond
+    the one grouping exchange; at 100 TB the shard key is
+    (source, day-bucket, ...) sized so a shard's (doc_id, n_tokens)
+    pairs fit one executor, which they do at ~12 bytes/doc.
+
+    Determinism: docs pack in doc_id order within a shard; a document
+    longer than the capacity occupies a bin of its own (the fill>0
+    guard — it never merges into a prior bin, and the next document
+    always opens fresh). The oracle replays the exact fold as a
+    per-source recursive CTE, so every (doc -> bin, offset) assignment
+    is hash-checked, not just summary counts.
+    """
+    tune_session(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        n = pdf["n_tokens"].to_numpy()
+        seq_idx = np.empty(len(n), dtype=np.int32)
+        seq_off = np.empty(len(n), dtype=np.int32)
+        b, fill = 0, 0
+        for i, t in enumerate(n):
+            if fill > 0 and fill + t > _PACK_CAP:
+                b += 1
+                fill = 0
+            seq_idx[i] = b
+            seq_off[i] = fill
+            fill += t
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_tokens": pdf["n_tokens"].astype("int32"),
+                "seq_idx": seq_idx,
+                "seq_offset": seq_off,
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        schema="doc_id bigint, source string, n_tokens int, seq_idx int, seq_offset int",
+    )
+
+
+@register(
+    "q_pack_sequences_stats",
+    oracle=_PACK_CTE
+    + f"""
+SELECT source, CAST(seq_idx AS INTEGER) AS seq_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       ROUND(LEAST(SUM(n), {_PACK_CAP}) / {_PACK_CAP}.0, 4) AS fill_ratio
+FROM pack GROUP BY source, seq_idx
+""",
+    tags=("text", "packing", "llm", "audit"),
+)
+def q_pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit: per (shard, window) document count,
+    token count, and fill ratio (oversized single-doc bins clamp to
+    1.0 — they waste nothing; what they overflow is a truncation
+    decision downstream of packing). The mean fill ratio IS the
+    padding-efficiency number a data team watches when choosing the
+    window size; a plain rollup over the packing output, so shuffle is
+    one hash agg over (source, seq_idx)."""
+    packed = q_pack_sequences_nextfit(spark, sf_dir)
+    return packed.groupBy("source", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.least(F.sum("n_tokens"), F.lit(_PACK_CAP)) / float(_PACK_CAP), 4
+        ).alias("fill_ratio"),
     )

@@ -105,3 +105,31 @@ def test_pmi_survives_single_token_docs(spark, tmp_path):
     out = q_pmi_collocations(spark, str(tmp_path)).collect()  # must not raise
     pairs = {(r.w1, r.w2) for r in out}
     assert ("alpha", "beta") in pairs
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark, tmp_path):
+    """Next-fit edge cases the corpus never hits: a document longer
+    than the 1024-token window must occupy a bin of its own (never
+    merged into a prior bin; the next doc always opens fresh), and
+    offsets are the running fill in doc_id order."""
+    from etl_project_spark.plans.text import q_pack_sequences_nextfit
+
+    rows = [
+        (1, "w " * 600, "en", "s1", 1200),     # 600 tokens
+        (2, "w " * 1500, "en", "s1", 3000),    # 1500 tokens: oversized
+        (3, "w " * 10, "en", "s1", 20),
+        (4, "w " * 10, "en", "s1", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_idx, r.seq_offset)
+        for r in q_pack_sequences_nextfit(spark, str(tmp_path)).collect()
+    }
+    # strings end with a trailing space; token_count trims, so "w "*n = n tokens
+    assert got[1] == (600, 0, 0)
+    assert got[2] == (1500, 1, 0)   # doesn't fit behind 600 -> new bin, alone
+    assert got[3] == (10, 2, 0)     # oversized bin is full -> next opens fresh
+    assert got[4] == (10, 2, 10)    # co-packs at running offset
