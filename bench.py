@@ -75,6 +75,10 @@ BENCH_QUERIES = (
     "q_pq_adc_topk",
     "q_knn_ivfpq_topk",
     "q_int8_quantized_recall",
+    # round-12 additions (append-only): persisted-index ADC serving +
+    # sequence packing
+    "q_pq_adc_indexed_topk",
+    "q_pack_sequences_nextfit",
 )
 
 

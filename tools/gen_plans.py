@@ -89,6 +89,10 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, str] = {
         "rank over the 10 survivors of the ADC TakeOrderedAndProject "
         "cut"
     ),
+    "q_pq_adc_indexed_topk": (
+        "rank over the 10 survivors of the ADC TakeOrderedAndProject "
+        "cut (served from the persisted code index)"
+    ),
 }
 
 
