@@ -13,7 +13,7 @@ high-similarity pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import read_table
@@ -908,3 +908,197 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup_pairs(
         corpus, "vec_id", "embedding", cents, threshold=0.9, row_hint=n
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span (substring-level) dedup — Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": instead of dropping whole
+# near-dup documents, find the exact token SPANS that occur more than once
+# in the corpus and mark them for removal. The distributed form avoids the
+# paper's suffix array entirely: a token k-gram occurring ≥2 times anywhere
+# marks its positions, and merging overlapping marked windows per document
+# reconstructs exactly the maximal duplicated regions ≥ k tokens.
+
+_SPAN_K = 5  # token window; below 5 chance word-soup collisions dominate
+_SPAN_MIN_TOKENS = 10  # report spans only when ≥ 2 windows' worth of text
+
+_SPAN_ORACLE_CORE = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), glist AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(len(toks) - {_SPAN_K} + 2, 1)),
+                        i -> array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' '))
+           AS grams
+  FROM docs
+), g AS (
+  SELECT doc_id, UNNEST(grams) AS gram,
+         UNNEST(range(1, len(grams) + 1)) AS pos
+  FROM glist
+), freq AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), dup AS (
+  SELECT g.doc_id, g.pos FROM g JOIN freq USING (gram)
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SPAN_K}
+              THEN 1 ELSE 0 END AS is_break
+  FROM dup
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS span_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+
+def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span rows ``(doc_id, span_start, span_tokens,
+    n_dup_grams)`` shared by both repeated-span queries.
+
+    Scale shape: token 5-grams are xxhash64'd to 8-byte keys before the
+    frequency count and the position join, so both shuffles carry
+    ``(int64, int64)`` rows, never strings (collision odds at 10M grams
+    ~1e-6 — the q_benchmark_contamination precedent). The duplicated-gram
+    set is the output of a HAVING-filtered hash aggregate; the join back
+    to positions is a left-semi equi-join AQE converts to broadcast when
+    the dup set is small. The only per-document work is a lag/sum window
+    over that document's duplicated positions — bounded by doc length,
+    partitioned on doc_id. Nothing is quadratic and nothing collects:
+    at 100 TB this is two hash shuffles plus a per-doc window, which is
+    the whole point of replacing the suffix array.
+    """
+    K = _SPAN_K
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= K)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - F.lit(K - 1)),
+                lambda i: F.xxhash64(F.array_join(F.slice("t", i, K), " ")),
+            )
+        ).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("g")
+    )
+    dup = grams.join(dup_grams, "g", "left_semi").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = dup.withColumn(
+        "is_break",
+        F.when(F.col("pos") - F.lag("pos").over(w) > K, 1).otherwise(0),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("is_break").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + F.lit(K)).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+    )
+
+
+@register(
+    "q_repeated_span_extraction",
+    oracle=_SPAN_ORACLE_CORE
+    + f"""
+SELECT doc_id, span_start, span_tokens, n_dup_grams
+FROM spans WHERE span_tokens >= {_SPAN_MIN_TOKENS}
+""",
+    tags=("dedup", "spans", "text", "llm"),
+)
+def q_repeated_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated token spans ≥ 10 tokens, one row per span.
+
+    Substring-level dedup (Lee et al. 2022) without the suffix array:
+    a token 5-gram seen ≥2 times corpus-wide marks its position;
+    positions whose 5-token windows overlap or touch (gap ≤ k) merge
+    into one maximal span via gaps-and-islands. A span is exactly a
+    region every token of which lies inside some duplicated 5-gram —
+    the paper's "duplicated substring" at word granularity. See
+    ``_span_frame`` for the two-shuffle scale shape.
+    """
+    spans = _span_frame(spark, sf_dir)
+    return spans.filter(F.col("span_tokens") >= _SPAN_MIN_TOKENS).select(
+        "doc_id", "span_start", "span_tokens", "n_dup_grams"
+    )
+
+
+@register(
+    "q_repeated_span_scrub_stats",
+    oracle=_SPAN_ORACLE_CORE
+    + f"""
+, per_doc AS (
+  SELECT doc_id, SUM(span_tokens) AS cut_tokens
+  FROM spans WHERE span_tokens >= {_SPAN_MIN_TOKENS}
+  GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(p.cut_tokens) AS BIGINT) AS docs_with_spans,
+       CAST(SUM(len(d.toks)) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(p.cut_tokens), 0) AS BIGINT) AS cut_tokens,
+       ROUND(COALESCE(SUM(p.cut_tokens), 0) * 1.0 / SUM(len(d.toks)), 6)
+         AS cut_ratio
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+""",
+    tags=("dedup", "spans", "text", "llm"),
+)
+def q_repeated_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cost of scrubbing repeated spans: how many tokens the
+    span cut removes and from how many documents.
+
+    The go/no-go report a pipeline owner reads before enabling span
+    removal — if cut_ratio is high on a source, its crawl is
+    boilerplate-heavy and whole-doc dedup would over-delete. Maximal
+    spans within a doc are disjoint by construction (islands), so
+    summing span_tokens never double-counts a token.
+    """
+    d = _t(spark, sf_dir, "documents")
+    docs = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
+    )
+    per_doc = (
+        _span_frame(spark, sf_dir)
+        .filter(F.col("span_tokens") >= _SPAN_MIN_TOKENS)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("cut_tokens"))
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("cut_tokens").cast("long").alias("docs_with_spans"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.coalesce(F.sum("cut_tokens"), F.lit(0)).cast("long").alias("cut_tokens"),
+            F.round(
+                F.coalesce(F.sum("cut_tokens"), F.lit(0))
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("cut_ratio"),
+        )
+    )

@@ -575,3 +575,61 @@ def test_ngram_capped_equals_uncapped_when_cap_never_fires(spark, docs):
         ).collect()
     }
     assert got == want
+
+
+def test_repeated_spans_planted_fixture(spark):
+    """Planted-duplicate fixture: two docs share an exact 12-token run
+    (plus unique filler), a third is all-unique. The span extractor must
+    report exactly one maximal span per sharing doc, anchored at the
+    run's position, and nothing for the unique doc.
+    """
+    from etl_project_spark.plans.registry import all_specs
+    import tempfile, os
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    rows = [
+        (1, f"{shared} ua ub uc ud ue uf ug uh", "en", "sA", 0),
+        (2, f"va vb vc vd {shared} ve vf vg vh", "en", "sB", 0),
+        (3, " ".join(f"solo{i}" for i in range(24)), "en", "sC", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        spans = {
+            r.doc_id: r
+            for r in all_specs()["q_repeated_span_extraction"]
+            .builder(spark, tmp)
+            .collect()
+        }
+    # doc 3 shares nothing; docs 1 and 2 each carry one maximal span of
+    # exactly the 12 shared tokens (8 dup 5-grams), at pos 1 and pos 5.
+    assert set(spans) == {1, 2}
+    assert (spans[1].span_start, spans[1].span_tokens, spans[1].n_dup_grams) == (1, 12, 8)
+    assert (spans[2].span_start, spans[2].span_tokens, spans[2].n_dup_grams) == (5, 12, 8)
+
+
+def test_repeated_spans_disjoint_and_thresholded(spark, docs):
+    """On the corpus: spans within a doc never overlap (islands are
+    maximal ⇒ disjoint token ranges with a gap), and every reported
+    span respects the 10-token floor.
+    """
+    from etl_project_spark.plans.registry import all_specs
+
+    rows = (
+        all_specs()["q_repeated_span_extraction"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    )
+    assert rows, "corpus has planted duplicates; extractor found none"
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_tokens >= 10
+        assert r.span_start >= 1
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.span_start)
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            # maximality: next span starts strictly past this span's end
+            assert b.span_start > a.span_start + a.span_tokens - 1
