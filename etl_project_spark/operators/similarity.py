@@ -921,6 +921,7 @@ def kmeans_refine(
     centroids: list[list[float]],
     *,
     n_iter: int = 3,
+    grid: int | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd refinement of IVF centroids.
 
@@ -954,7 +955,46 @@ def kmeans_refine(
         )
         nxt = {int(r["_cell"]): [s / r["_n"] for s in r["_sum"]] for r in sums}
         current = [nxt.get(i, c) for i, c in enumerate(current)]
+        if grid is not None:
+            # Cross-engine float discipline: snap every coordinate to a
+            # 10^-grid lattice before the next assignment round, so an
+            # SQL oracle recomputing the identical means (whose partial
+            # sums fold in a different order, ~1e-15 apart) continues
+            # from bit-identical centroids.
+            current = [[round(x, grid) for x in c] for c in current]
     return current
+
+
+def assign_with_sim(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """``ivf_assign`` that also keeps the winning cosine similarity.
+
+    One Arrow matmul per batch yields both the argmax (``_cell``) and
+    the max (``_sim``) — used by cell-profile queries so membership and
+    tightness come from the SAME kernel pass.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("struct<cell: int, sim: double>")
+    def cell_sim(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ Cn.T
+        return pd.DataFrame(
+            {
+                "cell": np.argmax(sims, axis=1).astype("int32"),
+                "sim": np.max(sims, axis=1),
+            }
+        )
+
+    s = df.withColumn("_cs", cell_sim(F.col(vec_col)))
+    return s.withColumn("_cell", F.col("_cs.cell")).withColumn(
+        "_sim", F.col("_cs.sim")
+    ).drop("_cs")
 
 
 def probe_cells(

@@ -1056,3 +1056,103 @@ def q_int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return rec.crossJoin(errs)
+
+
+# ---------------------------------------------------------------------------
+# Lloyd-refined k-means cell profile — the cluster-curation primitive
+# (SemDeDup / DataComp pipelines cluster embeddings with k-means, then
+# prune or rebalance per cell). Oracle-parity across two Lloyd rounds
+# holds because every refined centroid coordinate is snapped to a 1e-6
+# grid before it is reused (operators/similarity.py::kmeans_refine
+# ``grid=6``) — after the snap both engines continue from bit-identical
+# centroids, so the only float divergence left is inside one
+# assignment argmax (~1e-15, the proven q_knn_ivf_topk regime).
+
+def _kmeans_assign_sql(cents: str) -> str:
+    """Assignment CTE body: nearest of ``cents`` by cosine, ties to the
+    lower cell id — the SQL twin of ivf_assign's stable argmax."""
+    return f"""
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             c.cvec) DESC,
+                      c.cell_id) AS rn
+    FROM embeddings e CROSS JOIN {cents} c)
+  WHERE rn = 1
+"""
+
+
+def _kmeans_update_sql(assigned: str, prev: str) -> str:
+    """Update CTE body: per-cell per-dimension mean, snapped to the 1e-6
+    grid; cells that lost every member keep the previous centroid."""
+    return f"""
+  SELECT p.cell_id, COALESCE(m.cv, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN (
+    SELECT cell_id, list(mval ORDER BY pos) AS cv FROM (
+      SELECT cell_id, pos, ROUND(AVG(val), 6) AS mval FROM (
+        SELECT cell_id, UNNEST(emb) AS val,
+               UNNEST(range(1, len(emb) + 1)) AS pos
+        FROM {assigned})
+      GROUP BY cell_id, pos)
+    GROUP BY cell_id) m USING (cell_id)
+"""
+
+
+_KMEANS_ORACLE = f"""
+WITH cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16)
+), a1 AS ({_kmeans_assign_sql("cents0")}
+), cents1 AS ({_kmeans_update_sql("a1", "cents0")}
+), a2 AS ({_kmeans_assign_sql("cents1")}
+), cents2 AS ({_kmeans_update_sql("a2", "cents1")}
+), af AS (
+  SELECT vec_id, cell_id, sim FROM (
+    SELECT e.vec_id, c.cell_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec)
+             AS sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             c.cvec) DESC,
+                      c.cell_id) AS rn
+    FROM embeddings e CROSS JOIN cents2 c)
+  WHERE rn = 1
+)
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(AVG(sim), 4) AS mean_sim
+FROM af GROUP BY cell_id
+"""
+
+
+@register(
+    "q_kmeans_refined_cells",
+    oracle=_KMEANS_ORACLE,
+    tags=("similarity", "kmeans", "llm"),
+)
+def q_kmeans_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell profile (size + mean within-cell cosine) after two
+    deterministic Lloyd rounds from the strided IVF seeds.
+
+    The k-means training loop behind cluster-based curation: assign is
+    one Arrow matmul per batch against a 16×64 broadcast-closure
+    matrix, update is one per-(cell, dim) distributed aggregate — the
+    n_cells × dim means are the only driver-side bytes per round
+    (index-build metadata). Nothing is quadratic in the corpus; at
+    100 TB the same loop runs with the centroid matrix in the task
+    closure and one shuffle per round.
+    """
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    seeds = SIM.deterministic_centroids(e, "embedding", "vec_id", n_cells=16)
+    refined = SIM.kmeans_refine(e, "embedding", seeds, n_iter=2, grid=6)
+    prof = SIM.assign_with_sim(e, "embedding", refined)
+    return prof.groupBy(F.col("_cell").cast("int").alias("cell_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg("_sim"), 4).alias("mean_sim"),
+    )
