@@ -79,6 +79,10 @@ BENCH_QUERIES = (
     # sequence packing
     "q_pq_adc_indexed_topk",
     "q_pack_sequences_nextfit",
+    # round-12 additions (append-only): substring-level dedup + k-means
+    # cell curation
+    "q_repeated_span_extraction",
+    "q_kmeans_refined_cells",
 )
 
 

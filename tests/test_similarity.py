@@ -556,3 +556,31 @@ def test_grouped_probe_topk_neq_mask_drops_null_labels(spark):
     ).collect()
     # id 1 shares the probe's label, id 2 has NULL label: both excluded
     assert [r.id for r in out] == [3]
+
+
+def test_assign_with_sim_agrees_with_ivf_assign(spark, emb):
+    """The struct-returning kernel must reproduce ivf_assign's cell
+    choice exactly, and its _sim must equal the cosine to that cell's
+    centroid (both computed in float64)."""
+    import numpy as np
+
+    seeds = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=8)
+    a = {r.vec_id: r._cell for r in SIM.ivf_assign(emb, "embedding", seeds).collect()}
+    rows = SIM.assign_with_sim(emb, "embedding", seeds).collect()
+    C = np.asarray(seeds, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    for r in rows:
+        assert r._cell == a[r.vec_id]
+        v = np.asarray(r.embedding, dtype=np.float64)
+        vn = v / max(float(np.linalg.norm(v)), 1e-12)
+        assert abs(r._sim - float(vn @ Cn[r._cell])) < 1e-12
+
+
+def test_kmeans_refine_grid_snaps_coordinates(spark, emb):
+    """grid=6 must leave every refined coordinate on the 1e-6 lattice
+    (the cross-engine parity contract for q_kmeans_refined_cells)."""
+    seeds = SIM.deterministic_centroids(emb, "embedding", "vec_id", n_cells=8)
+    refined = SIM.kmeans_refine(emb, "embedding", seeds, n_iter=2, grid=6)
+    for c in refined:
+        for x in c:
+            assert x == round(x, 6)
