@@ -1226,3 +1226,22 @@ def jaccard_prefix_filter_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def span_gram_hashes(text: Column, k: int = 5) -> Column:
+    """xxhash64'd word-``k``-gram array of ``text`` in token order (NOT
+    distinct — repeated-span detection needs positions): element ``i``
+    (0-based) is the gram starting at token ``i+1`` of the trimmed,
+    lower-cased whitespace split. Docs with fewer than ``k`` tokens
+    yield an empty array. ONE definition feeds the batch repeated-span
+    plan (plans/dedup.py::_span_frame) and its stream-static twin
+    (streaming/dedup.py), so the two can never shingle differently.
+    """
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))

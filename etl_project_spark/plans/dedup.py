@@ -981,19 +981,9 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     K = _SPAN_K
     d = _t(spark, sf_dir, "documents")
-    toks = (
-        d.filter(F.length(F.trim("text")) > 0)
-        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
-        .filter(F.size("t") >= K)
-    )
-    grams = toks.select(
+    grams = d.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - F.lit(K - 1)),
-                lambda i: F.xxhash64(F.array_join(F.slice("t", i, K), " ")),
-            )
-        ).alias("p0", "g"),
+        F.posexplode(DD.span_gram_hashes(F.col("text"), K)).alias("p0", "g"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
     dup_grams = (
         grams.groupBy("g")

@@ -205,3 +205,54 @@ def stream_simhash_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -- Repeated-span streaming twin (round 12) --------------------------------
+
+def corpus_dup_gram_index(history_docs: DataFrame, k: int = 5) -> DataFrame:
+    """Static-side index ``(_g)``: token-``k``-gram hashes occurring ≥2
+    times across the history corpus — the duplicated-gram set of the
+    batch repeated-span plan. In production this is a persisted table
+    bucketed by ``_g``, refreshed by a slower batch job (the same
+    asymmetric-join economics as :func:`history_gram_index`)."""
+    from etl_project_spark.operators.dedup import span_gram_hashes
+
+    g = history_docs.select(
+        F.explode(span_gram_hashes(F.col("text"), k)).alias("_g")
+    )
+    return (
+        g.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= 2)
+        .select("_g")
+    )
+
+
+def stream_repeated_span_positions(
+    new_docs: DataFrame, dup_gram_index: DataFrame, k: int = 5
+) -> DataFrame:
+    """Duplicated gram positions ``(doc_id, pos)`` of arriving
+    documents — the stream-static twin of the batch repeated-span
+    detector, FULLY STATELESS:
+
+    - Shingling is per-row (:func:`span_gram_hashes` over the doc's own
+      text), so posexplode is streaming-legal with no state.
+    - The duplicated-gram lookup is a stream-static LEFT SEMI join: per
+      micro-batch only the matching slice of the static index is read,
+      and nothing about other stream rows is needed.
+    - The gaps-and-islands span merge is doc-LOCAL (a window over one
+      document's positions) but window-after-join is not streaming-
+      legal — so, exactly like the incremental twin defers its argmax
+      rollup, the island merge runs on the drained/current output. The
+      hot corpus-sized work (shingle + dup lookup) happens in-stream;
+      the rollup touches only the tiny flagged-position set.
+
+    Run with ``outputMode("append")``; a doc's flagged positions
+    finalize in the trigger its row arrives."""
+    from etl_project_spark.operators.dedup import span_gram_hashes
+
+    g = new_docs.select(
+        "doc_id",
+        F.posexplode(span_gram_hashes(F.col("text"), k)).alias("_p0", "_g"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "_g")
+    return g.join(dup_gram_index, "_g", "left_semi").select("doc_id", "pos")

@@ -1051,3 +1051,77 @@ def test_stream_simhash_near_dup_matches_bruteforce(spark, tmp_path):
             if h <= 3:
                 want.add((nid, hid, h))
     assert got == want
+
+
+def test_stream_repeated_span_positions_matches_batch(spark, tmp_path):
+    """Stream-static repeated-span twin: the full corpus streamed file-
+    by-file against the static duplicated-gram index must flag exactly
+    the batch plan's duplicated positions, and the island rollup over
+    the drained output must reproduce q_repeated_span_extraction's
+    span set row-for-row."""
+    from pyspark.sql import Window as W
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.streaming import dedup as SD
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    batch_dir = str(tmp_path / "arriving_spans")
+    docs.repartition(4).write.parquet(batch_dir)
+    index = SD.corpus_dup_gram_index(docs, k=5)
+
+    stream = (
+        spark.readStream.schema(SD_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_dir)
+    )
+    q = (
+        SD.stream_repeated_span_positions(stream, index, k=5)
+        .writeStream.format("memory")
+        .queryName("span_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+
+    drained = spark.sql("SELECT doc_id, pos FROM span_stream")
+    # exactly-once without state: no flagged position may repeat
+    rows = drained.collect()
+    assert len({(r.doc_id, r.pos) for r in rows}) == len(rows)
+
+    # Island rollup on the drained output — the consumer-side finish,
+    # same arithmetic as the batch plan (k=5, 10-token floor).
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        drained.withColumn(
+            "is_break",
+            F.when(F.col("pos") - F.lag("pos").over(w) > 5, 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("is_break").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(5)).cast("long").alias(
+                "span_tokens"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        )
+        .filter(F.col("span_tokens") >= 10)
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens, r.n_dup_grams)
+        for r in isl.collect()
+    }
+    want = {
+        (r.doc_id, r.span_start, r.span_tokens, r.n_dup_grams)
+        for r in all_specs()["q_repeated_span_extraction"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    }
+    assert got == want and want
