@@ -1092,3 +1092,29 @@ def q_repeated_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cut_ratio"),
         )
     )
+
+
+@register(
+    "q_repeated_span_positions_twin",
+    oracle=_SPAN_ORACLE_CORE
+    + """
+SELECT doc_id, CAST(pos AS BIGINT) AS pos
+FROM dup
+""",
+    tags=("dedup", "spans", "stream-twin"),
+)
+def q_repeated_span_positions_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the repeated-span stream-static path: duplicated
+    gram positions of every document against the corpus dup-gram
+    index, via the EXACT functions the stream runs
+    (streaming/dedup.py::corpus_dup_gram_index +
+    stream_repeated_span_positions on a batch frame). The pytest twin
+    (tests/test_streaming.py) streams the same corpus file-by-file and
+    asserts this result row-for-row; registering the batch form makes
+    the stream path oracle-visible in the driver's inventory."""
+    from etl_project_spark.streaming import dedup as SD
+
+    d = _t(spark, sf_dir, "documents")
+    idx = SD.corpus_dup_gram_index(d, k=_SPAN_K)
+    pos = SD.stream_repeated_span_positions(d, idx, k=_SPAN_K)
+    return pos.select("doc_id", F.col("pos").cast("long").alias("pos"))
