@@ -423,3 +423,130 @@ def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("max_deg"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction: Adamic-Adar over a degree-BOUNDED co-shipment
+# graph. The raw co-shipment graph is dense (every supplier pair
+# eventually shares an order), so two-hop enumeration on it is
+# quadratic; sparsifying first to each supplier's top-8 partners
+# makes the two-hop join O(n · k²) with k fixed — the standard
+# production shape for link prediction at scale (score only the
+# neighborhood graph, not the clique). Every stage is a hash
+# shuffle on a key whose fan-out is bounded by construction:
+# l_orderkey (lines per order ≤ 7), the pair key, and the top-8
+# adjacency. The one residual skew risk is a "hub" supplier kept in
+# MANY partners' top-8 lists (in-degree is not capped); its per-z
+# fan-out is deg(z)² — AQE skew-split handles it, and k² = 64 keeps
+# even a full-table hub tractable.
+# --------------------------------------------------------------------------
+_AA_TOPK = 8
+
+
+@register(
+    "q_adamic_adar_suppliers",
+    oracle=f"""
+WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), copairs AS (
+  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS c
+  FROM os a JOIN os b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2
+), kept AS (
+  SELECT sa, sb FROM (
+    SELECT sa, sb,
+           ROW_NUMBER() OVER (PARTITION BY sa ORDER BY c DESC, sb) AS rn
+    FROM copairs
+  ) WHERE rn <= {_AA_TOPK}
+), und AS (
+  SELECT DISTINCT LEAST(sa, sb) AS u, GREATEST(sa, sb) AS v FROM kept
+), adj AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL
+  SELECT v AS src, u AS dst FROM und
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM adj GROUP BY src
+)
+SELECT t1.dst AS supp_a, t2.dst AS supp_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       ROUND(SUM(1.0 / LN(deg.d)), 6) AS aa_score
+FROM adj t1
+JOIN adj t2 ON t1.src = t2.src AND t1.dst < t2.dst
+JOIN deg ON deg.src = t1.src
+LEFT JOIN und e ON e.u = t1.dst AND e.v = t2.dst
+WHERE e.u IS NULL
+GROUP BY 1, 2
+""",
+    tags=("graph", "link-prediction", "adamic-adar"),
+)
+def q_adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the top-8-sparsified supplier
+    co-shipment graph: for every non-adjacent pair with at least one
+    common neighbor, Σ 1/ln(deg(z)) over common neighbors z.
+
+    Scale shape in the module comment. Every common neighbor has
+    degree ≥ 2 by construction (it is adjacent to both endpoints), so
+    ln(deg) ≥ ln 2 and the score is well-defined. Cross-engine float
+    discipline: edge selection ranks on EXACT integer counts with an
+    id tiebreak, so both engines sparsify to the identical graph; the
+    score is a short sum of 1/ln(small-int) terms, stable ~1e-15,
+    snapped at 6 decimals.
+    """
+    tune_session(spark)
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    copairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("sa").orderBy(F.col("c").desc(), F.col("sb"))
+    )
+    kept = copairs.withColumn("rn", rn).filter(F.col("rn") <= _AA_TOPK)
+    und = kept.select(
+        F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+    ).distinct()
+    adj = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    t1 = adj.alias("t1")
+    t2 = adj.alias("t2")
+    cand = t1.join(
+        t2,
+        (F.col("t1.src") == F.col("t2.src")) & (F.col("t1.dst") < F.col("t2.dst")),
+    ).select(
+        F.col("t1.src").alias("z"),
+        F.col("t1.dst").alias("supp_a"),
+        F.col("t2.dst").alias("supp_b"),
+    )
+    non_adj = cand.join(
+        und,
+        (cand.supp_a == und.u) & (cand.supp_b == und.v),
+        "left_anti",
+    )
+    return (
+        non_adj.join(deg, non_adj.z == deg.src)
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), 6).alias(
+                "aa_score"
+            ),
+        )
+    )

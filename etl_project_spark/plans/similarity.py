@@ -1156,3 +1156,104 @@ def q_kmeans_refined_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.round(F.avg("_sim"), 4).alias("mean_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval fusion: Reciprocal Rank Fusion of two candidate
+# lists for the same fixed query — the full-precision 64-dim cosine
+# ranking and the matryoshka 16-dim coarse-head ranking. Both arms
+# are TakeOrderedAndProject top-100 (per-task heaps, no global sort);
+# the fusion itself touches 2 × 100 narrow rows, so every post-scan
+# stage is driver-trivial at any corpus size. This is the standard
+# two-tower serving topology: cheap coarse scorer + expensive exact
+# scorer, RRF to combine without score calibration.
+# --------------------------------------------------------------------------
+_QUERY16_SQL_ARRAY = "[" + ", ".join(f"{v!r}" for v in QUERY_VEC[:16]) + "]"
+_RRF_K = 60
+_RRF_POOL = 100
+
+
+@register(
+    "q_rrf_fusion_topk",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      CAST({_QUERY_SQL_ARRAY} AS DOUBLE[])), 4) AS s_full,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[])[1:16],
+                                      CAST({_QUERY16_SQL_ARRAY} AS DOUBLE[])), 4) AS s_coarse
+  FROM embeddings
+), rf AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY s_full DESC, vec_id) AS r_full
+  FROM scored QUALIFY r_full <= {_RRF_POOL}
+), rc AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY s_coarse DESC, vec_id) AS r_coarse
+  FROM scored QUALIFY r_coarse <= {_RRF_POOL}
+), fused AS (
+  SELECT COALESCE(rf.vec_id, rc.vec_id) AS vec_id,
+         CAST(rf.r_full AS INTEGER) AS r_full,
+         CAST(rc.r_coarse AS INTEGER) AS r_coarse,
+         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + rf.r_full), 0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + rc.r_coarse), 0), 6)
+           AS rrf_score
+  FROM rf FULL OUTER JOIN rc ON rf.vec_id = rc.vec_id
+)
+SELECT vec_id, r_full, r_coarse, rrf_score, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, vec_id) AS rn FROM fused
+) WHERE rn <= 10
+""",
+    tags=("similarity", "retrieval", "rrf", "llm"),
+)
+def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion (k=60) of the exact 64-dim cosine top-100 and the
+    matryoshka 16-dim coarse-head top-100; final top-10.
+
+    Items outside a list contribute 0 for that arm (standard RRF over
+    truncated candidate lists). Ranks are exact integers derived from
+    4-decimal-snapped scores with id tiebreaks, so the fused score is
+    a two-term sum of exact reciprocals — identical in both engines
+    before the 6-decimal snap.
+    """
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    full = SIM.brute_force_topk(e, "embedding", QUERY_VEC, k=_RRF_POOL)
+    coarse_src = e.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    coarse = SIM.brute_force_topk(
+        coarse_src, "embedding", QUERY_VEC[:16], k=_RRF_POOL
+    )
+    fused = (
+        full.select("vec_id", F.col("rank").alias("r_full"))
+        .join(
+            coarse.select("vec_id", F.col("rank").alias("r_coarse")),
+            "vec_id",
+            "full_outer",
+        )
+        .select(
+            "vec_id",
+            "r_full",
+            "r_coarse",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_full")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_coarse")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "vec_id")
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+                    F.col("rrf_score").desc(), F.col("vec_id")
+                )
+            ),
+        )
+    )

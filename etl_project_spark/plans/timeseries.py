@@ -695,3 +695,74 @@ def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("n"), 6).alias("var_rate"),
         F.round(F.var_pop("n") / F.avg("n"), 6).alias("fano_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lag autocorrelation (ACF) of the hourly arrival series per event
+# type. One hourly hash-agg, ONE window sort per event_type to emit
+# all six lag columns in a single pass, an in-stage unpivot (stack —
+# no shuffle), then a (event_type, lag) hash-agg of Pearson corr.
+# At 100 TB the hourly frame is tiny relative to the fact table
+# (hours grow with wall-time, not data volume), so every post-agg
+# stage is negligible; the only heavy shuffle is the first hourly
+# aggregation, which has map-side partial combine on a skew-free
+# (type, hour) key. Counts are exact integers, so both engines
+# correlate bit-identical series; corr itself is a co-moment over
+# ~1e3 points — stable far past the 6-decimal snap.
+# --------------------------------------------------------------------------
+_ACF_LAGS = (1, 2, 3, 4, 6, 12)
+
+
+@register(
+    "q_autocorr_hourly_activity",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, CAST(n AS DOUBLE) AS n,
+         {', '.join(f"LAG(CAST(n AS DOUBLE), {k}) OVER (PARTITION BY event_type ORDER BY h) AS lag_{k}" for k in _ACF_LAGS)}
+  FROM hourly
+)
+SELECT event_type, lag, CAST(n_pairs AS BIGINT) AS n_pairs, acf FROM (
+  {' UNION ALL '.join(f"SELECT event_type, {k} AS lag, COUNT(lag_{k}) AS n_pairs, ROUND(corr(n, lag_{k}), 6) AS acf FROM lagged GROUP BY event_type" for k in _ACF_LAGS)}
+)
+""",
+    tags=("timeseries", "acf", "autocorrelation"),
+)
+def q_autocorr_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of hourly event counts per type at lags
+    1/2/3/4/6/12 — the seasonality probe a forecasting pipeline runs
+    before choosing model periods (a 12-hour or daily cycle shows up
+    as an ACF peak at that lag).
+
+    Lag semantics: over OBSERVED hourly bars in hour order (missing
+    hours compress, as in `q_seasonal_naive_backtest`). All six lag
+    series come out of one window pass; `stack` unpivots them inside
+    the same stage, so the plan is agg → window → agg with no extra
+    exchange.
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"lag_{k}") for k in _ACF_LAGS],
+    )
+    stacked = lagged.select(
+        "event_type",
+        "n",
+        F.expr(
+            "stack({}, {}) AS (lag, lagv)".format(
+                len(_ACF_LAGS),
+                ", ".join(f"{k}, lag_{k}" for k in _ACF_LAGS),
+            )
+        ),
+    )
+    return stacked.groupBy("event_type", "lag").agg(
+        F.count("lagv").cast("long").alias("n_pairs"),
+        F.round(F.corr("n", "lagv"), 6).alias("acf"),
+    )
