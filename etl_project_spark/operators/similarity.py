@@ -1195,3 +1195,73 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def mmr_select_kernel(
+    probe_col: str,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    *,
+    k: int = 5,
+    lam: float = 0.7,
+    one_minus_lam: float = 0.3,
+):
+    """Greedy Maximal-Marginal-Relevance selection inside one probe's
+    candidate pool — ``(fn, out_schema)`` for ``applyInPandas``.
+
+    Each step picks argmax of ``lam·rel − (1−lam)·max_sim_to_selected``
+    (ties → smallest id), the Carbonell–Goldstein 1998 re-ranking.
+    ``one_minus_lam`` is passed as its own literal, NOT computed as
+    ``1 − lam`` — ``1 − 0.7`` in binary is ``0.30000000000000004``,
+    while the SQL oracle writes the literal ``0.3``; both engines must
+    multiply by the SAME double. All similarity inputs are HALF-UP
+    4-decimal snapped (``round_half_up4``, einsum row-dot — the
+    group_pairs_scorer arithmetic), so the MMR expression combines
+    bit-identical operands and needs no further snapping until the
+    plan-side ROUND(·, 6) on output.
+    """
+    out_schema = (
+        f"{probe_col} long, {id_col} long, mmr_rank int, "
+        f"{rel_col} double, mmr_score double"
+    )
+
+    def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        probe = pdf[probe_col].iloc[0]
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy().astype(np.float64)
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        sims = np.zeros((m, m))
+        if m > 1:
+            iu0, iu1 = np.triu_indices(m, k=1)
+            dots = np.einsum("ij,ij->i", M[iu0], M[iu1])
+            denom = norms[iu0] * norms[iu1]
+            raw = np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0)
+            s4 = round_half_up4(raw)
+            sims[iu0, iu1] = s4
+            sims[iu1, iu0] = s4
+        remaining = np.ones(m, dtype=bool)
+        # Max cosine to the selected set. −inf = "empty set", which the
+        # MMR term treats as 0 (the oracle's COALESCE(MAX(..), 0)) —
+        # but once non-empty the max may legitimately be NEGATIVE, so
+        # it must not be clamped at 0.
+        maxsim = np.full(m, -np.inf)
+        rows = []
+        for step in range(1, min(k, m) + 1):
+            mmr = lam * rel - one_minus_lam * np.where(
+                np.isfinite(maxsim), maxsim, 0.0
+            )
+            cand = np.where(remaining)[0]
+            best = mmr[cand].max()
+            tied = cand[mmr[cand] == best]
+            pick = int(tied[np.argmin(ids[tied])])
+            rows.append((int(probe), int(ids[pick]), step, rel[pick], mmr[pick]))
+            remaining[pick] = False
+            maxsim = np.maximum(maxsim, sims[:, pick])
+        return pd.DataFrame(
+            rows, columns=[probe_col, id_col, "mmr_rank", rel_col, "mmr_score"]
+        )
+
+    return select_group, out_schema

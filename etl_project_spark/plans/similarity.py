@@ -1257,3 +1257,120 @@ def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diverse top-k: after retrieval, greedily re-rank each probe's
+# candidate pool to trade relevance against redundancy (Carbonell &
+# Goldstein 1998) — the context-selection step of a RAG pipeline,
+# where stuffing five near-identical passages wastes the budget.
+# Physical shape: the pool build is the broadcast kNN join (per-task
+# heaps, top-20/probe); the greedy loop is NOT distributed-iterative —
+# it runs entirely inside one applyInPandas group per probe over 20
+# rows, so the per-probe cost is a 20×20 numpy triangle no matter the
+# corpus size, and probes parallelize embarrassingly. At 100 TB the
+# only heavy stage is the candidate scan the kNN join already owns.
+# --------------------------------------------------------------------------
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAM = 0.7
+_MMR_ONE_MINUS_LAM = 0.3  # literal, NOT 1 - lam (binary 0.30000000000000004)
+
+
+@register(
+    "q_mmr_diverse_topk",
+    oracle=f"""
+WITH RECURSIVE probes AS (
+  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id < 8
+), cands AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id >= 8
+), pool AS (
+  SELECT pid, cid, rel, ce FROM (
+    SELECT p.pid, c.cid, c.ce,
+           ROUND(list_cosine_similarity(p.pe, c.ce), 4) AS rel,
+           ROW_NUMBER() OVER (PARTITION BY p.pid
+             ORDER BY ROUND(list_cosine_similarity(p.pe, c.ce), 4) DESC, c.cid) AS rn
+    FROM probes p, cands c
+  ) WHERE rn <= {_MMR_POOL}
+), pairsim AS (
+  SELECT a.pid, a.cid AS ca, b.cid AS cb,
+         ROUND(list_cosine_similarity(a.ce, b.ce), 4) AS s
+  FROM pool a JOIN pool b ON a.pid = b.pid AND a.cid <> b.cid
+), sel AS (
+  SELECT pid, 0 AS step, CAST([] AS BIGINT[]) AS selected FROM (SELECT DISTINCT pid FROM pool)
+  UNION ALL
+  SELECT s.pid, s.step + 1,
+         list_append(s.selected, (
+           SELECT c.cid FROM pool c
+           WHERE c.pid = s.pid AND NOT list_contains(s.selected, c.cid)
+           ORDER BY CAST({_MMR_LAM} AS DOUBLE) * c.rel
+                    - CAST({_MMR_ONE_MINUS_LAM} AS DOUBLE) * COALESCE((
+                        SELECT MAX(ps.s) FROM pairsim ps
+                        WHERE ps.pid = s.pid AND ps.ca = c.cid
+                          AND list_contains(s.selected, ps.cb)), 0) DESC,
+                    c.cid
+           LIMIT 1))
+  FROM sel s WHERE s.step < {_MMR_K}
+), final AS (
+  SELECT pid, UNNEST(selected) AS cid,
+         UNNEST(generate_series(1, len(selected))) AS step, selected
+  FROM sel WHERE step = {_MMR_K}
+)
+SELECT f.pid AS probe_id, f.cid AS vec_id, CAST(f.step AS INTEGER) AS mmr_rank,
+       p.rel,
+       ROUND(CAST({_MMR_LAM} AS DOUBLE) * p.rel
+             - CAST({_MMR_ONE_MINUS_LAM} AS DOUBLE) * COALESCE((
+                 SELECT MAX(ps.s) FROM pairsim ps
+                 WHERE ps.pid = f.pid AND ps.ca = f.cid
+                   AND list_contains(f.selected[1:CAST(f.step AS INTEGER) - 1], ps.cb)), 0), 6)
+         AS mmr_score
+FROM final f JOIN pool p ON p.pid = f.pid AND p.cid = f.cid
+""",
+    tags=("similarity", "retrieval", "mmr", "llm"),
+)
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking (λ=0.7, k=5 from a top-20 pool) for each of 8
+    probe vectors — diverse context selection after retrieval.
+
+    The oracle replays the greedy loop as a recursive CTE carrying the
+    selected-id list, with the same literal λ / (1−λ) doubles, the
+    same 4-decimal HALF-UP snap on every similarity, and the same
+    (score DESC, id ASC) tie rule, so the selection path — not just
+    the final scores — is hash-checked. The kernel's raw MMR doubles
+    are plan-side ROUND(·, 6)-snapped to match the oracle's ROUND.
+    """
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "probe_id")
+    others = e.filter(F.col("vec_id") >= 8).withColumnRenamed("vec_id", "neighbor_id")
+    pool = SIM.knn_join(
+        probes,
+        others,
+        left_id="probe_id",
+        right_id="neighbor_id",
+        left_vec="embedding",
+        right_vec="embedding",
+        k=_MMR_POOL,
+        strategy="broadcast",
+        broadcast_side="left",
+    ).select("probe_id", "neighbor_id", F.col("score").alias("rel"))
+    pool_vecs = pool.join(
+        others.select("neighbor_id", "embedding"), "neighbor_id"
+    )
+    fn, schema = SIM.mmr_select_kernel(
+        "probe_id",
+        "neighbor_id",
+        "embedding",
+        "rel",
+        k=_MMR_K,
+        lam=_MMR_LAM,
+        one_minus_lam=_MMR_ONE_MINUS_LAM,
+    )
+    out = pool_vecs.groupBy("probe_id").applyInPandas(fn, schema=schema)
+    return out.select(
+        "probe_id",
+        F.col("neighbor_id").alias("vec_id"),
+        "mmr_rank",
+        "rel",
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -584,3 +584,71 @@ def test_kmeans_refine_grid_snaps_coordinates(spark, emb):
     for c in refined:
         for x in c:
             assert x == round(x, 6)
+
+
+def test_mmr_kernel_matches_local_greedy(spark, emb):
+    """The grouped MMR kernel must reproduce an independent pure-Python
+    greedy recompute — selection path, ranks, and raw scores — for
+    every probe, including negative max-sim regimes (the λ·rel −
+    (1−λ)·maxsim term must NOT clamp maxsim at 0 once the selected set
+    is non-empty)."""
+    from etl_project_spark.plans.registry import all_specs
+
+    out = (
+        all_specs()["q_mmr_diverse_topk"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    )
+    got = {}
+    for r in out:
+        got.setdefault(r.probe_id, []).append((r.mmr_rank, r.vec_id, r.rel))
+    rows = read_table(spark, SF_ORACLE, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def snap4(x):
+        return float(np.sign(x) * np.floor(abs(x) * 1e4 + 0.5) / 1e4)
+
+    def cos(a, b):
+        d = np.linalg.norm(a) * np.linalg.norm(b)
+        return float(a @ b / d) if d > 0 else 0.0
+
+    for pid, sel in got.items():
+        q = vecs[pid]
+        pool = sorted(
+            ((snap4(cos(q, vecs[i])), i) for i in vecs if i >= 8),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        chosen: list[int] = []
+        for step, want_id, want_rel in sorted(sel):
+            best = None
+            for rel, cid in pool:
+                if cid in chosen:
+                    continue
+                ms = max((snap4(cos(vecs[cid], vecs[c])) for c in chosen), default=0.0)
+                mmr = 0.7 * rel - 0.3 * ms
+                key = (-mmr, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, rel)
+            assert best[1] == want_id, (pid, step, best[1], want_id)
+            assert best[2] == want_rel
+            chosen.append(best[1])
+
+
+def test_rrf_fusion_scores_consistent_with_ranks(spark):
+    """Every fused row's rrf_score must equal the two-term reciprocal
+    recompute from its own rank columns, and the output must be the
+    top-10 of the fused pool by (score DESC, id ASC)."""
+    from etl_project_spark.plans.registry import all_specs
+
+    rows = (
+        all_specs()["q_rrf_fusion_topk"].builder(spark, SF_ORACLE).collect()
+    )
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(1, 11))
+    for r in rows:
+        want = (1.0 / (60 + r.r_full) if r.r_full is not None else 0.0) + (
+            1.0 / (60 + r.r_coarse) if r.r_coarse is not None else 0.0
+        )
+        assert abs(r.rrf_score - round(want, 6)) < 1e-12
+        assert r.r_full is not None or r.r_coarse is not None
+    ordered = sorted(rows, key=lambda r: (-r.rrf_score, r.vec_id))
+    assert [r.rank for r in ordered] == list(range(1, 11))
