@@ -149,9 +149,11 @@ def decode_payload(payload: bytes, modality: str):
         from etl_project_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload, modality)
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload, modality)
     raise NotImplementedError(
-        "video decode requires codec libraries; BMP, PNG, and baseline "
-        "JPEG decode natively — plug other decoders into "
+        "video decode requires codec libraries; BMP, PNG, GIF, and "
+        "baseline JPEG decode natively — plug other decoders into "
         "decode_images(decoder=...)"
     )
 
@@ -1016,6 +1018,276 @@ def make_jpeg_table(docs: DataFrame) -> DataFrame:
 
     return (
         docs.filter((F.col("doc_id") % 4) == 1)
+        .select("doc_id")
+        .mapInPandas(build, schema="id long, payload binary, modality string")
+    )
+
+
+# --------------------------------------------------------------------------
+# GIF (GIF87a/89a): real LZW codec. Fifth real media format (after
+# BMP, WAV, PNG, JPEG) and the first with a PALETTE indirection — a
+# decoder bug that confuses index and color, or mis-syncs the
+# variable-width LZW code stream, cannot produce the oracle's stats.
+# --------------------------------------------------------------------------
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes starting at
+    ``min_code_size + 1`` bits, LSB-first packing, CLEAR emitted
+    first, EOI last. Width grows when ``next_code == 2^width + 1``
+    (one later than the decoder's ``== 2^width`` — the standard
+    matched pair, compensating the decoder's one-entry lag). Table
+    caps at 4096; these payloads never get near it, but the guard
+    keeps the codec honest for arbitrary inputs.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    next_code = eoi + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = [int(v) for v in indices]
+    buf = (seq[0],)
+    for k in seq[1:]:
+        nk = buf + (k,)
+        if nk in table:
+            buf = nk
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[nk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        buf = (k,)
+    emit(table[buf])
+    # The decoder performs one more table add AFTER the final data
+    # code (the encoder never adds on its flush emission); if that add
+    # pushes its table size across 2^width, it will read EOI one bit
+    # wider — emulate the bump so EOI is written at the width the
+    # decoder expects (n == 2^width − 5 corner, e.g. 11 emissions at
+    # min_code_size 2).
+    if next_code < 4096 and next_code >= (1 << width) and width < 12:
+        width += 1
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
+    """Inverse of :func:`_lzw_encode_gif`, including the KwKwK case
+    (``code == next_code``) and mid-stream CLEAR resets."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    dict_: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: tuple[int, ...] | None = None
+    out: list[int] = []
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dict_ = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in dict_:
+            entry = dict_[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            dict_[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Encode an ``(h, w)`` palette-index array as a real GIF89a:
+    logical screen descriptor, global color table (padded to the next
+    power of two), image descriptor, LZW sub-blocks, trailer."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    n = len(palette)
+    gct_bits = 1
+    while (1 << (gct_bits + 1)) < n:
+        gct_bits += 1
+    entries = 1 << (gct_bits + 1)
+    min_code_size = max(2, gct_bits + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (7 << 4) | gct_bits)  # GCT present, 8-bit color res
+    out.append(0)  # background color index
+    out.append(0)  # pixel aspect ratio
+    for i in range(entries):
+        r, g, b = palette[i] if i < n else (0, 0, 0)
+        out += bytes((r, g, b))
+    out.append(0x2C)
+    out += struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0)  # no local color table, not interlaced
+    out.append(min_code_size)
+    data = _lzw_encode_gif(idx.ravel(), min_code_size)
+    for lo in range(0, len(data), 255):
+        block = data[lo : lo + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def gif_index_grid(payload: bytes):
+    """REAL GIF decoder for single-frame GCT images: signature, screen
+    descriptor, global color table, extension-block skipping, image
+    descriptor, sub-block reassembly, LZW decode. Returns
+    ``(index_grid (h, w) int64, palette (entries, 3) uint8)``.
+    Interlace and local color tables raise NotImplementedError — a
+    format boundary, same contract as the JPEG decoder's progressive
+    seam."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        entries = 2 << (packed & 0x07)
+        palette = (
+            np.frombuffer(payload, dtype=np.uint8, count=entries * 3, offset=pos)
+            .reshape(entries, 3)
+            .copy()
+        )
+        pos += entries * 3
+    while True:
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension introducer: label byte + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+    ipacked = payload[pos + 9]
+    pos += 10
+    if ipacked & 0x80:
+        raise NotImplementedError("GIF local color tables not supported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    if palette is None:
+        raise NotImplementedError("GIF without a global color table")
+    min_code_size = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        blen = payload[pos]
+        pos += 1
+        if blen == 0:
+            break
+        data += payload[pos : pos + blen]
+        pos += blen
+    idx = _lzw_decode_gif(bytes(data), min_code_size)
+    if len(idx) != iw * ih:
+        raise ValueError("LZW pixel count != descriptor dimensions")
+    return np.asarray(idx, dtype=np.int64).reshape(ih, iw), palette
+
+
+def decode_gif(payload: bytes, modality: str = "image") -> dict:
+    """GIF decode to the :func:`decode_images` contract: LZW + palette
+    lookup via :func:`gif_index_grid`, integer BT.601 luma, mean at 4
+    decimals half-up (SQL ROUND semantics) — same stats contract as
+    :func:`decode_png`."""
+    import numpy as np
+
+    idx, palette = gif_index_grid(payload)
+    px = palette[idx].astype(np.int64)
+    h, w, _ = px.shape
+    luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    mean = int(luma.sum()) / (h * w)
+    return {
+        "width": w,
+        "height": h,
+        "n_channels": 3,
+        "mean_luma": math.floor(mean * 10_000 + 0.5) / 10_000,
+    }
+
+
+def make_gif_table(docs: DataFrame) -> DataFrame:
+    """Image table with REAL GIF payloads (``doc_id % 4 = 2`` — its own
+    slice next to BMP/PNG's ``0`` and WAV/JPEG's ``1``), dimensions,
+    palette, and indices pure doc_id arithmetic so SQL replays the
+    decoded stats: ``w = 4 + doc_id % 10``, ``h = 4 + (7·doc_id) % 8``,
+    ``n_colors = 4 + doc_id % 5`` (4 → 2-bit LZW, 5–8 → 3-bit, so both
+    minimum code sizes are exercised), index of pixel (x, y) is
+    ``(doc_id + 3·y + 5·x) mod n_colors``, palette entry ``c`` is
+    ``((17c+3) mod 256, (29c+7) mod 256, (41c+11) mod 256)``."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+
+    def build(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 10
+                h = 4 + (7 * doc_id) % 8
+                nc = 4 + doc_id % 5
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                idx = ((doc_id + 3 * y + 5 * x) % nc).astype(np.uint8)
+                palette = [
+                    ((17 * c + 3) % 256, (29 * c + 7) % 256, (41 * c + 11) % 256)
+                    for c in range(nc)
+                ]
+                ids.append(doc_id)
+                payloads.append(encode_gif(idx, palette))
+            yield pd.DataFrame(
+                {"id": ids, "payload": payloads, "modality": "image"}
+            )
+
+    return (
+        docs.filter((F.col("doc_id") % 4) == 2)
         .select("doc_id")
         .mapInPandas(build, schema="id long, payload binary, modality string")
     )

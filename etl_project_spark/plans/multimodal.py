@@ -495,3 +495,58 @@ def q_jpeg_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     jpg = MM.make_jpeg_table(read_table(spark, sf_dir, "documents"))
     return MM.decode_images(jpg, decoder=MM.decode_payload)
+
+
+@register(
+    "q_gif_decoded_stats",
+    oracle="""
+WITH img AS (
+  SELECT doc_id,
+         4 + doc_id % 10 AS w,
+         4 + (7 * doc_id) % 8 AS h,
+         4 + doc_id % 5 AS nc
+  FROM documents WHERE doc_id % 4 = 2
+), px AS (
+  SELECT doc_id, w, h,
+         (doc_id + 3 * y + 5 * x) % nc AS c
+  FROM img,
+       UNNEST(generate_series(0, h - 1)) uy(y),
+       UNNEST(generate_series(0, w - 1)) ux(x)
+), lum AS (
+  SELECT doc_id, w, h,
+         (299 * ((17 * c + 3) % 256)
+          + 587 * ((29 * c + 7) % 256)
+          + 114 * ((41 * c + 11) % 256)) // 1000 AS luma
+  FROM px
+)
+SELECT doc_id AS id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       FLOOR((CAST(SUM(luma) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000
+         AS mean_luma
+FROM lum GROUP BY doc_id
+""",
+    tags=("multimodal", "decode", "gif"),
+)
+def q_gif_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end to end: build genuine GIF89a payloads
+    in-plan (operators/multimodal.py::make_gif_table → encode_gif:
+    screen descriptor, global color table, variable-width LZW with
+    sub-block framing) and decode them with the real parser
+    (gif_index_grid → _lzw_decode_gif: extension skipping, sub-block
+    reassembly, CLEAR/EOI handling, KwKwK case, width growth incl.
+    the end-of-stream boundary where the decoder's final table add
+    widens the EOI read).
+
+    Fifth real media format and the first PALETTED one — the oracle
+    replays index and palette arithmetic separately, so an index/color
+    confusion or an LZW desync cannot hash-match. Two LZW minimum
+    code sizes (2-bit for 4-color payloads, 3-bit for 5–8) are both
+    exercised by the doc_id rule. Same scale shape as the other
+    codecs: payload-local mapInPandas, narrow rows out, no binary
+    shuffle.
+    """
+    tune_session(spark)
+    gif = MM.make_gif_table(read_table(spark, sf_dir, "documents"))
+    return MM.decode_images(gif, decoder=MM.decode_payload)

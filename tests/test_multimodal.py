@@ -409,3 +409,99 @@ def test_jpeg_table_decodes_through_spark(spark):
         assert (r.width, r.height) == (
             8 * (1 + doc_id % 3), 8 * (1 + (doc_id // 3) % 3))
         assert r.n_channels == 1
+
+
+def test_gif_lzw_roundtrip_and_corners():
+    """LZW codec: KwKwK sequences, width growth, and the
+    end-of-stream boundary where the decoder's final table add widens
+    the EOI read (11 emissions at min code size 2)."""
+    import numpy as np
+
+    from etl_project_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        [1, 1, 1, 1, 1, 1, 1],  # KwKwK
+        [0, 1, 2, 3, 3, 0, 1, 2, 2, 3, 0, 1, 1, 2, 3, 0],  # EOI boundary
+        list(rng.randint(0, 4, 5000)),  # several width bumps
+        list(rng.randint(0, 7, 3000)),
+        [0],
+    ]
+    for L in range(1, 120):
+        cases.append(list(rng.randint(0, 4, L)))
+    for seq in cases:
+        mcs = 2 if max(seq) < 4 else 3
+        enc = _lzw_encode_gif(seq, mcs)
+        assert _lzw_decode_gif(enc, mcs) == [int(v) for v in seq]
+
+
+def test_gif_known_byte_stream():
+    """Hand-computed LZW bytes for [1,1,0,0] at min code size 2 —
+    guards against symmetric encoder/decoder bugs (e.g. MSB-first
+    packing on both sides) that a roundtrip test cannot see."""
+    from etl_project_spark.operators.multimodal import _lzw_encode_gif
+
+    # codes: CLEAR(100) 1(001) 1(001) 0(000) at 3 bits, then 0(0000)
+    # EOI(0101) at 4 bits, packed LSB-first → 0x4C 0x00 0x05
+    assert _lzw_encode_gif([1, 1, 0, 0], 2) == bytes([0x4C, 0x00, 0x05])
+
+
+def test_gif_decode_real_roundtrip_and_dispatch():
+    """encode_gif → gif_index_grid recovers indices AND palette; the
+    decode_payload dispatcher routes GIF87a/89a signatures; extension
+    blocks are skipped; interlace/LCT flags raise the documented
+    NotImplementedError."""
+    import numpy as np
+    import pytest as _pt
+
+    from etl_project_spark.operators.multimodal import (
+        decode_payload,
+        encode_gif,
+        gif_index_grid,
+    )
+
+    idx = np.arange(30, dtype=np.uint8).reshape(5, 6) % 5
+    pal = [(10 * c, 20 * c, 30 * c) for c in range(5)]
+    payload = encode_gif(idx, pal)
+    grid, palette = gif_index_grid(payload)
+    assert (grid == idx).all()
+    assert (palette[:5] == np.array(pal)).all()
+    d = decode_payload(payload, "image")
+    assert (d["width"], d["height"], d["n_channels"]) == (6, 5, 3)
+
+    # splice a graphic-control extension before the image descriptor
+    sep = payload.index(b"\x2c")
+    ext = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    with_ext = payload[:sep] + ext + payload[sep:]
+    grid2, _ = gif_index_grid(with_ext)
+    assert (grid2 == idx).all()
+
+    # interlace flag set → documented boundary
+    interlaced = bytearray(payload)
+    interlaced[sep + 9] |= 0x40
+    with _pt.raises(NotImplementedError):
+        gif_index_grid(bytes(interlaced))
+
+
+def test_gif_table_decodes_through_spark(spark):
+    """make_gif_table payloads decode through the Spark mapInPandas
+    path to the doc_id-arithmetic dimensions."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.operators import multimodal as MM
+    from tests.conftest import SF_ORACLE
+
+    docs = read_table(spark, SF_ORACLE, "documents").filter(F.col("doc_id") < 60)
+    out = MM.decode_images(
+        MM.make_gif_table(docs), decoder=MM.decode_payload
+    ).collect()
+    assert out
+    for r in out:
+        assert r.width == 4 + r.id % 10
+        assert r.height == 4 + (7 * r.id) % 8
+        assert r.n_channels == 3
+        assert 0.0 <= r.mean_luma <= 255.0
