@@ -995,3 +995,42 @@ def q_mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_domain_quota_cap",
+    oracle="""
+SELECT source, doc_id, CAST(rn AS INTEGER) AS pick_rank
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 15
+""",
+    tags=("sampling", "quota", "llm"),
+)
+def q_domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap: keep at most 15 documents per source,
+    chosen by deterministic hash rank — the crawl-curation guard
+    against any one domain flooding the training mixture (the cap
+    complements `q_mixture_resample`'s RATE sampling: a rate still
+    lets a mega-domain dominate in absolute count; a quota cannot).
+
+    md5-hex rank order is engine-portable (`q_hash_sample_documents`'s
+    device), with doc_id tiebreak. Scale note: the window partitions
+    by source; a pathological mega-domain makes one long partition,
+    for which the standard refinement is two-phase top-k (per-task
+    heap, then merge) — at the cap of 15 the carried state is
+    constant either way.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= 15)
+    )

@@ -766,3 +766,95 @@ def q_autocorr_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("lagv").cast("long").alias("n_pairs"),
         F.round(F.corr("n", "lagv"), 6).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend), the forecasting
+# step up from q_ewma_user_value's single smoother. Same physical
+# shape as EWMA: one shuffle to collect each user's ordered value
+# sequence, then a JVM-side F.aggregate fold — per-user sequences are
+# bounded (user activity, not corpus size), so the fold parallelizes
+# across users at any scale and no per-step state ever crosses the
+# cluster. Cross-engine float discipline: the accumulator is a
+# 2-element DOUBLE array folded left-to-right over the SAME per-event
+# doubles in both engines (no pre-aggregated sums whose fold order
+# could differ); α = 0.5 is exact in binary, β/1−β are paired
+# literals (0.3 / 0.7, never computed as 1−β).
+# --------------------------------------------------------------------------
+_HOLT_A = 0.5       # level gain (exactly representable)
+_HOLT_B = 0.3       # trend gain
+_HOLT_1MB = 0.7     # literal, NOT 1 - _HOLT_B
+
+
+@register(
+    "q_holt_smoothing_user_value",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, LIST(value ORDER BY ts, event_id) AS vals
+  FROM events
+  GROUP BY user_id
+), folded AS (
+  SELECT user_id, LEN(vals) AS n_events,
+         LIST_REDUCE(
+           LIST_TRANSFORM(vals, x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]),
+           (acc, x) -> [
+             {_HOLT_A} * x[1] + {_HOLT_A} * (acc[1] + acc[2]),
+             {_HOLT_B} * (({_HOLT_A} * x[1] + {_HOLT_A} * (acc[1] + acc[2])) - acc[1])
+               + {_HOLT_1MB} * acc[2]
+           ]) AS lb
+  FROM ordered
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(lb[1], 6) AS holt_level,
+       ROUND(lb[2], 6) AS holt_trend,
+       ROUND(lb[1] + lb[2], 6) AS forecast_next
+FROM folded
+""",
+    tags=("timeseries", "holt", "forecast", "fold"),
+)
+def q_holt_smoothing_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of each user's event-value sequence:
+    l' = α·x + (1−α)(l+b), b' = β(l'−l) + (1−β)b, seeded l₁ = x₁,
+    b₁ = 0; reports final level, trend, and the one-step forecast
+    l+b — the minimum viable per-entity forecaster.
+
+    α = 0.5 makes both α and 1−α the same exact double, so the level
+    line is written once as 0.5·x + 0.5·(l+b) in both engines; l'
+    appears twice in the trend line and is spelled out identically
+    both times (same fold, same rounding path).
+    """
+    e = _t(spark, sf_dir, "events")
+    collected = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
+    )
+    a, b, omb = _HOLT_A, _HOLT_B, _HOLT_1MB
+
+    def step(acc, x):
+        lp = F.lit(a) * x["value"] + F.lit(a) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        bp = F.lit(b) * (
+            (
+                F.lit(a) * x["value"]
+                + F.lit(a) * (F.element_at(acc, 1) + F.element_at(acc, 2))
+            )
+            - F.element_at(acc, 1)
+        ) + F.lit(omb) * F.element_at(acc, 2)
+        return F.array(lp, bp)
+
+    lb = F.aggregate(
+        F.expr("slice(seq, 2, size(seq) - 1)"),
+        F.array(
+            F.element_at("seq", 1)["value"].cast("double"),
+            F.lit(0.0),
+        ),
+        step,
+    )
+    return collected.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(F.element_at(lb, 1), 6).alias("holt_level"),
+        F.round(F.element_at(lb, 2), 6).alias("holt_trend"),
+        F.round(F.element_at(lb, 1) + F.element_at(lb, 2), 6).alias("forecast_next"),
+    )
