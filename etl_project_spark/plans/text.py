@@ -1730,3 +1730,148 @@ def q_pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.sum("n_tokens"), F.lit(_PACK_CAP)) / float(_PACK_CAP), 4
         ).alias("fill_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary APPLY — the serving half of the tokenizer family
+# (q_bpe_learned_merges trains merges; this encodes with a SHIPPED
+# merge table, the way a fixed tokenizer rides along with a model).
+# The merge table is a fixed ranked literal shared verbatim with the
+# oracle, which replays the full greedy loop as a recursive CTE: each
+# round picks the lowest-rank adjacent pair present and merges its
+# occurrences left-to-right via a list fold whose replace-last rule
+# is exactly the single-pair non-overlapping scan. Pure string/int
+# ops — no float discipline needed; any divergence in pair priority,
+# merge order, or cascade (merged tokens re-matching later rounds)
+# flips the hash. Scale shape: vocab apply is a stateless map with
+# the table in the task closure — at 100 TB it runs over every
+# document row with zero shuffles; the top-300-words frame here
+# exists only to give the oracle a bounded replay set.
+# --------------------------------------------------------------------------
+_BPE_APPLY_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("an", "d"), ("in", "g"), ("e", "n"),
+    ("o", "u"), ("s", "t"), ("a", "t"), ("e", "s"), ("o", "r"),
+    ("t", "i"), ("a", "r"), ("t", "o"), ("n", "d"), ("c", "o"),
+    ("e", "d"), ("l", "l"), ("s", "e"), ("a", "l"),
+]
+_BPE_APPLY_TOPW = 300
+
+
+def _bpe_apply_oracle() -> str:
+    mvals = ", ".join(
+        f"('{a}', '{b}', {i + 1})" for i, (a, b) in enumerate(_BPE_APPLY_MERGES)
+    )
+    return f"""
+WITH RECURSIVE merges(a, b, rnk) AS (
+  SELECT * FROM (VALUES {mvals})
+), words AS (
+  SELECT word, c FROM (
+    SELECT word, COUNT(*) AS c FROM (
+      SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z]+')) AS word
+      FROM documents
+    ) WHERE LEN(word) BETWEEN 2 AND 12
+    GROUP BY word
+    ORDER BY c DESC, word
+    LIMIT {_BPE_APPLY_TOPW}
+  )
+), enc AS (
+  SELECT word, 0 AS step, regexp_extract_all(word, '.') AS toks FROM words
+  UNION ALL
+  SELECT word, step + 1,
+    LIST_REDUCE(
+      LIST_TRANSFORM(toks, x -> [x]),
+      (acc, x) -> CASE
+        WHEN acc[-1] = best.a AND x[1] = best.b
+          THEN list_append(acc[1:-2], best.a || best.b)
+        ELSE list_append(acc, x[1]) END)
+  FROM (
+    SELECT e.word, e.step, e.toks,
+           (SELECT m.rnk
+            FROM merges m,
+                 UNNEST(generate_series(1, LEN(e.toks) - 1)) g(i)
+            WHERE m.a = e.toks[CAST(i AS INTEGER)]
+              AND m.b = e.toks[CAST(i AS INTEGER) + 1]
+            ORDER BY m.rnk LIMIT 1) AS brnk
+    FROM enc e WHERE e.step < 15
+  ) e2
+  JOIN merges best ON best.rnk = e2.brnk
+)
+SELECT word, n_count, n_pieces, pieces FROM (
+  SELECT w.word, CAST(w.c AS BIGINT) AS n_count,
+         CAST(LEN(e.toks) AS INTEGER) AS n_pieces,
+         ARRAY_TO_STRING(e.toks, '|') AS pieces,
+         ROW_NUMBER() OVER (PARTITION BY e.word ORDER BY e.step DESC) AS rn
+  FROM enc e JOIN words w ON w.word = e.word
+) WHERE rn = 1
+"""
+
+
+@register(
+    "q_bpe_encode_words",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "bpe", "tokenizer", "llm"),
+)
+def q_bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus's 300 most frequent words with a fixed
+    24-merge BPE table: per word, the piece count and the pieces
+    themselves ('|'-joined).
+
+    The greedy loop (lowest-rank adjacent pair, merge occurrences
+    left-to-right, repeat until no pair applies) runs in an Arrow
+    batch over the bounded word frame; the oracle replays it as a
+    recursive CTE over the identical literal table, so the cascade
+    behavior — merged pieces like 'an' re-matching ('an','d') in a
+    later round — is hash-checked, not just the final counts.
+    """
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .filter((F.length("word") >= 2) & (F.length("word") <= 12))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(_BPE_APPLY_TOPW)
+    )
+    rank = {pair: i + 1 for i, pair in enumerate(_BPE_APPLY_MERGES)}
+    by_rank = dict(enumerate(_BPE_APPLY_MERGES, start=1))
+
+    def encode(batches):
+        for pdf in batches:
+            pieces, npieces = [], []
+            for w in pdf["word"]:
+                toks = list(w)
+                while True:
+                    best = None
+                    for i in range(len(toks) - 1):
+                        r = rank.get((toks[i], toks[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best = r
+                    if best is None:
+                        break
+                    a, b = by_rank[best]
+                    out = [toks[0]]
+                    for t in toks[1:]:
+                        if out[-1] == a and t == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(t)
+                    toks = out
+                pieces.append("|".join(toks))
+                npieces.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_count": pdf["c"].astype("int64"),
+                    "n_pieces": np.asarray(npieces, dtype="int32"),
+                    "pieces": pieces,
+                }
+            )
+
+    return words.mapInPandas(
+        encode, schema="word string, n_count long, n_pieces int, pieces string"
+    )

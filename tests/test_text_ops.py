@@ -133,3 +133,48 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark, tmp_path):
     assert got[2] == (1500, 1, 0)   # doesn't fit behind 600 -> new bin, alone
     assert got[3] == (10, 2, 0)     # oversized bin is full -> next opens fresh
     assert got[4] == (10, 2, 10)    # co-packs at running offset
+
+
+def test_bpe_encode_words_cascade(spark):
+    """The fixed-table BPE apply must cascade: merged pieces become
+    operands of later merges ('st'+'and'+'ing' from 8 characters), and
+    the greedy order must follow merge RANK, not position."""
+    from tests.conftest import SF_ORACLE
+    from etl_project_spark.plans.registry import all_specs
+
+    rows = {
+        r.word: r
+        for r in all_specs()["q_bpe_encode_words"].builder(spark, SF_ORACLE).collect()
+    }
+    # independent recompute for every returned word
+    from etl_project_spark.plans.text import _BPE_APPLY_MERGES
+
+    rank = {p: i + 1 for i, p in enumerate(_BPE_APPLY_MERGES)}
+
+    def ref(word):
+        toks = list(word)
+        while True:
+            cand = [
+                (rank[(toks[i], toks[i + 1])], i)
+                for i in range(len(toks) - 1)
+                if (toks[i], toks[i + 1]) in rank
+            ]
+            if not cand:
+                return toks
+            r = min(cand)[0]
+            a, b = _BPE_APPLY_MERGES[r - 1]
+            out = [toks[0]]
+            for t in toks[1:]:
+                if out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+
+    assert rows
+    for w, r in rows.items():
+        want = ref(w)
+        assert r.pieces.split("|") == want and r.n_pieces == len(want), w
+    # canonical cascade example, direct kernel semantics
+    assert ref("standing") == ["st", "and", "ing"]
+    assert ref("the") == ["the"]
