@@ -83,6 +83,15 @@ BENCH_QUERIES = (
     # cell curation
     "q_repeated_span_extraction",
     "q_kmeans_refined_cells",
+    # round 12 additions (appended, order pinned)
+    "q_rrf_fusion_topk",
+    "q_mmr_diverse_topk",
+    "q_adamic_adar_suppliers",
+    "q_autocorr_hourly_activity",
+    "q_holt_smoothing_user_value",
+    "q_gif_decoded_stats",
+    "q_domain_quota_cap",
+    "q_bpe_encode_words",
 )
 
 
