@@ -518,9 +518,21 @@ def q_adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("sa").orderBy(F.col("c").desc(), F.col("sb"))
     )
     kept = copairs.withColumn("rn", rn).filter(F.col("rn") <= _AA_TOPK)
-    und = kept.select(
-        F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
-    ).distinct()
+    # und feeds THREE branches (both adjacency aliases and the
+    # non-adjacency anti-join). Measured sf10 A/B (interleaved, fresh
+    # processes): persist 40.0/40.7 s cold vs no-persist 36.9/50.7 s —
+    # AQE's ReusedExchange already dedups the shared lineage, so this
+    # is not a speedup; it pins run-to-run variance (the persisted
+    # legs were tight, the unpersisted ones swung 37→51 s) and keeps
+    # the ≤ topk·n-row frame from re-deriving on planners without
+    # exchange reuse.
+    from etl_project_spark.session import scoped_persist
+
+    und = scoped_persist(
+        kept.select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        ).distinct()
+    )
     adj = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
