@@ -92,6 +92,7 @@ BENCH_QUERIES = (
     "q_gif_decoded_stats",
     "q_domain_quota_cap",
     "q_bpe_encode_words",
+    "q_dtw_similar_users",
 )
 
 

@@ -19,6 +19,9 @@ non-equi predicate only runs within grid cells.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -245,3 +248,82 @@ def range_join(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(bands), cond, how)
+
+
+def dtw_search_kernel(
+    query: "list[float]",
+    *,
+    id_col: str = "user_id",
+    seq_col: str = "xs",
+    band: int = 4,
+    tau: float = 25000.0,
+):
+    """Banded-DTW range search against one query series — ``(fn,
+    out_schema)`` for ``mapInPandas``.
+
+    Two stages inside each Arrow batch, both vectorized ACROSS rows:
+
+    1. **LB_Keogh prune** (Keogh 2002): the query's band-r envelope
+       (U, L) is precomputed once; each candidate's lower bound is the
+       sum of squared excursions outside the envelope. The theorem
+       ``lb ≤ DTW_r`` makes ``lb > τ`` a LOSSLESS reject for the
+       ≤ τ range — the registry oracle recomputes exact DTW for EVERY
+       candidate, so an unsound bound (or a fat-fingered envelope)
+       surfaces as a missing row, not a silent recall loss.
+    2. **Exact banded DP** on survivors only: the classic
+       ``dp[i][j] = (x_i − q_j)² + min(dp[i−1][j], dp[i][j−1],
+       dp[i−1][j−1])`` with ``|i − j| > r`` cells pinned at +inf,
+       iterated as n² vectorized numpy ops over the survivor axis —
+       per-row work is bounded by the fixed series length, so a batch
+       of a million candidates is still one pass.
+
+    Float discipline: the DP is evaluated cell-by-cell in the same
+    order as the oracle's recursive fold (one add of cost to a
+    3-way LEAST — no reassociation), and the lb accumulates
+    left-to-right over j exactly like the oracle's list fold, so both
+    outputs are bit-identical pre-ROUND.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    n = len(q)
+    U = np.array([q[max(0, j - band): j + band + 1].max() for j in range(n)])
+    L = np.array([q[max(0, j - band): j + band + 1].min() for j in range(n)])
+    out_schema = f"{id_col} long, lb_keogh double, dtw double"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.stack(pdf[seq_col].to_numpy()).astype(np.float64)  # (m, n)
+            # LB_Keogh, accumulated left-to-right to match the oracle fold
+            lb = np.zeros(len(X))
+            for j in range(n):
+                xj = X[:, j]
+                hi = xj - U[j]
+                lo = L[j] - xj
+                lb = lb + np.where(
+                    xj > U[j], hi * hi, np.where(xj < L[j], lo * lo, 0.0)
+                )
+            keep = lb <= tau
+            rows = {id_col: ids[keep], "lb_keogh": lb[keep]}
+            S = X[keep]
+            if len(S):
+                m = len(S)
+                inf = np.inf
+                prev = np.full((m, n + 1), inf)
+                prev[:, 0] = 0.0
+                for i in range(1, n + 1):
+                    cur = np.full((m, n + 1), inf)
+                    for j in range(max(1, i - band), min(n, i + band) + 1):
+                        d = S[:, i - 1] - q[j - 1]
+                        cur[:, j] = d * d + np.minimum(
+                            np.minimum(prev[:, j], cur[:, j - 1]), prev[:, j - 1]
+                        )
+                    prev = cur
+                rows["dtw"] = prev[:, n]
+            else:
+                rows["dtw"] = np.array([], dtype=np.float64)
+            out = pd.DataFrame(rows)
+            yield out[out["dtw"] <= tau]
+
+    return run, out_schema

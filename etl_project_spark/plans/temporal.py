@@ -636,3 +636,126 @@ def q_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(rel.alias("relation")).groupBy("relation").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+# --------------------------------------------------------------------------
+# Trajectory similarity search: banded DTW against one query series
+# with LB_Keogh pruning (Keogh 2002; the REPOSE/top-k-trajectory
+# family from the retrieved-papers list, reduced to its distributed
+# core). Scale shape: the probe series is index-build metadata (32
+# doubles collected once, closed over by the kernel); candidates are
+# one groupBy to assemble per-user sequences, then a single
+# mapInPandas pass — prune is O(n) per row, the exact DP runs only on
+# survivors and is vectorized ACROSS rows, so per-candidate cost is
+# bounded by the fixed series length at any corpus size. No pairwise
+# anything: this is a 1-vs-all search, the building block a top-k
+# trajectory join repeats per probe partition.
+# --------------------------------------------------------------------------
+_DTW_N = 32
+_DTW_BAND = 4
+_DTW_TAU = 25000.0
+
+
+@register(
+    "q_dtw_similar_users",
+    oracle=f"""
+WITH RECURSIVE seqs AS (
+  SELECT user_id, LIST(value ORDER BY ts, event_id)[1:{_DTW_N}] AS xs
+  FROM events GROUP BY user_id
+  HAVING COUNT(*) >= {_DTW_N}
+), probe AS (
+  SELECT user_id AS pid, xs AS q FROM seqs ORDER BY user_id LIMIT 1
+), env AS (
+  SELECT [list_aggregate(q[GREATEST(1, j - {_DTW_BAND}):LEAST({_DTW_N}, j + {_DTW_BAND})], 'max')
+          FOR j IN generate_series(1, {_DTW_N})] AS u,
+         [list_aggregate(q[GREATEST(1, j - {_DTW_BAND}):LEAST({_DTW_N}, j + {_DTW_BAND})], 'min')
+          FOR j IN generate_series(1, {_DTW_N})] AS l,
+         q
+  FROM probe
+), cands AS (
+  SELECT s.user_id, s.xs, p.q,
+         LIST_REDUCE(
+           LIST_TRANSFORM(generate_series(1, {_DTW_N}), j ->
+             CASE WHEN j = 1 THEN
+               CASE WHEN s.xs[1] > e.u[1] THEN (s.xs[1] - e.u[1]) * (s.xs[1] - e.u[1])
+                    WHEN s.xs[1] < e.l[1] THEN (e.l[1] - s.xs[1]) * (e.l[1] - s.xs[1])
+                    ELSE 0.0 END
+             ELSE
+               CASE WHEN s.xs[CAST(j AS INTEGER)] > e.u[CAST(j AS INTEGER)]
+                      THEN (s.xs[CAST(j AS INTEGER)] - e.u[CAST(j AS INTEGER)])
+                           * (s.xs[CAST(j AS INTEGER)] - e.u[CAST(j AS INTEGER)])
+                    WHEN s.xs[CAST(j AS INTEGER)] < e.l[CAST(j AS INTEGER)]
+                      THEN (e.l[CAST(j AS INTEGER)] - s.xs[CAST(j AS INTEGER)])
+                           * (e.l[CAST(j AS INTEGER)] - s.xs[CAST(j AS INTEGER)])
+                    ELSE 0.0 END
+             END),
+           (acc, x) -> acc + x) AS lb
+  FROM seqs s, probe p, env e WHERE s.user_id <> p.pid
+), dp AS (
+  SELECT user_id, xs, q, lb, 0 AS i,
+         [CASE WHEN j = 0 THEN 0.0 ELSE 'infinity'::DOUBLE END
+          FOR j IN generate_series(0, {_DTW_N})] AS row
+  FROM cands
+  UNION ALL
+  SELECT user_id, xs, q, lb, i + 1,
+    LIST_REDUCE(
+      LIST_TRANSFORM(generate_series(0, {_DTW_N}), j ->
+        CASE WHEN j = 0 THEN ['infinity'::DOUBLE] ELSE [CAST(j AS DOUBLE)] END),
+      (acc, e) -> list_append(acc,
+        CASE WHEN ABS((i + 1) - CAST(e[1] AS INTEGER)) > {_DTW_BAND} THEN 'infinity'::DOUBLE
+        ELSE (xs[i + 1] - q[CAST(e[1] AS INTEGER)]) * (xs[i + 1] - q[CAST(e[1] AS INTEGER)])
+             + LEAST(row[CAST(e[1] AS INTEGER) + 1],
+                     acc[-1],
+                     row[CAST(e[1] AS INTEGER)])
+        END))
+  FROM dp WHERE i < {_DTW_N}
+)
+SELECT user_id, ROUND(lb, 6) AS lb_keogh, ROUND(row[{_DTW_N} + 1], 6) AS dtw
+FROM dp WHERE i = {_DTW_N} AND row[{_DTW_N} + 1] <= {_DTW_TAU}
+""",
+    tags=("temporal", "dtw", "trajectory", "similarity"),
+)
+def q_dtw_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users whose first-32-event value trajectory is within banded-DTW
+    distance 25000 of the smallest qualifying user's trajectory
+    (Sakoe-Chiba band r=4, squared-difference cost), with each
+    survivor's LB_Keogh lower bound.
+
+    The plan PRUNES with LB_Keogh and runs the exact DP only on
+    survivors; the oracle runs the exact DP on EVERY candidate — so
+    the theorem the pruning leans on (lb ≤ banded DTW) is itself under
+    test: an unsound bound drops a qualifying user and flips the hash.
+    Both engines evaluate the DP cell-for-cell in the same order and
+    the lb left-to-right, with explicit multiplication (not pow) on
+    both sides.
+    """
+    from etl_project_spark.operators.temporal import dtw_search_kernel
+
+    e = _t(spark, sf_dir, "events")
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq")
+        )
+        .filter(F.size("seq") >= _DTW_N)
+        .select(
+            "user_id",
+            F.expr(
+                f"transform(slice(seq, 1, {_DTW_N}), s -> CAST(s.value AS DOUBLE))"
+            ).alias("xs"),
+        )
+    )
+    probe_row = seqs.orderBy("user_id").limit(1).collect()[0]
+    query = [float(v) for v in probe_row["xs"]]
+    cands = seqs.filter(F.col("user_id") != int(probe_row["user_id"]))
+    fn, schema = dtw_search_kernel(
+        query, id_col="user_id", seq_col="xs", band=_DTW_BAND, tau=_DTW_TAU
+    )
+    out = cands.mapInPandas(fn, schema=schema)
+    return out.select(
+        "user_id",
+        F.round("lb_keogh", 6).alias("lb_keogh"),
+        F.round("dtw", 6).alias("dtw"),
+    )

@@ -75,3 +75,67 @@ def test_nearest_tolerance_nulls_far_matches(spark):
     assert got[2] is None       # hours away
     assert got[3] is None       # an hour away
     assert got[5] is None       # exactly 60 min > 45 min
+
+
+def _brute_banded_dtw(x, q, band):
+    import numpy as np
+
+    n = len(q)
+    inf = np.inf
+    prev = np.full(n + 1, inf)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = np.full(n + 1, inf)
+        for j in range(1, n + 1):
+            if abs(i - j) > band:
+                continue
+            d = x[i - 1] - q[j - 1]
+            cur[j] = d * d + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return prev[n]
+
+
+def test_dtw_kernel_lb_is_lower_bound_and_prune_lossless():
+    """LB_Keogh must lower-bound banded DTW on arbitrary series, and
+    the kernel's pruned output must equal the brute-force <= tau
+    filter exactly (values and membership)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_project_spark.operators.temporal import dtw_search_kernel
+
+    rng = np.random.RandomState(11)
+    n = 32
+    q = list(rng.uniform(0, 100, n))
+    X = rng.uniform(0, 100, (60, n))
+    tau = float(np.median([_brute_banded_dtw(x, np.asarray(q), 4) for x in X]))
+    fn, _ = dtw_search_kernel(q, id_col="user_id", seq_col="xs", band=4, tau=tau)
+    pdf = pd.DataFrame({"user_id": np.arange(60), "xs": list(X)})
+    out = pd.concat(list(fn(iter([pdf])))).set_index("user_id")
+    for i, x in enumerate(X):
+        d = _brute_banded_dtw(x, np.asarray(q), 4)
+        if d <= tau:
+            assert i in out.index, f"lost qualifying row {i} (lb unsound?)"
+            assert out.loc[i, "dtw"] == d
+            assert out.loc[i, "lb_keogh"] <= d + 1e-9
+        else:
+            assert i not in out.index
+
+
+def test_dtw_kernel_band_blocks_far_warping():
+    """A series equal to the query but shifted by more than the band
+    radius must pay full cost — the band constraint must actually
+    constrain (unbanded DTW of a pure shift would be ~0)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_project_spark.operators.temporal import dtw_search_kernel
+
+    n = 32
+    base = np.sin(np.arange(n + 8) / 2.0) * 50
+    q = list(base[:n])
+    shifted = base[8 : 8 + n]  # same shape, shift 8 > band 4
+    fn, _ = dtw_search_kernel(q, id_col="user_id", seq_col="xs", band=4, tau=1e18)
+    pdf = pd.DataFrame({"user_id": [1], "xs": [shifted]})
+    out = pd.concat(list(fn(iter([pdf]))))
+    assert out.iloc[0]["dtw"] > 100.0  # far from the ~0 of unbanded warping
