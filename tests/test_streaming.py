@@ -1125,3 +1125,39 @@ def test_stream_repeated_span_positions_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and want
+
+
+def test_stream_incremental_topk_matches_batch(spark, tmp_path):
+    """Incremental top-k maintenance: split the embedding corpus into
+    4 files, stream them one per micro-batch, merge each batch's
+    distributed top-k into the k-row accumulator — the final state
+    must equal the one-shot batch brute_force_topk exactly (scores,
+    ids, AND order), proving the monoid merge respects the
+    (score DESC, id ASC) tie rule across batch boundaries."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.operators.similarity import brute_force_topk
+    from etl_project_spark.plans.similarity import QUERY_VEC
+    from etl_project_spark.streaming import similarity as SS
+
+    src = str(tmp_path / "emb")
+    read_table(spark, SF_ORACLE, "embeddings").repartition(4).write.parquet(src)
+
+    state: list = []
+    stream = SS.read_embeddings_stream(spark, src, max_files_per_trigger=1)
+    q = SS.incremental_topk_query(
+        stream,
+        QUERY_VEC,
+        k=10,
+        checkpoint=str(tmp_path / "ckpt"),
+        state=state,
+    )
+    assert q.awaitTermination(180)
+    assert len(q.recentProgress) >= 4  # genuinely incremental, not one batch
+
+    want = [
+        (float(r.score), int(r.vec_id))
+        for r in brute_force_topk(
+            spark.read.parquet(src), "embedding", QUERY_VEC, k=10
+        ).collect()
+    ]
+    assert state == want
