@@ -89,3 +89,53 @@ def test_fnv1a64_is_stable_int64(payload):
     h = _fnv1a64(payload)
     assert h == _fnv1a64(payload)
     assert -(2**63) <= h < 2**63  # fits the Spark LongType column
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    seq=st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=400),
+)
+def test_gif_lzw_roundtrip_arbitrary_sequences(seq):
+    """GIF LZW must invert for ANY index sequence — including runs
+    that trigger the KwKwK case and lengths that land the final table
+    add exactly on a width boundary (the EOI corner)."""
+    from etl_project_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    mcs = 2 if max(seq) < 4 else 3
+    assert _lzw_decode_gif(_lzw_encode_gif(seq, mcs), mcs) == seq
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+)
+def test_dtw_lb_keogh_is_always_a_lower_bound(data):
+    """LB_Keogh <= banded DTW for arbitrary series (the losslessness
+    theorem the plan's pruning rests on), via the kernel itself at an
+    infinite tau so nothing is pruned."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_project_spark.operators.temporal import dtw_search_kernel
+
+    n = 16
+    q = data.draw(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    x = data.draw(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    fn, _ = dtw_search_kernel(q, id_col="i", seq_col="xs", band=3, tau=float("inf"))
+    out = pd.concat(list(fn(iter([pd.DataFrame({"i": [0], "xs": [np.array(x)]})]))))
+    assert out.iloc[0]["lb_keogh"] <= out.iloc[0]["dtw"] + 1e-9
