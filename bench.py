@@ -93,6 +93,7 @@ BENCH_QUERIES = (
     "q_domain_quota_cap",
     "q_bpe_encode_words",
     "q_dtw_similar_users",
+    "q_dtw_topk_join",
 )
 
 

@@ -327,3 +327,98 @@ def dtw_search_kernel(
             yield out[out["dtw"] <= tau]
 
     return run, out_schema
+
+
+def dtw_bounds_kernel(
+    queries: "dict[int, list[float]]",
+    *,
+    id_col: str = "user_id",
+    seq_col: str = "xs",
+    band: int = 4,
+):
+    """Stage-1 kernel of the top-k DTW join: for every (candidate,
+    probe) pair emit BOTH bounds — LB_Keogh below and the diagonal
+    path's Euclidean sum above (the i→i alignment is an admissible
+    banded path, so ``lb ≤ DTW_r ≤ ub``). Vectorized across rows per
+    probe; output is narrow (two doubles per pair)."""
+    probes = {int(p): np.asarray(q, dtype=np.float64) for p, q in queries.items()}
+    n = len(next(iter(probes.values())))
+    envs = {}
+    for p, q in probes.items():
+        U = np.array([q[max(0, j - band): j + band + 1].max() for j in range(n)])
+        L = np.array([q[max(0, j - band): j + band + 1].min() for j in range(n)])
+        envs[p] = (U, L)
+    out_schema = f"probe_id long, {id_col} long, lb double, ub double"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.stack(pdf[seq_col].to_numpy()).astype(np.float64)
+            frames = []
+            for p, q in probes.items():
+                U, L = envs[p]
+                lb = np.zeros(len(X))
+                for j in range(n):
+                    xj = X[:, j]
+                    hi = xj - U[j]
+                    lo = L[j] - xj
+                    lb = lb + np.where(
+                        xj > U[j], hi * hi, np.where(xj < L[j], lo * lo, 0.0)
+                    )
+                d = X - q[None, :]
+                ub = (d * d).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {"probe_id": p, id_col: ids, "lb": lb, "ub": ub}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return run, out_schema
+
+
+def dtw_exact_kernel(
+    queries: "dict[int, list[float]]",
+    *,
+    id_col: str = "user_id",
+    seq_col: str = "xs",
+    band: int = 4,
+):
+    """Stage-2 kernel: exact banded DP for surviving (candidate,
+    probe) pairs — rows arrive already pruned, grouped inside each
+    Arrow batch by probe so the DP vectorizes across the candidate
+    axis. Identical cell order to :func:`dtw_search_kernel` (and to
+    the oracle's recursive fold)."""
+    probes = {int(p): np.asarray(q, dtype=np.float64) for p, q in queries.items()}
+    n = len(next(iter(probes.values())))
+    out_schema = f"probe_id long, {id_col} long, dtw double"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for p, grp in pdf.groupby("probe_id"):
+                q = probes[int(p)]
+                S = np.stack(grp[seq_col].to_numpy()).astype(np.float64)
+                m = len(S)
+                prev = np.full((m, n + 1), np.inf)
+                prev[:, 0] = 0.0
+                for i in range(1, n + 1):
+                    cur = np.full((m, n + 1), np.inf)
+                    for j in range(max(1, i - band), min(n, i + band) + 1):
+                        d = S[:, i - 1] - q[j - 1]
+                        cur[:, j] = d * d + np.minimum(
+                            np.minimum(prev[:, j], cur[:, j - 1]), prev[:, j - 1]
+                        )
+                    prev = cur
+                yield pd.DataFrame(
+                    {
+                        "probe_id": int(p),
+                        id_col: grp[id_col].to_numpy(),
+                        "dtw": prev[:, n],
+                    }
+                )
+
+    return run, out_schema

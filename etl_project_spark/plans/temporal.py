@@ -759,3 +759,110 @@ def q_dtw_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lb_keogh", 6).alias("lb_keogh"),
         F.round("dtw", 6).alias("dtw"),
     )
+
+
+_DTWJ_K = 3
+_DTWJ_PROBES = 4
+
+
+@register(
+    "q_dtw_topk_join",
+    oracle=f"""
+WITH RECURSIVE seqs AS (
+  SELECT user_id, LIST(value ORDER BY ts, event_id)[1:{_DTW_N}] AS xs
+  FROM events GROUP BY user_id
+  HAVING COUNT(*) >= {_DTW_N}
+), probes AS (
+  SELECT user_id AS pid, xs AS q FROM seqs ORDER BY user_id LIMIT {_DTWJ_PROBES}
+), pairs AS (
+  SELECT p.pid, s.user_id, s.xs, p.q
+  FROM seqs s, probes p
+  WHERE s.user_id NOT IN (SELECT pid FROM probes)
+), dp AS (
+  SELECT pid, user_id, xs, q, 0 AS i,
+         [CASE WHEN j = 0 THEN 0.0 ELSE 'infinity'::DOUBLE END
+          FOR j IN generate_series(0, {_DTW_N})] AS row
+  FROM pairs
+  UNION ALL
+  SELECT pid, user_id, xs, q, i + 1,
+    LIST_REDUCE(
+      LIST_TRANSFORM(generate_series(0, {_DTW_N}), j ->
+        CASE WHEN j = 0 THEN ['infinity'::DOUBLE] ELSE [CAST(j AS DOUBLE)] END),
+      (acc, e) -> list_append(acc,
+        CASE WHEN ABS((i + 1) - CAST(e[1] AS INTEGER)) > {_DTW_BAND} THEN 'infinity'::DOUBLE
+        ELSE (xs[i + 1] - q[CAST(e[1] AS INTEGER)]) * (xs[i + 1] - q[CAST(e[1] AS INTEGER)])
+             + LEAST(row[CAST(e[1] AS INTEGER) + 1],
+                     acc[-1],
+                     row[CAST(e[1] AS INTEGER)])
+        END))
+  FROM dp WHERE i < {_DTW_N}
+)
+SELECT probe_id, user_id, dtw, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT pid AS probe_id, user_id,
+         ROUND(row[{_DTW_N} + 1], 6) AS dtw,
+         ROW_NUMBER() OVER (
+           PARTITION BY pid ORDER BY row[{_DTW_N} + 1], user_id) AS rn
+  FROM dp WHERE i = {_DTW_N}
+) WHERE rn <= {_DTWJ_K}
+""",
+    tags=("temporal", "dtw", "trajectory", "knn-join"),
+)
+def q_dtw_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 DTW neighbors for each of 4 probe trajectories — the JOIN
+    form of `q_dtw_similar_users` (REPOSE's distributed top-k
+    trajectory join, reduced to its pruning algebra).
+
+    Lossless top-k pruning without a fixed radius: stage 1 emits BOTH
+    bounds per (candidate, probe) — LB_Keogh below, the diagonal
+    path's Euclidean sum above (an admissible banded path, so
+    lb ≤ DTW ≤ ub). The per-probe kth-smallest ub is a certified
+    ceiling on the kth-best DTW, so dropping lb > τₖ cannot lose a
+    true neighbor (Fagin-style bound). Stage 2 exact-DPs survivors
+    only. The oracle DPs EVERY pair — a pruning bug surfaces as a
+    missing or re-ranked row. Ranks compare raw DP doubles (identical
+    in both engines) with id tiebreaks; output snaps at 6 decimals.
+    """
+    from etl_project_spark.operators.temporal import (
+        dtw_bounds_kernel,
+        dtw_exact_kernel,
+    )
+    from etl_project_spark.session import scoped_persist
+
+    e = _t(spark, sf_dir, "events")
+    seqs = scoped_persist(
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("seq")
+        )
+        .filter(F.size("seq") >= _DTW_N)
+        .select(
+            "user_id",
+            F.expr(
+                f"transform(slice(seq, 1, {_DTW_N}), s -> CAST(s.value AS DOUBLE))"
+            ).alias("xs"),
+        )
+    )
+    probe_rows = seqs.orderBy("user_id").limit(_DTWJ_PROBES).collect()
+    queries = {int(r["user_id"]): [float(v) for v in r["xs"]] for r in probe_rows}
+    cands = seqs.filter(~F.col("user_id").isin(list(queries)))
+    fn_a, sch_a = dtw_bounds_kernel(queries, band=_DTW_BAND)
+    bounds = cands.mapInPandas(fn_a, schema=sch_a)
+    taus = bounds.groupBy("probe_id").agg(
+        F.expr(f"array_sort(collect_list(ub))[{_DTWJ_K - 1}]").alias("tau")
+    )
+    surv = (
+        bounds.join(F.broadcast(taus), "probe_id")
+        .filter(F.col("lb") <= F.col("tau"))
+        .select("probe_id", "user_id")
+    )
+    surv_seqs = surv.join(seqs, "user_id").select("probe_id", "user_id", "xs")
+    fn_b, sch_b = dtw_exact_kernel(queries, band=_DTW_BAND)
+    exact = surv_seqs.mapInPandas(fn_b, schema=sch_b)
+    w = W.partitionBy("probe_id").orderBy(F.col("dtw"), F.col("user_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DTWJ_K)
+        .select("probe_id", "user_id", F.round("dtw", 6).alias("dtw"), "rank")
+    )

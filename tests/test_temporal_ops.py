@@ -139,3 +139,44 @@ def test_dtw_kernel_band_blocks_far_warping():
     pdf = pd.DataFrame({"user_id": [1], "xs": [shifted]})
     out = pd.concat(list(fn(iter([pdf]))))
     assert out.iloc[0]["dtw"] > 100.0  # far from the ~0 of unbanded warping
+
+
+def test_dtw_topk_join_pruning_is_lossless():
+    """The Fagin-style cut (keep lb <= kth-smallest ub) must never
+    lose a true top-k neighbor: compare the two-stage kernels' result
+    against brute-force DTW over random series, including the
+    diagonal-path upper bound's validity (ub >= dtw)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_project_spark.operators.temporal import (
+        dtw_bounds_kernel,
+        dtw_exact_kernel,
+    )
+
+    rng = np.random.RandomState(5)
+    n, k, band = 32, 3, 4
+    queries = {100 + p: list(rng.uniform(0, 50, n)) for p in range(3)}
+    X = rng.uniform(0, 50, (40, n))
+    pdf = pd.DataFrame({"user_id": np.arange(40), "xs": list(X)})
+
+    fn_a, _ = dtw_bounds_kernel(queries, band=band)
+    bounds = pd.concat(list(fn_a(iter([pdf]))))
+    for pid, q in queries.items():
+        sub = bounds[bounds.probe_id == pid]
+        brute = {
+            int(i): _brute_banded_dtw(x, np.asarray(q), band)
+            for i, x in zip(pdf["user_id"], X)
+        }
+        for _, r in sub.iterrows():
+            assert r.lb <= brute[int(r.user_id)] + 1e-9
+            assert r.ub >= brute[int(r.user_id)] - 1e-9
+        tau = np.sort(sub["ub"].to_numpy())[k - 1]
+        surv = sub[sub.lb <= tau][["probe_id", "user_id"]]
+        surv = surv.merge(pdf, on="user_id")
+        fn_b, _ = dtw_exact_kernel(queries, band=band)
+        exact = pd.concat(list(fn_b(iter([surv]))))
+        got = exact.sort_values(["dtw", "user_id"]).head(k)
+        want = sorted(brute.items(), key=lambda t: (t[1], t[0]))[:k]
+        assert list(got["user_id"]) == [u for u, _ in want]
+        assert list(got["dtw"]) == [d for _, d in want]
