@@ -354,19 +354,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs via an inverted index (no cross join).
+    """Exact n-gram Jaccard pairs — physical plan chosen by the
+    threshold, because the prefix filter's pruning power IS the
+    threshold (round-12 matched measurements, sf1 corpus):
 
-    Distinct gram rows → self-join on the gram → count shared grams per
-    pair → Jaccard from ``|A∩B| / (|A| + |B| - |A∩B|)``. The gram join
-    is the scalable inverted-index formulation: shuffle is on gram
-    hash, and only pairs sharing ≥1 gram are ever materialized.
+    - ``t ≥ 0.4`` → :func:`jaccard_prefix_filter_pairs`. At t=0.5 the
+      prefix is ~half the gram rows and the length/positional bounds
+      bite: 92.3/89.8 s → 27.0/21.9 s cold interleaved, and sf10 went
+      from spill-disk death to 62.8 s.
+    - ``t < 0.4`` → the plain inverted-index self-join. At t=0.2 the
+      prefix is ~80 % of the grams and the bounds are loose, so the
+      filtered plan's THREE joins (prefix self-join + candidate
+      distinct + full-gram verify) cost 190.7 s where the naive
+      single self-join costs 17.5 s — a 10× regression the other way.
+      The Θ(Σ df²) shared-gram mass this form carries on the sf10
+      mirror corpus remains disk-bound there (BASELINE §r12); the
+      capped twin is the bounded-feature fallback.
+
+    Same answer either way (the filters are lossless theorems,
+    pinned by test_prefix_filter_equals_plain_inverted_index); the
+    crossover mirrors the simhash-vs-LSH multiplicity rule: measure
+    which mass dominates before choosing the clever plan.
     """
-    # Grams are hashed to int64 (xxhash64) BEFORE the distinct and the
-    # self-join: the wide gram strings never shuffle, the dedup and the
-    # inverted-index join both move (id, 8-byte key) rows. A 64-bit
-    # collision merging two distinct grams of one document needs ~2^32
-    # distinct grams to become likely — far beyond any per-corpus gram
-    # count this runs on.
+    if threshold >= 0.4:
+        return jaccard_prefix_filter_pairs(
+            df, id_col, text_col, n=n, threshold=threshold
+        )
     inv = (
         ngram_rows(ensure_parallelism(df), id_col, text_col, n=n)
         .select("_id", F.xxhash64("_gram").alias("_g64"))
@@ -1190,15 +1203,40 @@ def jaccard_prefix_filter_pairs(
             F.col("_rk")
             <= F.col("_sz") - F.floor(F.lit(float(threshold)) * F.col("_sz")) + 1
         )
-        .select("_id", "_g64")
+        .select("_id", "_g64", "_rk", "_sz")
     )
     pa = prefix.alias("pa")
     pb = prefix.alias("pb")
+    t = float(threshold)
+    # Two further LOSSLESS prunes from the PPJoin family, both slack-
+    # floored so float representation of t can only WEAKEN them (a
+    # weaker bound admits extra candidates; it can never drop a true
+    # pair — the oracle's naive join checks exactly this):
+    # 1. length filter — Jaccard ≥ t forces min_sz ≥ t·max_sz (inter
+    #    ≥ t·union ≥ t·max_sz and inter ≤ min_sz);
+    # 2. positional filter — a prefix gram shared at ranks (rk_a,
+    #    rk_b) caps the overlap at 1 + min(sz−rk) remaining grams,
+    #    which must reach the equivalent-overlap bound
+    #    α = t/(1+t)·(sz_a+sz_b).
+    len_ok = F.least(F.col("pa._sz"), F.col("pb._sz")) >= F.floor(
+        F.lit(t) * F.greatest(F.col("pa._sz"), F.col("pb._sz"))
+    )
+    alpha = F.floor(
+        F.lit(t / (1.0 + t)) * (F.col("pa._sz") + F.col("pb._sz"))
+    )
+    pos_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("pa._sz") - F.col("pa._rk"), F.col("pb._sz") - F.col("pb._rk")
+        )
+    ) >= alpha
     candidates = (
         pa.join(
             pb,
             (F.col("pa._g64") == F.col("pb._g64"))
-            & (F.col("pa._id") < F.col("pb._id")),
+            & (F.col("pa._id") < F.col("pb._id"))
+            & len_ok
+            & pos_ok,
         )
         .select(F.col("pa._id").alias("id_a"), F.col("pb._id").alias("id_b"))
         .distinct()

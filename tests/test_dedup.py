@@ -271,11 +271,19 @@ def test_prefix_filter_equals_plain_inverted_index(spark, docs):
     must produce the bit-identical pair set to the naive inverted-index
     join at the same threshold — on the real corpus slice, not a toy.
     """
+    # The naive form is no longer any public operator's plan (round 12
+    # routed ngram_jaccard_pairs through the filtered path), so build
+    # it from the internals to keep the theorem under direct test.
+    from pyspark.sql import functions as F
+
+    inv = (
+        DD.ngram_rows(DD.ensure_parallelism(docs), "doc_id", "text", n=3)
+        .select("_id", F.xxhash64("_gram").alias("_g64"))
+        .dropDuplicates(["_id", "_g64"])
+    )
     plain = {
         (r.id_a, r.id_b, r.jaccard_sim)
-        for r in DD.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.5
-        ).collect()
+        for r in DD._inverted_index_jaccard(inv, 0.5).collect()
     }
     pref = {
         (r.id_a, r.id_b, r.jaccard_sim)
