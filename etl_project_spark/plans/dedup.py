@@ -197,7 +197,10 @@ WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.2
     tags=("dedup", "ngram"),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard pairs ≥ 0.2 via inverted-index join.
+    """Word-3-gram Jaccard pairs ≥ 0.2 via inverted-index join (the
+    operator routes by threshold since round 12 — at t=0.2 the naive
+    single self-join beats the prefix-filtered plan 10×; see
+    operators/dedup.py::ngram_jaccard_pairs).
 
     Exact (no lossy candidate stage), so unlike the LSH families this
     one IS oracle-checked: the SQL twin rebuilds the same normalized
