@@ -1875,3 +1875,90 @@ def q_bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.mapInPandas(
         encode, schema="word string, n_count long, n_pieces int, pieces string"
     )
+
+
+@register(
+    "q_bigram_cross_entropy",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), bi AS (
+  SELECT doc_id, t[CAST(i AS INTEGER)] AS w1, t[CAST(i AS INTEGER) + 1] AS w2
+  FROM norm, UNNEST(generate_series(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 2
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS n2 FROM bi GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS n1 FROM bi GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT UNNEST(t) AS w FROM norm
+  )
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(LN((c2.n2 + CAST(1 AS DOUBLE)) / (c1.n1 + vocab.v)))
+             / COUNT(*), 6) AS ce_nats
+FROM bi b
+JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+JOIN c1 ON c1.w1 = b.w1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+""",
+    tags=("text", "lm", "perplexity", "quality", "llm"),
+)
+def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus BIGRAM model with
+    add-one smoothing — the step up from `q_unigram_cross_entropy`
+    toward CCNet's KenLM perplexity filter: a document of real
+    sentences scores low, shuffled word soup scores high even when
+    its unigram mix is normal (the unigram model cannot tell).
+
+    Scale shape: the bigram stream is built from the token ARRAY with
+    `transform(sequence(...))` — in-codegen, no positional window —
+    and feeds both the model branch (two hash aggregates; the "model"
+    stays a DataFrame) and the scoring branch (two 8-byte-ish hash
+    joins + one per-doc aggregate). The vocabulary size is a 1-row
+    broadcast. Smoothed probabilities are exact-integer ratios cast
+    to double, so the only cross-engine float play is ln (sub-ulp)
+    summed per doc — far inside the 6-decimal snap.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.col("v"))
+            ).alias("lnp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(-F.sum("lnp") / F.count(F.lit(1)), 6).alias("ce_nats"),
+    )
