@@ -192,7 +192,15 @@ def main() -> None:
     # the stdout line must stay SHORT. The driver captures only the last
     # 2000 chars of stdout — round 6's full line exceeded that, so the
     # recorded BENCH_r6.json had a beheaded JSON and "parsed": null.
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+    # Only the DEFAULT scale writes the canonical record: quick contract
+    # checks at other SFs (sf0.01 while iterating) used to clobber the
+    # committed sf0.1 record — twice in round 12.
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if SF_DIR.rstrip("/") == "/root/testdata/sf0.1"
+        else f"BENCH_DETAIL_sf{sf}.json"
+    )
+    with open(os.path.join(REPO, detail_name), "w") as f:
         json.dump(detail, f, indent=1)
     compact = {
         "metric": "headline_queries_total",
