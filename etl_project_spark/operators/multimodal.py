@@ -1058,6 +1058,10 @@ def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
 
     emit(clear)
     seq = [int(v) for v in indices]
+    if not seq:
+        raise ValueError(
+            "cannot LZW-encode an empty index sequence (zero-area grid)"
+        )
     buf = (seq[0],)
     for k in seq[1:]:
         nk = buf + (k,)

@@ -12,6 +12,7 @@ k-row heaps merged on the driver, no global sort at any scale.
 
 from __future__ import annotations
 
+import math
 import warnings
 from collections.abc import Sequence
 
@@ -954,14 +955,23 @@ def kmeans_refine(
             .collect()
         )
         nxt = {int(r["_cell"]): [s / r["_n"] for s in r["_sum"]] for r in sums}
-        current = [nxt.get(i, c) for i, c in enumerate(current)]
         if grid is not None:
-            # Cross-engine float discipline: snap every coordinate to a
+            # Cross-engine float discipline: snap every FRESH mean to a
             # 10^-grid lattice before the next assignment round, so an
             # SQL oracle recomputing the identical means (whose partial
             # sums fold in a different order, ~1e-15 apart) continues
-            # from bit-identical centroids.
-            current = [[round(x, grid) for x in c] for c in current]
+            # from bit-identical centroids. Two rules matter (ADVICE
+            # r12): the snap is HALF AWAY FROM ZERO (SQL ROUND), not
+            # Python round()'s banker's half-to-even; and carried-over
+            # empty-cell centroids are NOT re-snapped — the oracle's
+            # COALESCE(m.cv, p.cvec) leaves them untouched.
+            scale = 10.0**grid
+            nxt = {
+                i: [math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+                    for x in c]
+                for i, c in nxt.items()
+            }
+        current = [nxt.get(i, c) for i, c in enumerate(current)]
     return current
 
 

@@ -850,7 +850,16 @@ def q_dtw_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn_a, sch_a = dtw_bounds_kernel(queries, band=_DTW_BAND)
     bounds = cands.mapInPandas(fn_a, schema=sch_a)
     taus = bounds.groupBy("probe_id").agg(
-        F.expr(f"array_sort(collect_list(ub))[{_DTWJ_K - 1}]").alias("tau")
+        # Fewer than k candidates → no kth ub exists; the cutoff must
+        # degrade to +inf (keep everything). Under ANSI mode a plain
+        # [k-1] subscript THROWS on the short array; get() yields NULL,
+        # which the coalesce turns into the identity cutoff (a NULL tau
+        # would instead drop ALL of the probe's rows via lb <= NULL
+        # while the oracle still returns up to k).
+        F.coalesce(
+            F.expr(f"get(array_sort(collect_list(ub)), {_DTWJ_K - 1})"),
+            F.lit(float("inf")),
+        ).alias("tau")
     )
     surv = (
         bounds.join(F.broadcast(taus), "probe_id")

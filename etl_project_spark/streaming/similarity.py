@@ -58,16 +58,31 @@ def incremental_topk_query(
     first). Each micro-batch contributes its own distributed top-k
     (``brute_force_topk``: per-task heaps, k rows to the driver);
     the merge keeps ``merge_k`` associative and order-correct via the
-    same (score DESC, id ASC) tie rule the batch twin ranks by."""
+    same (score DESC, id ASC) tie rule the batch twin ranks by.
+
+    At-least-once discipline (ADVICE r12): ``foreachBatch`` may replay
+    a batch after a crash between merge and checkpoint commit, so the
+    merge dedups by id (keeping the best score) before truncating —
+    a replayed batch is then a no-op instead of a duplicate tuple that
+    could evict a distinct true top-k row. The inverse failure is NOT
+    recoverable from the checkpoint alone: on restart the driver-local
+    ``state`` starts empty while the checkpoint skips committed
+    batches, so the exact-global-answer claim holds for a single clean
+    run — rebuild from scratch (fresh checkpoint) after a restart."""
     from etl_project_spark.operators.similarity import brute_force_topk
 
     def merge_batch(batch_df, batch_id):
         rows = brute_force_topk(
             batch_df, vec_col, query_vec, k=k, id_col=id_col
         ).collect()
+        best: dict = {}
+        for score, vid in state + [
+            (float(r["score"]), int(r[id_col])) for r in rows
+        ]:
+            if vid not in best or score > best[vid]:
+                best[vid] = score
         merged = sorted(
-            state + [(float(r["score"]), int(r[id_col])) for r in rows],
-            key=lambda t: (-t[0], t[1]),
+            ((s, i) for i, s in best.items()), key=lambda t: (-t[0], t[1])
         )[:k]
         state[:] = merged
 

@@ -505,3 +505,14 @@ def test_gif_table_decodes_through_spark(spark):
         assert r.height == 4 + (7 * r.id) % 8
         assert r.n_channels == 3
         assert 0.0 <= r.mean_luma <= 255.0
+
+
+def test_lzw_encode_empty_sequence_is_contract_error():
+    """A zero-area grid must fail with an explicit ValueError, not a
+    bare IndexError from seq[0] (ADVICE r12)."""
+    import pytest as _pytest
+
+    from etl_project_spark.operators.multimodal import _lzw_encode_gif
+
+    with _pytest.raises(ValueError, match="empty index sequence"):
+        _lzw_encode_gif([], 2)

@@ -652,3 +652,22 @@ def test_rrf_fusion_scores_consistent_with_ranks(spark):
         assert r.r_full is not None or r.r_coarse is not None
     ordered = sorted(rows, key=lambda r: (-r.rrf_score, r.vec_id))
     assert [r.rank for r in ordered] == list(range(1, 11))
+
+
+def test_kmeans_refine_snap_is_half_up_and_skips_carryover(spark):
+    """Two r12-ADVICE contracts on the grid snap: (a) fresh means snap
+    HALF AWAY FROM ZERO (SQL ROUND), not Python round()'s banker's
+    half-to-even; (b) empty-cell carried-over centroids are NOT
+    re-snapped — the oracle's COALESCE(m.cv, p.cvec) leaves them
+    untouched, so the Spark side must too."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2e-6]), (2, [1.0, 3e-6])], "vec_id long, embedding array<double>"
+    )
+    carry = [0.123456789123, 1.0]  # off-lattice on purpose
+    refined = SIM.kmeans_refine(
+        df, "embedding", [[1.0, 0.0], carry], n_iter=1, grid=6
+    )
+    # cell 0 mean y-coord = 2.5e-6: half-up -> 3e-6 (banker's gives 2e-6)
+    assert refined[0] == [1.0, 3e-6]
+    # cell 1 got no members: carried over bit-identically, no snap
+    assert refined[1] == carry

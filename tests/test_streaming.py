@@ -1161,3 +1161,39 @@ def test_stream_incremental_topk_matches_batch(spark, tmp_path):
         ).collect()
     ]
     assert state == want
+
+
+def test_stream_incremental_topk_merge_dedups_by_id(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed or pre-seeded stale
+    (score, id) tuple for an id the corpus also yields must NOT occupy
+    a second accumulator slot (it could evict a distinct true top-k
+    row). The merge dedups by id keeping the best score, so a stale
+    worse-score duplicate of the true top-1 vanishes and the final
+    state still equals the batch answer exactly (ADVICE r12)."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.operators.similarity import brute_force_topk
+    from etl_project_spark.plans.similarity import QUERY_VEC
+    from etl_project_spark.streaming import similarity as SS
+
+    src = str(tmp_path / "emb")
+    read_table(spark, SF_ORACLE, "embeddings").repartition(2).write.parquet(src)
+
+    want = [
+        (float(r.score), int(r.vec_id))
+        for r in brute_force_topk(
+            spark.read.parquet(src), "embedding", QUERY_VEC, k=10
+        ).collect()
+    ]
+    # stale duplicate of the true top-1 with a worse score
+    state: list = [(want[0][0] - 1.0, want[0][1])]
+    stream = SS.read_embeddings_stream(spark, src, max_files_per_trigger=1)
+    q = SS.incremental_topk_query(
+        stream,
+        QUERY_VEC,
+        k=10,
+        checkpoint=str(tmp_path / "ckpt"),
+        state=state,
+    )
+    assert q.awaitTermination(180)
+    assert state == want
+    assert len({vid for _, vid in state}) == len(state)

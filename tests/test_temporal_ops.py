@@ -180,3 +180,32 @@ def test_dtw_topk_join_pruning_is_lossless():
         want = sorted(brute.items(), key=lambda t: (t[1], t[0]))[:k]
         assert list(got["user_id"]) == [u for u, _ in want]
         assert list(got["dtw"]) == [d for _, d in want]
+
+
+def test_dtw_topk_join_fewer_than_k_candidates(spark, tmp_path):
+    """A probe with fewer than k candidates has no kth ub — the cutoff
+    must degrade to +inf (keep everything), not NULL (which silently
+    filtered out ALL of that probe's survivors, ADVICE r12). With 5
+    eligible users (4 probes + 1 candidate) and k=3, every probe must
+    still return its single neighbor."""
+    from datetime import datetime, timedelta
+
+    from etl_project_spark.plans.registry import all_specs
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u * 1000 + i, base + timedelta(hours=i), u, "view", float((u * 7 + i * 3) % 50), "{}")
+        for u in range(1, 6)
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = (
+        all_specs()["q_dtw_topk_join"].builder(spark, str(tmp_path)).collect()
+    )
+    # 4 probes x 1 candidate, rank 1 each
+    assert len(out) == 4
+    assert {r.rank for r in out} == {1}
+    assert {r.user_id for r in out} == {5}
