@@ -340,7 +340,14 @@ def dtw_bounds_kernel(
     probe) pair emit BOTH bounds — LB_Keogh below and the diagonal
     path's Euclidean sum above (the i→i alignment is an admissible
     banded path, so ``lb ≤ DTW_r ≤ ub``). Vectorized across rows per
-    probe; output is narrow (two doubles per pair)."""
+    probe; output is narrow (two doubles per pair).
+
+    The ub accumulates LEFT-TO-RIGHT over j (not ``np.sum``'s pairwise
+    blocks): ``q_dtw_similar_users`` derives its radius τ from a ub
+    quantile that the SQL oracle replays with a list fold, so the ub
+    must be bit-identical across engines — same discipline as the lb.
+    (For ``q_dtw_topk_join`` the fold order is output-invariant: its
+    oracle DPs every pair and never sees the ub.)"""
     probes = {int(p): np.asarray(q, dtype=np.float64) for p, q in queries.items()}
     n = len(next(iter(probes.values())))
     envs = {}
@@ -367,8 +374,10 @@ def dtw_bounds_kernel(
                     lb = lb + np.where(
                         xj > U[j], hi * hi, np.where(xj < L[j], lo * lo, 0.0)
                     )
-                d = X - q[None, :]
-                ub = (d * d).sum(axis=1)
+                ub = np.zeros(len(X))
+                for j in range(n):
+                    dj = X[:, j] - q[j]
+                    ub = ub + dj * dj
                 frames.append(
                     pd.DataFrame(
                         {"probe_id": p, id_col: ids, "lb": lb, "ub": ub}

@@ -653,7 +653,13 @@ def q_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _DTW_N = 32
 _DTW_BAND = 4
-_DTW_TAU = 25000.0
+#: Radius rank: τ = the 8th-smallest diagonal-path upper bound over the
+#: candidates. A fixed absolute τ is scale-brittle (the r12 value 25000
+#: returned 0 rows at sf0.1 — a vacuous hash match); the rank-derived
+#: radius guarantees ≥ rank survivors at every SF (each of the rank
+#: smallest-ub candidates has dtw ≤ ub ≤ τ) while both engines replay
+#: the identical cutoff from the identical left-to-right ub fold.
+_DTW_TAU_RANK = 8
 
 
 @register(
@@ -689,8 +695,16 @@ WITH RECURSIVE seqs AS (
                            * (e.l[CAST(j AS INTEGER)] - s.xs[CAST(j AS INTEGER)])
                     ELSE 0.0 END
              END),
-           (acc, x) -> acc + x) AS lb
+           (acc, x) -> acc + x) AS lb,
+         LIST_REDUCE(
+           LIST_TRANSFORM(generate_series(1, {_DTW_N}), j ->
+             (s.xs[CAST(j AS INTEGER)] - p.q[CAST(j AS INTEGER)])
+             * (s.xs[CAST(j AS INTEGER)] - p.q[CAST(j AS INTEGER)])),
+           (acc, x) -> acc + x) AS ub
   FROM seqs s, probe p, env e WHERE s.user_id <> p.pid
+), tau AS (
+  SELECT COALESCE(MAX(ub), 'infinity'::DOUBLE) AS t
+  FROM (SELECT ub FROM cands ORDER BY ub LIMIT {_DTW_TAU_RANK})
 ), dp AS (
   SELECT user_id, xs, q, lb, 0 AS i,
          [CASE WHEN j = 0 THEN 0.0 ELSE 'infinity'::DOUBLE END
@@ -711,28 +725,39 @@ WITH RECURSIVE seqs AS (
   FROM dp WHERE i < {_DTW_N}
 )
 SELECT user_id, ROUND(lb, 6) AS lb_keogh, ROUND(row[{_DTW_N} + 1], 6) AS dtw
-FROM dp WHERE i = {_DTW_N} AND row[{_DTW_N} + 1] <= {_DTW_TAU}
+FROM dp WHERE i = {_DTW_N} AND row[{_DTW_N} + 1] <= (SELECT t FROM tau)
 """,
     tags=("temporal", "dtw", "trajectory", "similarity"),
 )
 def q_dtw_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users whose first-32-event value trajectory is within banded-DTW
-    distance 25000 of the smallest qualifying user's trajectory
-    (Sakoe-Chiba band r=4, squared-difference cost), with each
-    survivor's LB_Keogh lower bound.
+    radius τ of the smallest qualifying user's trajectory (Sakoe-Chiba
+    band r=4, squared-difference cost), with each survivor's LB_Keogh
+    lower bound. τ is DATA-DERIVED: the 8th-smallest diagonal-path
+    Euclidean sum (an admissible upper bound, so ≥ 8 survivors are
+    certified at every scale factor — the r12 fixed τ=25000 was a
+    vacuous 0-row match at sf0.1).
 
     The plan PRUNES with LB_Keogh and runs the exact DP only on
     survivors; the oracle runs the exact DP on EVERY candidate — so
     the theorem the pruning leans on (lb ≤ banded DTW) is itself under
     test: an unsound bound drops a qualifying user and flips the hash.
-    Both engines evaluate the DP cell-for-cell in the same order and
-    the lb left-to-right, with explicit multiplication (not pow) on
-    both sides.
+    Both engines evaluate the DP cell-for-cell in the same order, and
+    the lb, the ub, and τ itself fold left-to-right with explicit
+    multiplication (not pow) on both sides. τ's kth-smallest is a
+    per-task-heap TakeOrderedAndProject (no collect_list of the
+    candidate set); the driver receives ONE scalar. With fewer than
+    rank candidates MAX over all ubs keeps everything (dtw ≤ own ub ≤
+    max ub) — the same degenerate behavior as the oracle's LIMIT+MAX.
     """
-    from etl_project_spark.operators.temporal import dtw_search_kernel
+    from etl_project_spark.operators.temporal import (
+        dtw_bounds_kernel,
+        dtw_search_kernel,
+    )
+    from etl_project_spark.session import scoped_persist
 
     e = _t(spark, sf_dir, "events")
-    seqs = (
+    seqs = scoped_persist(
         e.groupBy("user_id")
         .agg(
             F.array_sort(
@@ -748,10 +773,20 @@ def q_dtw_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probe_row = seqs.orderBy("user_id").limit(1).collect()[0]
+    pid = int(probe_row["user_id"])
     query = [float(v) for v in probe_row["xs"]]
-    cands = seqs.filter(F.col("user_id") != int(probe_row["user_id"]))
+    cands = seqs.filter(F.col("user_id") != pid)
+    fn_b, sch_b = dtw_bounds_kernel({pid: query}, band=_DTW_BAND)
+    tau_row = (
+        cands.mapInPandas(fn_b, schema=sch_b)
+        .orderBy("ub")
+        .limit(_DTW_TAU_RANK)
+        .agg(F.coalesce(F.max("ub"), F.lit(float("inf"))).alias("tau"))
+        .collect()[0]
+    )
+    tau = float(tau_row["tau"])
     fn, schema = dtw_search_kernel(
-        query, id_col="user_id", seq_col="xs", band=_DTW_BAND, tau=_DTW_TAU
+        query, id_col="user_id", seq_col="xs", band=_DTW_BAND, tau=tau
     )
     out = cands.mapInPandas(fn, schema=schema)
     return out.select(
