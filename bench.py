@@ -94,6 +94,10 @@ BENCH_QUERIES = (
     "q_bpe_encode_words",
     "q_dtw_similar_users",
     "q_dtw_topk_join",
+    # round-13 additions (append-only): density-capped spatial serving +
+    # incremental dedup on the shared gram-index builder
+    "q_spatial_radius_cell_profile",
+    "q_incremental_dedup_new_batch",
 )
 
 

@@ -44,6 +44,12 @@ def char_shingles(col: Column, k: int = 5) -> Column:
 
     Short texts (< k chars) yield the whole text as a single shingle so
     they still participate in dedup.
+
+    Array-form convenience for tests / small inputs: the lambda captures
+    the normalize subtree, which Catalyst re-evaluates PER SHINGLE
+    (O(len²) per doc — measured 6.8× on the repeated-span family, r13).
+    Hot paths use :func:`shingle_rows`, whose substring runs over a
+    projected attribute inside whole-stage codegen.
     """
     norm = normalize_text(col)
     n = F.length(norm) - F.lit(k - 1)
@@ -55,7 +61,10 @@ def char_shingles(col: Column, k: int = 5) -> Column:
 
 
 def token_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (array<string>) of the normalized text."""
+    """Distinct word n-grams (array<string>) of the normalized text.
+
+    Array-form convenience — same per-element subtree-recompute caveat
+    as :func:`char_shingles`; hot paths use :func:`ngram_rows`."""
     toks = F.split(normalize_text(col), " ")
     cnt = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
@@ -111,6 +120,127 @@ def ngram_rows(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> Data
             ).alias("_pos"),
         )
         .select("_id", F.concat_ws(" ", F.slice("_toks", F.col("_pos"), n)).alias("_gram"))
+    )
+
+
+def gram_tokens_col(text: Column) -> Column:
+    """THE tokenization behind the word-n-gram dedup family: normalize
+    (lowercase, collapse whitespace) then single-space split. Project it
+    to a column before feeding a transform lambda (see
+    :func:`span_gram_hashes_from_toks` for the per-element
+    subtree-recompute trap)."""
+    return F.split(normalize_text(text), " ")
+
+
+def distinct_gram_hashes_from_toks(toks: Column, n: int = 3) -> Column:
+    """Distinct xxhash64'd word-``n``-grams over an ALREADY-PROJECTED
+    token-array column — the document-local twin of
+    ``ngram_rows(...).distinct()`` + ``xxhash64``: same tokenization,
+    same gram slices, same hashing, but computed per row, so the
+    distinct needs NO shuffle (the gram set is a property of one
+    document) and a stream can evaluate it without state."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+            ),
+            lambda p: F.xxhash64(F.concat_ws(" ", F.slice(toks, p, n))),
+        )
+    )
+
+
+def doc_gram_index(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_out: str = "_hid",
+    sz_out: str = "_szh",
+) -> DataFrame:
+    """Inverted gram index ``(id_out, sz_out, _g)`` via the STATELESS
+    array form: per-doc distinct is an array_distinct (document-local
+    property), the size rides along from the same array, and the
+    explode is map-side — legal on a STREAMING DataFrame, which cannot
+    run the row-form's distinct (a stateful shuffle).
+
+    ONLY for stream sides and tests: array higher-order functions are
+    interpreted, not codegen'd — on a static corpus this form measured
+    10× slower than :func:`gram_rows_hashed` (34.6 s vs 3.5 s, sf1,
+    round 13). Static/batch callers use :func:`gram_rows_hashed`;
+    both produce the identical (doc, gram-hash) set from the same
+    tokenization+hash (asserted in tests/test_dedup_index.py)."""
+    return (
+        docs.select(
+            F.col(id_col).alias(id_out),
+            gram_tokens_col(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            id_out, distinct_gram_hashes_from_toks(F.col("_toks"), n).alias("_gs")
+        )
+        .select(
+            id_out, F.size("_gs").alias(sz_out), F.explode("_gs").alias("_g")
+        )
+    )
+
+
+def gram_rows_hashed(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_out: str = "_id",
+) -> DataFrame:
+    """Distinct ``(id_out, _g)`` word-n-gram hash rows via the CODEGEN
+    row form — :func:`ngram_rows` explode + one xxhash64 projection +
+    a hash-shuffled distinct. The batch/static twin of
+    :func:`doc_gram_index` (same tokenization, same gram slices, same
+    hash → identical row set); 10× faster on a static corpus because
+    every expression stays inside whole-stage codegen where the array
+    form pays interpreted HOF eval per element."""
+    return (
+        ngram_rows(docs, id_col, text_col, n=n)
+        .select(F.col("_id").alias(id_out), F.xxhash64("_gram").alias("_g"))
+        .distinct()
+    )
+
+
+def span_gram_rows(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional gram-hash rows ``(doc_id, pos, g)`` via the CODEGEN
+    row form — explode the position sequence, then hash the slice as a
+    plain projection. Identical content to
+    ``posexplode(span_gram_hashes_from_toks(...))`` (verified by
+    count+hash at sf1) but 2× faster: the HOF form pays interpreted
+    eval per element even over a projected attribute. Shared by the
+    batch repeated-span plan and its streaming twin (explode is
+    streaming-legal and stateless)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            span_tokens_col(F.col(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= k)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks") - F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.array_join(F.slice("_toks", F.col("pos"), k), " ")).alias(
+                "g"
+            ),
+        )
     )
 
 
@@ -1266,16 +1396,19 @@ def jaccard_prefix_filter_pairs(
     )
 
 
-def span_gram_hashes(text: Column, k: int = 5) -> Column:
-    """xxhash64'd word-``k``-gram array of ``text`` in token order (NOT
-    distinct — repeated-span detection needs positions): element ``i``
-    (0-based) is the gram starting at token ``i+1`` of the trimmed,
-    lower-cased whitespace split. Docs with fewer than ``k`` tokens
-    yield an empty array. ONE definition feeds the batch repeated-span
-    plan (plans/dedup.py::_span_frame) and its stream-static twin
-    (streaming/dedup.py), so the two can never shingle differently.
+def span_gram_hashes_from_toks(toks: Column, k: int = 5) -> Column:
+    """xxhash64'd word-``k``-gram array over an ALREADY-MATERIALIZED
+    token-array column, in token order (NOT distinct — repeated-span
+    detection needs positions): element ``i`` (0-based) is the gram
+    starting at token ``i+1``. Docs with fewer than ``k`` tokens yield
+    an empty array.
+
+    ``toks`` must be a projected ATTRIBUTE, not an inline ``split(...)``
+    expression: a subtree captured by the transform lambda is
+    re-evaluated per element — O(tokens²·len) per doc, measured 6.8×
+    slower at sf1 (31.9 s → 4.7 s for the gram+agg stage, round 13).
+    Callers project the whitespace split in a prior ``select``.
     """
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
     return F.when(
         F.size(toks) >= k,
         F.transform(
@@ -1283,3 +1416,21 @@ def span_gram_hashes(text: Column, k: int = 5) -> Column:
             lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def span_tokens_col(text: Column) -> Column:
+    """THE tokenization feeding the repeated-span gram hash — trimmed,
+    lower-cased, whitespace split. One definition shared by the batch
+    plan and the streaming twin so the two can never shingle
+    differently; project it to a column BEFORE calling
+    :func:`span_gram_hashes_from_toks` (see there for why)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def span_gram_hashes(text: Column, k: int = 5) -> Column:
+    """Convenience composition of :func:`span_tokens_col` and
+    :func:`span_gram_hashes_from_toks` for tests / small inputs.
+    HOT PATHS must use the two-step form instead — composing inline
+    puts the split subtree inside the transform lambda, which Catalyst
+    re-evaluates per gram (the O(tokens²) trap documented above)."""
+    return span_gram_hashes_from_toks(span_tokens_col(text), k)

@@ -495,33 +495,52 @@ def q_incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus), so the gram equi-join shuffles the batch fully but only
     the MATCHING slice of history; per-batch-doc argmax is a window
     over candidate matches, bounded by near-dup fan-in. Grams are
-    xxhash64'd before the join (no string shuffle). Docs with no
-    overlapping gram still emit a row (best_jaccard 0, no match) via
-    the left join — the downstream router needs a decision for every
-    new doc, not just dupes.
+    xxhash64'd before the join (no string shuffle).
+
+    Both sides shingle through the shared codegen row form
+    (``gram_rows_hashed``; round-13: each side filters its sources
+    BEFORE shingling — the r12 form shingled the whole table then
+    filtered — and the sizes join lands AFTER the intersection
+    aggregate, where both frames are candidate-bounded). The HISTORY
+    side is additionally servable from the persisted layout registry
+    (:mod:`etl_project_spark.sources.dedup_index`): when a session has
+    run ``persist_gram_index``, repeat batches skip the history shingle
+    scan entirely and probe the parquet index (measured 6.2× per repeat
+    batch at sf1) — the streaming twin
+    (``stream_incremental_dedup_scores``) consumes the identical frame.
+    Docs with no overlapping gram still emit a row (best_jaccard 0, no
+    match) via the left join — the downstream router needs a decision
+    for every new doc, not just dupes.
     """
     from pyspark.sql import Window as W
 
+    from etl_project_spark.sources.dedup_index import (
+        BATCH_SOURCE,
+        gram_index_for,
+        load_gram_index,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    grams = (
-        DD.ngram_rows(d.select("doc_id", "source", "text"), "doc_id", "text", n=3)
-        .join(d.select("doc_id", "source"), F.col("_id") == F.col("doc_id"))
-        .select(F.col("_id"), F.xxhash64("_gram").alias("_g"), "source")
-        .distinct()
+    idx = gram_index_for(sf_dir, n=3)
+    if idx is not None:
+        served = load_gram_index(spark, idx)
+        hg = served.select("_hid", "_g")
+        hsz = served.groupBy("_hid").agg(F.first("_szh").alias("_szh"))
+    else:
+        hg = DD.gram_rows_hashed(
+            d.filter(F.col("source") != BATCH_SOURCE), n=3, id_out="_hid"
+        )
+        hsz = hg.groupBy("_hid").agg(F.count(F.lit(1)).alias("_szh"))
+    bg = DD.gram_rows_hashed(
+        d.filter(F.col("source") == BATCH_SOURCE), n=3, id_out="_bid"
     )
-    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    gb = grams.filter(F.col("source") == "src19").select(
-        F.col("_id").alias("_bid"), "_g"
-    )
-    gh = grams.filter(F.col("source") != "src19").select(
-        F.col("_id").alias("_hid"), "_g"
-    )
-    inter = gb.join(gh, "_g").groupBy("_bid", "_hid").agg(
-        F.count(F.lit(1)).alias("_ix")
-    )
+    bsz = bg.groupBy("_bid").agg(F.count(F.lit(1)).alias("_szb"))
     scored = (
-        inter.join(sizes.withColumnRenamed("_id", "_bid").withColumnRenamed("_sz", "_szb"), "_bid")
-        .join(sizes.withColumnRenamed("_id", "_hid").withColumnRenamed("_sz", "_szh"), "_hid")
+        bg.join(hg, "_g")
+        .groupBy("_bid", "_hid")
+        .agg(F.count(F.lit(1)).alias("_ix"))
+        .join(bsz, "_bid")
+        .join(hsz, "_hid")
         .select(
             "_bid",
             "_hid",
@@ -532,7 +551,7 @@ def q_incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     w = W.partitionBy("_bid").orderBy(F.col("_jac").desc(), F.col("_hid"))
     best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    batch_ids = d.filter(F.col("source") == "src19").select("doc_id")
+    batch_ids = d.filter(F.col("source") == BATCH_SOURCE).select("doc_id")
     return batch_ids.join(
         best, batch_ids["doc_id"] == best["_bid"], "left"
     ).select(
@@ -984,10 +1003,11 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     K = _SPAN_K
     d = _t(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.posexplode(DD.span_gram_hashes(F.col("text"), K)).alias("p0", "g"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+    # Row-form positional shingle (operators/dedup.py::span_gram_rows):
+    # whole-stage codegen end to end — the array-HOF form paid
+    # interpreted per-element eval (and, before r13, re-evaluated the
+    # embedded split subtree per gram: 66 s/query at sf1 vs 8 s now).
+    grams = DD.span_gram_rows(d, k=K)
     dup_grams = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"))

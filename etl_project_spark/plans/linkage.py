@@ -265,40 +265,10 @@ ROUND(2.0 * {R} * ASIN(SQRT(
 """.replace("{R}", str(_GEO_EARTH_KM))
 
 
-@register(
-    "q_spatial_grid_join",
-    oracle=f"""
-WITH cust AS (
-  SELECT c_custkey, {_coord_sql('c_custkey', 1, '40.0')} AS c_lat,
-         {_coord_sql('c_custkey', 9, '60.0')} AS c_lng
-  FROM customer
-),
-supp AS (
-  SELECT s_suppkey, {_coord_sql('s_suppkey', 1, '40.0')} AS s_lat,
-         {_coord_sql('s_suppkey', 9, '60.0')} AS s_lng
-  FROM supplier
-),
-pairs AS (
-  SELECT c.c_custkey, s.s_suppkey, {_HAV_SQL} AS km
-  FROM cust c JOIN supp s
-    ON FLOOR(c.c_lat) BETWEEN FLOOR(s.s_lat) - 1 AND FLOOR(s.s_lat) + 1
-   AND FLOOR(c.c_lng) BETWEEN FLOOR(s.s_lng) - 1 AND FLOOR(s.s_lng) + 1
-)
-SELECT c_custkey, s_suppkey, km
-FROM pairs WHERE km <= {_GEO_RADIUS_KM}
-""",
-    tags=("linkage", "spatial", "grid-join"),
-)
-def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers within 40 km of a supplier, via grid-cell equi-join.
-
-    The supplier side explodes its 3×3 cell neighborhood (9× the dim
-    table), the customer side joins on its own cell — one equi-join
-    keyed by (lat_cell, lng_cell), sized by AQE (broadcast when the
-    exploded side is genuinely small, shuffle otherwise). At 100 TB
-    both sides shuffle on the cell key; dense cells are the
-    skew-salting case.
-    """
+def _spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius (customer, supplier) pairs with the customer
+    coordinates still attached — shared candidate generation for the
+    whole spatial family (raw list, nearest-k, cell profile)."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         _coord_spark(F.col("c_custkey"), 1, 40.0).alias("c_lat"),
@@ -351,7 +321,49 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("km", km)
         .where(F.col("km") <= _GEO_RADIUS_KM)
-        .select("c_custkey", "s_suppkey", "km")
+        .select("c_custkey", "s_suppkey", "c_lat", "c_lng", "km")
+    )
+
+
+@register(
+    "q_spatial_grid_join",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey, {_coord_sql('c_custkey', 1, '40.0')} AS c_lat,
+         {_coord_sql('c_custkey', 9, '60.0')} AS c_lng
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey, {_coord_sql('s_suppkey', 1, '40.0')} AS s_lat,
+         {_coord_sql('s_suppkey', 9, '60.0')} AS s_lng
+  FROM supplier
+),
+pairs AS (
+  SELECT c.c_custkey, s.s_suppkey, {_HAV_SQL} AS km
+  FROM cust c JOIN supp s
+    ON FLOOR(c.c_lat) BETWEEN FLOOR(s.s_lat) - 1 AND FLOOR(s.s_lat) + 1
+   AND FLOOR(c.c_lng) BETWEEN FLOOR(s.s_lng) - 1 AND FLOOR(s.s_lng) + 1
+)
+SELECT c_custkey, s_suppkey, km
+FROM pairs WHERE km <= {_GEO_RADIUS_KM}
+""",
+    tags=("linkage", "spatial", "grid-join"),
+)
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers within 40 km of a supplier, via grid-cell equi-join.
+
+    The supplier side explodes its 3×3 cell neighborhood (9× the dim
+    table), the customer side joins on its own cell — one equi-join
+    keyed by (lat_cell, lng_cell), sized by AQE (broadcast when the
+    exploded side is genuinely small, shuffle otherwise). At 100 TB
+    both sides shuffle on the cell key; dense cells are the
+    skew-salting case. Output is quadratic in point density BY
+    DEFINITION — the capped serving forms are
+    ``q_spatial_nearest_supplier`` (≤1 row per customer) and
+    ``q_spatial_radius_cell_profile`` (≤ grid-size rows).
+    """
+    return _spatial_radius_pairs(spark, sf_dir).select(
+        "c_custkey", "s_suppkey", "km"
     )
 
 
@@ -406,6 +418,68 @@ def q_spatial_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("c_custkey", "s_suppkey", "km")
+    )
+
+
+@register(
+    "q_spatial_radius_cell_profile",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey, {_coord_sql('c_custkey', 1, '40.0')} AS c_lat,
+         {_coord_sql('c_custkey', 9, '60.0')} AS c_lng
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey, {_coord_sql('s_suppkey', 1, '40.0')} AS s_lat,
+         {_coord_sql('s_suppkey', 9, '60.0')} AS s_lng
+  FROM supplier
+),
+pairs AS (
+  SELECT c.c_custkey, s.s_suppkey, c.c_lat, c.c_lng, {_HAV_SQL} AS km
+  FROM cust c JOIN supp s
+    ON FLOOR(c.c_lat) BETWEEN FLOOR(s.s_lat) - 1 AND FLOOR(s.s_lat) + 1
+   AND FLOOR(c.c_lng) BETWEEN FLOOR(s.s_lng) - 1 AND FLOOR(s.s_lng) + 1
+)
+SELECT CAST(FLOOR(c_lat) AS BIGINT) AS cell_lat,
+       CAST(FLOOR(c_lng) AS BIGINT) AS cell_lng,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+       ROUND(MIN(km), 3) AS min_km,
+       ROUND(AVG(km), 4) AS avg_km
+FROM pairs WHERE km <= {_GEO_RADIUS_KM}
+GROUP BY 1, 2
+""",
+    tags=("linkage", "spatial", "grid-join", "bounded-output"),
+)
+def q_spatial_radius_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-join density profile per 1° customer cell — the radius
+    family's CONSTANT-output serving form (round-12 verdict task #6:
+    the raw pair list is output-bound BY DEFINITION, 174.4M rows at
+    sf10; a density heat-map is what a pipeline owner usually wants
+    from it, and its output is ≤ the fixed 40×40 grid REGARDLESS of
+    point density).
+
+    The within-radius pairs are still enumerated internally (the same
+    lossless grid candidate join), but they hash-aggregate map-side
+    into per-cell partials — nothing pair-shaped ever reaches a
+    shuffle boundary except the ≤1600-row cell frame. n_pairs /
+    n_customers / n_suppliers quantify density and coverage; min/avg
+    km quantify tightness. Distinct counts expand to two-phase
+    hash aggs (partial distinct per mapper) — still cell-bounded.
+    """
+    base = _spatial_radius_pairs(spark, sf_dir)
+    return (
+        base.withColumn("cell_lat", F.floor("c_lat").cast("long"))
+        .withColumn("cell_lng", F.floor("c_lng").cast("long"))
+        .groupBy("cell_lat", "cell_lng")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+            F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"),
+            F.round(F.min("km"), 3).alias("min_km"),
+            F.round(F.avg("km"), 4).alias("avg_km"),
+        )
     )
 
 

@@ -35,39 +35,24 @@ the batch docstring describes, carried to continuous ingestion.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from etl_project_spark.operators.dedup import normalize_text
-
-
-def _distinct_gram_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct xxhash64'd word-``n``-grams of ``text`` as an array —
-    the stateless twin of ``ngram_rows(...).dropDuplicates()`` +
-    ``xxhash64``: same tokenization, same gram slices, same hashing,
-    but per-row (document-local), so a stream can use it without
-    deduplication state."""
-    toks = F.split(normalize_text(text), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-            ),
-            lambda p: F.xxhash64(F.concat_ws(" ", F.slice(toks, p, n))),
-        )
-    )
 
 
 def history_gram_index(history_docs: DataFrame, n: int = 3) -> DataFrame:
     """Static-side index ``(_g, _hid, _szh)``: one row per distinct
-    (gram, history doc), carrying the doc's distinct-gram count. In
-    production this is a persisted table bucketed by ``_g``."""
-    return history_docs.select(
-        F.col("doc_id").alias("_hid"),
-        _distinct_gram_hashes(F.col("text"), n).alias("_gs"),
-    ).select(
-        "_hid", F.size("_gs").alias("_szh"), F.explode("_gs").alias("_g")
-    )
+    (gram, history doc), carrying the doc's distinct-gram count. The
+    history side is STATIC, so it uses the codegen row form
+    (:func:`etl_project_spark.operators.dedup.gram_rows_hashed`, 10×
+    the array form on a static corpus) with the sizes attached by a
+    co-partitioned self-aggregate join. In production this is a
+    persisted table bucketed by ``_g`` — ``sources/dedup_index.py``
+    persists and serves exactly this frame."""
+    from etl_project_spark.operators.dedup import gram_rows_hashed
+
+    hg = gram_rows_hashed(history_docs, n=n, id_out="_hid")
+    hsz = hg.groupBy("_hid").agg(F.count(F.lit(1)).alias("_szh"))
+    return hg.join(hsz, "_hid").select("_hid", "_szh", "_g")
 
 
 def stream_incremental_dedup_scores(
@@ -83,11 +68,9 @@ def stream_incremental_dedup_scores(
     identical arithmetic and HALF-UP 4-decimal rounding as the batch
     plan, so the drained scores feed the same argmax rollup.
     """
-    b = new_docs.select(
-        "doc_id", _distinct_gram_hashes(F.col("text"), n).alias("_gs")
-    ).select(
-        "doc_id", F.size("_gs").alias("_szb"), F.explode("_gs").alias("_g")
-    )
+    from etl_project_spark.operators.dedup import doc_gram_index
+
+    b = doc_gram_index(new_docs, n=n, id_out="doc_id", sz_out="_szb")
     joined = b.join(history_index, "_g")  # stream-static, stateless
     counts = joined.groupBy("doc_id", "_szb", "_hid", "_szh").agg(
         F.count(F.lit(1)).alias("_ix")
@@ -215,11 +198,9 @@ def corpus_dup_gram_index(history_docs: DataFrame, k: int = 5) -> DataFrame:
     batch repeated-span plan. In production this is a persisted table
     bucketed by ``_g``, refreshed by a slower batch job (the same
     asymmetric-join economics as :func:`history_gram_index`)."""
-    from etl_project_spark.operators.dedup import span_gram_hashes
+    from etl_project_spark.operators.dedup import span_gram_rows
 
-    g = history_docs.select(
-        F.explode(span_gram_hashes(F.col("text"), k)).alias("_g")
-    )
+    g = span_gram_rows(history_docs, k=k).select(F.col("g").alias("_g"))
     return (
         g.groupBy("_g")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -235,8 +216,8 @@ def stream_repeated_span_positions(
     documents — the stream-static twin of the batch repeated-span
     detector, FULLY STATELESS:
 
-    - Shingling is per-row (:func:`span_gram_hashes` over the doc's own
-      text), so posexplode is streaming-legal with no state.
+    - Shingling is per-row (:func:`span_gram_rows` — explode + hash
+      projection), streaming-legal with no state.
     - The duplicated-gram lookup is a stream-static LEFT SEMI join: per
       micro-batch only the matching slice of the static index is read,
       and nothing about other stream rows is needed.
@@ -249,10 +230,9 @@ def stream_repeated_span_positions(
 
     Run with ``outputMode("append")``; a doc's flagged positions
     finalize in the trigger its row arrives."""
-    from etl_project_spark.operators.dedup import span_gram_hashes
+    from etl_project_spark.operators.dedup import span_gram_rows
 
-    g = new_docs.select(
-        "doc_id",
-        F.posexplode(span_gram_hashes(F.col("text"), k)).alias("_p0", "_g"),
-    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "_g")
+    g = span_gram_rows(new_docs, k=k).select(
+        "doc_id", "pos", F.col("g").alias("_g")
+    )
     return g.join(dup_gram_index, "_g", "left_semi").select("doc_id", "pos")

@@ -1,0 +1,190 @@
+"""Persisted dedup serving indexes (sources/dedup_index.py): serving
+from the pay-once gram / SimHash-posting parquet must (a) return
+row-identical results to the self-contained shingle-per-run path,
+(b) actually skip the history document scan in the served plan, and
+(c) refuse to serve under mismatched build parameters."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_project_spark.plans.registry import all_specs
+from etl_project_spark.sources import dedup_index as DX
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture()
+def gram_index(spark, tmp_path):
+    idx = DX.persist_gram_index(spark, SF_ORACLE, path=str(tmp_path / "gidx"))
+    yield idx
+    DX.clear_dedup_indexes()
+
+
+def _run_incremental(spark):
+    return sorted(
+        tuple(r)
+        for r in all_specs()["q_incremental_dedup_new_batch"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    )
+
+
+def test_gram_index_served_equals_inflight(spark, tmp_path):
+    DX.clear_dedup_indexes()
+    inflight = _run_incremental(spark)
+    DX.persist_gram_index(spark, SF_ORACLE, path=str(tmp_path / "gidx"))
+    try:
+        served = _run_incremental(spark)
+    finally:
+        DX.clear_dedup_indexes()
+    assert served == inflight and inflight
+
+
+def test_gram_index_served_plan_skips_history_scan(spark, gram_index):
+    """With the index registered, the plan must read the documents
+    table only for the BATCH side (source = src19 scans: the gram side
+    and the emit-every-doc id side) — the history grams come from the
+    index parquet, so no history-predicate scan survives."""
+    df = all_specs()["q_incremental_dedup_new_batch"].builder(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the persisted index is in the plan as TWO column-pruned scans —
+    # grams (_hid,_g) for the probe join, sizes (_hid,_szh) for the
+    # post-agg join (plan strings truncate paths, so match ReadSchema)
+    assert "struct<_hid:bigint,_g:bigint>" in plan
+    assert "struct<_hid:bigint,_szh:bigint>" in plan
+    # every remaining documents scan is batch-side: the history
+    # predicate (source != src19) appears in NO pushed filter
+    assert "Not(EqualTo(source" not in plan
+    # and without the index the history scan IS there (guards the
+    # assertion itself against filter-string drift)
+    DX.clear_dedup_indexes()
+    inflight_plan = (
+        all_specs()["q_incremental_dedup_new_batch"]
+        .builder(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Not(EqualTo(source" in inflight_plan
+
+
+def test_gram_index_param_mismatch_refuses(spark, gram_index):
+    assert DX.gram_index_for(SF_ORACLE, n=3) is gram_index
+    assert DX.gram_index_for(SF_ORACLE, n=5) is None
+    assert DX.gram_index_for("/nonexistent", n=3) is None
+
+
+def test_simhash_index_served_equals_inflight(spark, tmp_path):
+    """The persisted posting rows must equal the inflight
+    history_simhash_index frame exactly — same fingerprints, same
+    (cmask, key) postings — so a stream served from parquet joins the
+    identical static side."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.streaming.dedup import history_simhash_index
+    from pyspark.sql import functions as F
+
+    hist = read_table(spark, SF_ORACLE, "documents").filter(
+        F.col("source") != DX.BATCH_SOURCE
+    )
+    inflight = sorted(
+        tuple(r)
+        for r in history_simhash_index(hist, max_hamming=3, eq_blocks=2).collect()
+    )
+    idx = DX.persist_simhash_index(
+        spark, SF_ORACLE, max_hamming=3, eq_blocks=2, path=str(tmp_path / "sidx")
+    )
+    try:
+        assert DX.simhash_index_for(SF_ORACLE, max_hamming=3, eq_blocks=2) is idx
+        assert DX.simhash_index_for(SF_ORACLE, max_hamming=2, eq_blocks=2) is None
+        served = sorted(
+            tuple(r) for r in DX.load_simhash_index(spark, idx).collect()
+        )
+    finally:
+        DX.clear_dedup_indexes()
+    assert served == inflight and inflight
+
+
+def test_simhash_stream_from_persisted_index(spark, tmp_path):
+    """End-to-end: the streaming near-dup twin fed by the PERSISTED
+    posting index must produce the same matches as when fed the
+    inflight one (the served-static-side contract)."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.streaming.dedup import (
+        history_simhash_index,
+        stream_simhash_near_dup,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    hist = docs.filter(F.col("source") != DX.BATCH_SOURCE)
+    new = docs.filter(F.col("source") == DX.BATCH_SOURCE)
+
+    def matches(static_index):
+        out = stream_simhash_near_dup(
+            new, static_index, max_hamming=3, eq_blocks=2
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    inflight = matches(history_simhash_index(hist, max_hamming=3, eq_blocks=2))
+    idx = DX.persist_simhash_index(
+        spark, SF_ORACLE, max_hamming=3, eq_blocks=2, path=str(tmp_path / "sidx")
+    )
+    try:
+        served = matches(DX.load_simhash_index(spark, idx))
+    finally:
+        DX.clear_dedup_indexes()
+    assert served == inflight
+
+
+def test_gram_builders_row_and_array_forms_agree(spark):
+    """The codegen row form (gram_rows_hashed — batch/static sides) and
+    the stateless array form (doc_gram_index — stream sides) must
+    produce the IDENTICAL (doc, gram-hash) set and sizes: they are two
+    physical plans for one definition."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.operators.dedup import doc_gram_index, gram_rows_hashed
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    arr = sorted(
+        tuple(r)
+        for r in doc_gram_index(docs, n=3, id_out="_id", sz_out="_sz").collect()
+    )
+    rows_g = gram_rows_hashed(docs, n=3, id_out="_id")
+    from pyspark.sql import functions as F
+
+    sz = rows_g.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    row = sorted(
+        tuple(r)
+        for r in rows_g.join(sz, "_id").select("_id", "_sz", "_g").collect()
+    )
+    assert arr == row and arr
+
+
+def test_span_gram_forms_agree(spark):
+    """span_gram_rows (codegen row form) must equal the HOF
+    posexplode(span_gram_hashes_from_toks(...)) form row-for-row."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.operators.dedup import (
+        span_gram_hashes_from_toks,
+        span_gram_rows,
+        span_tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    row = sorted(tuple(r) for r in span_gram_rows(docs, k=5).collect())
+    hof = sorted(
+        tuple(r)
+        for r in docs.select(
+            "doc_id", span_tokens_col(F.col("text")).alias("_toks")
+        )
+        .select(
+            "doc_id",
+            F.posexplode(span_gram_hashes_from_toks(F.col("_toks"), 5)).alias(
+                "p0", "g"
+            ),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+        .collect()
+    )
+    assert row == hof and row
