@@ -15,7 +15,13 @@ from tests.conftest import SF_ORACLE
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return read_table(spark, SF_ORACLE, "documents").cache()
+    # unpersist at module teardown: Spark's cache manager matches by
+    # logical plan, so a leaked cache would silently serve every later
+    # read_table("documents") in the session-scoped SparkSession and
+    # hide parquet pushed-filter strings from other modules' plan tests
+    df = read_table(spark, SF_ORACLE, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 def test_minhash_pairs_are_ordered_and_above_threshold(spark, docs):

@@ -45,6 +45,9 @@ def test_gram_index_served_plan_skips_history_scan(spark, gram_index):
     table only for the BATCH side (source = src19 scans: the gram side
     and the emit-every-doc id side) — the history grams come from the
     index parquet, so no history-predicate scan survives."""
+    # a cached `documents` relation from another module would replace
+    # the parquet scans with InMemoryTableScan and hide PushedFilters
+    spark.catalog.clearCache()
     df = all_specs()["q_incremental_dedup_new_batch"].builder(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the persisted index is in the plan as TWO column-pruned scans —

@@ -16,7 +16,9 @@ from tests.conftest import SF_ORACLE
 @pytest.fixture(scope="module")
 def mm_table(spark):
     docs = read_table(spark, SF_ORACLE, "documents")
-    return MM.make_multimodal_table(docs).cache()
+    df = MM.make_multimodal_table(docs).cache()
+    yield df
+    df.unpersist()
 
 
 def test_features_match_local_recompute(spark, mm_table):

@@ -17,7 +17,9 @@ from tests.conftest import SF_ORACLE
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return read_table(spark, SF_ORACLE, "embeddings").cache()
+    df = read_table(spark, SF_ORACLE, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def _local_topk(rows, q, k):

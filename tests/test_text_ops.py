@@ -16,7 +16,9 @@ SPECS = all_specs()
 
 @pytest.fixture(scope="module")
 def chunks(spark):
-    return SPECS["q_chunk_documents_overlap"].builder(spark, SF_ORACLE).cache()
+    df = SPECS["q_chunk_documents_overlap"].builder(spark, SF_ORACLE).cache()
+    yield df
+    df.unpersist()
 
 
 def test_chunks_cover_every_token(spark, chunks):
