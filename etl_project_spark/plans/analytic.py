@@ -1034,3 +1034,64 @@ def q_domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= 15)
     )
+
+
+@register(
+    "q_deterministic_shard_assignment",
+    oracle="""
+WITH sharded AS (
+  SELECT CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16
+           AS shard,
+         n_chars, source
+  FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM documents)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       ROUND(COUNT(*) * 16.0 / (SELECT n FROM tot), 4) AS load_ratio
+FROM sharded
+GROUP BY shard
+""",
+    tags=("curation", "sharding", "deterministic"),
+)
+def q_deterministic_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit: route
+    every document to one of 16 shards by the engine-portable md5 hash
+    of its id, then profile each shard (doc count, payload mass, source
+    diversity, load vs perfect balance). This is the step that turns a
+    curated corpus into the fixed shard files a training run consumes —
+    reproducible across engines and reruns, no RNG.
+
+    Scale shape: the shard id is a map-side projection; one hash
+    aggregate with EXACTLY n_shards groups (no skew by construction —
+    md5 is uniform, so load_ratio ~= 1.0 at any corpus size; a ratio
+    drifting from 1 IS the audit signal). The global doc count arrives
+    as a 1-row broadcast scalar. At 100 TB the same plan writes the
+    shards with df.write.partitionBy(shard) — the audit and the layout
+    share the projection."""
+    tune_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 16
+    ).alias("shard")
+    tot = d.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        d.select(shard, "n_chars", "source")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "total_chars",
+            "n_sources",
+            F.round(F.col("n_docs") * 16.0 / F.col("_n"), 4).alias("load_ratio"),
+        )
+    )

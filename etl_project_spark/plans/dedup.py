@@ -1141,3 +1141,90 @@ def q_repeated_span_positions_twin(spark: SparkSession, sf_dir: str) -> DataFram
     idx = SD.corpus_dup_gram_index(d, k=_SPAN_K)
     pos = SD.stream_repeated_span_positions(d, idx, k=_SPAN_K)
     return pos.select("doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+@register(
+    "q_canonicalized_dedup_groups",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         '  ' || UPPER(text) || ' !!'
+  FROM documents
+  WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 = 7
+), norm AS (
+  SELECT doc_id,
+         MD5(TRIM(regexp_replace(regexp_replace(LOWER(text),
+             '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS nkey,
+         MD5(text) AS rkey
+  FROM corpus
+)
+SELECT MIN(doc_id) AS canonical_id,
+       COUNT(*) AS group_size,
+       CAST(COUNT(DISTINCT rkey) AS BIGINT) AS n_variants
+FROM norm
+GROUP BY nkey
+HAVING COUNT(*) >= 2
+""",
+    tags=("dedup", "canonicalize", "exact"),
+)
+def q_canonicalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER text canonicalization: lowercase, strip
+    punctuation to spaces, collapse whitespace — the normalization most
+    crawls run before exact dedup, so 'Hello,  World!' and 'hello
+    world' land in one group. Emits every group that actually merged
+    (size >= 2) with its canonical id (min doc_id) and how many
+    distinct RAW payloads it collapsed.
+
+    The driver corpus is synthetic lowercase prose, so on the raw table
+    canonicalization can never merge more than exact dedup does (zero
+    groups at sf0.01 — a vacuous hash match). Like the planted
+    near-duplicate in q_knn_lsh_topk, the query therefore derives a
+    noisy variant IN-PLAN for a deterministic md5 1% slice of docs
+    (uppercased, whitespace-padded, punctuation appended, id offset
+    +10M) and dedups the union: every planted variant must land in its
+    source doc's group through case folding + punct strip + collapse,
+    at every scale factor, in both engines.
+
+    Scale shape: both the group key and the raw-variant marker are md5
+    digests computed map-side, so the single shuffle moves 2 x 32-char
+    digests + one id per document — never the payload. At 100 TB the
+    text column stays in the scan stage; the aggregate state per group
+    is constant-size. Mirrors the reference's distinct-dedup step
+    (flows/etl.py:304) with the canonicalization stage crawls put in
+    front of it."""
+    tune_session(spark)
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    planted = d.filter(bucket == 7).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    keyed = corpus.select(
+        "doc_id",
+        F.md5(norm).alias("nkey"),
+        F.md5(F.col("text")).alias("rkey"),
+    )
+    return (
+        keyed.groupBy("nkey")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("rkey").cast("long").alias("n_variants"),
+        )
+        .filter(F.col("group_size") >= 2)
+        .select("canonical_id", "group_size", "n_variants")
+    )

@@ -525,3 +525,73 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_u") < F.floor(F.col("_w") * 1000000).cast("bigint"))
         .select("doc_id", "source", F.round(F.col("_w"), 4).alias("q_weight"))
     )
+
+
+@register(
+    "q_per_domain_quantile_filter",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         1.0 * n_chars / len(regexp_split_to_array({_NORM}, ' ')) AS score,
+         PERCENT_RANK() OVER (
+           PARTITION BY source
+           ORDER BY 1.0 * n_chars
+                    / len(regexp_split_to_array({_NORM}, ' ')), doc_id
+         ) AS pr
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS survivors,
+       SUM(n_chars) AS surviving_chars,
+       ROUND(MIN(score), 6) AS min_score
+FROM scored
+WHERE pr >= 0.6
+GROUP BY source
+""",
+    tags=("quality", "curation", "quantile"),
+)
+def q_per_domain_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain adaptive quality threshold: score every document
+    (chars per token — a density proxy standing in for any per-doc
+    quality model) and keep only those at or above their OWN source's
+    0.6 quantile, then profile the survivors per source. Fixed global
+    cutoffs over-prune clean domains and under-prune noisy ones; the
+    per-domain quantile is how curation pipelines (CCNet's
+    perplexity buckets) equalize retention across domains.
+
+    Determinism: the quantile is rank-based (percent_rank over
+    (score, doc_id)), not value-interpolated — percentile_cont
+    interpolation order is engine-specific, ranks are not. Ties at the
+    boundary resolve by doc_id identically in both engines.
+
+    Scale shape: one shuffle on source for the window (source
+    cardinality is small => few fat partitions; at real scale the
+    window would run per (source, salt) with a two-pass rank merge or
+    an approx-quantile broadcast cutoff — noted, not needed at bench
+    sizes), then the same partitioning serves the aggregate with no
+    second shuffle. The payload never moves: the window carries
+    (doc_id, source, n_chars, score) only."""
+    tune_session(spark)
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
+    scored = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.lit(1.0) * F.col("n_chars") / n_tokens).alias("score"),
+    )
+    pr = F.percent_rank().over(
+        W.partitionBy("source").orderBy("score", "doc_id")
+    )
+    return (
+        scored.withColumn("pr", pr)
+        .filter(F.col("pr") >= 0.6)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("survivors"),
+            F.sum("n_chars").alias("surviving_chars"),
+            F.round(F.min("score"), 6).alias("min_score"),
+        )
+    )

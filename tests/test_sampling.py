@@ -50,3 +50,53 @@ def test_approx_distinct_within_5pct_of_exact(spark):
     for k, ex in exact.items():
         assert rows[k].exact_users == ex
         assert rows[k].within_5pct, (k, ex)
+
+
+def test_canonicalized_dedup_merges_every_planted_variant(spark):
+    """Every planted noisy variant (md5 1% slice, id + 10M) must land in
+    a group whose canonical id is its source doc: group_size >= 2 and
+    n_variants >= 2 (case/punct/whitespace noise makes the RAW payloads
+    distinct while the canonical forms collide)."""
+    rows = SPECS["q_canonicalized_dedup_groups"].builder(spark, SF_ORACLE).collect()
+    assert rows
+    docs = read_table(spark, SF_ORACLE, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    planted_srcs = {
+        r.doc_id for r in docs.filter(bucket == 7).select("doc_id").collect()
+    }
+    canon_ids = {r.canonical_id for r in rows}
+    # every planted source doc anchors a merged group
+    assert planted_srcs <= canon_ids
+    for r in rows:
+        assert r.group_size >= 2
+        assert r.n_variants >= 2  # raw payloads differ within a group
+        assert r.canonical_id < 10_000_000  # canonical is never a variant
+
+
+def test_shard_assignment_partitions_corpus_and_balances(spark):
+    out = {r.shard: r for r in SPECS["q_deterministic_shard_assignment"]
+           .builder(spark, SF_ORACLE).collect()}
+    n_docs = read_table(spark, SF_ORACLE, "documents").count()
+    assert set(out) == set(range(16))
+    assert sum(r.n_docs for r in out.values()) == n_docs
+    for r in out.values():
+        # md5 uniformity: no shard more than 2x or under half of fair share
+        assert 0.5 <= r.load_ratio <= 2.0, (r.shard, r.load_ratio)
+
+
+def test_per_domain_quantile_filter_retention_per_source(spark):
+    docs = read_table(spark, SF_ORACLE, "documents")
+    pop = {r.source: r.n for r in docs.groupBy("source")
+           .agg(F.count("*").alias("n")).collect()}
+    out = {r.source: r for r in SPECS["q_per_domain_quantile_filter"]
+           .builder(spark, SF_ORACLE).collect()}
+    # rank-based cutoff: every source retains ~40% (within rank
+    # granularity of its own size), never 0, never everything
+    for src, n in pop.items():
+        kept = out[src].survivors
+        assert 0 < kept < n
+        assert abs(kept / n - 0.4) <= 2.0 / n + 0.02, (src, kept, n)
