@@ -279,8 +279,12 @@ def grouped_probe_topk(
         "score double"
     )
     c_neq, p_neq = neq_cols if neq_cols is not None else (None, None)
-    ccols = [corpus_id, corpus_vec] + ([c_neq] if c_neq else [])
-    pcols = [probe_id, probe_vec] + ([p_neq] if p_neq else [])
+    # dict.fromkeys dedup: neq_cols may legitimately BE the id columns
+    # (self-pair exclusion in a kNN-graph build) — a duplicate name in
+    # the select makes pandas return a 2-column frame for cdf[corpus_id]
+    # and the kernel's argsort indexing falls apart
+    ccols = list(dict.fromkeys([corpus_id, corpus_vec] + ([c_neq] if c_neq else [])))
+    pcols = list(dict.fromkeys([probe_id, probe_vec] + ([p_neq] if p_neq else [])))
 
     spark = corpus.sparkSession
     cells = F.broadcast(

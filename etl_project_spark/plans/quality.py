@@ -595,3 +595,92 @@ def q_per_domain_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("score"), 6).alias("min_score"),
         )
     )
+
+
+@register(
+    "q_hashed_linear_quality_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS t FROM documents
+), feats AS (
+  SELECT doc_id, u.g FROM toks, UNNEST(t) AS u(g)
+  UNION ALL
+  SELECT doc_id, array_to_string(t[p : p + 1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(p)
+  WHERE len(t) >= 2
+), weighted AS (
+  SELECT doc_id,
+         ((CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % 4096)
+           * 2654435761) % 4294967296 AS w
+  FROM feats
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_feats, SUM(w) AS sw FROM weighted GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       ROUND((1.0 * sw / n_feats - 2147483648) / 2147483648, 6) AS margin,
+       2 * sw >= n_feats * 4294967296 AS keep
+FROM agg
+""",
+    tags=("quality", "classifier", "hashing-trick"),
+)
+def q_hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear text classifier: word unigram +
+    bigram features, hashing-trick into 4096 buckets, a fixed
+    per-bucket weight, per-document mean margin + keep decision. This
+    is the quality-filter shape (CCNet / fastText lid+quality) run over
+    a whole corpus — the model here is a deterministic stand-in (bucket
+    weights derived from the bucket id by a Knuth multiplicative hash,
+    uniform in [0, 2^32)), so both engines hold bit-identical weights
+    without shipping a model artifact.
+
+    Determinism across engines: the per-document weight SUM is exact
+    BIGINT arithmetic — no float accumulation order to disagree on —
+    and becomes a double only in the final margin division. The keep
+    decision is a pure integer compare (2*sum >= n*2^32), immune to
+    rounding at the boundary.
+
+    Scale shape: features never materialize a vocabulary — the hash IS
+    the feature id (the point of the hashing trick at 100 TB: no
+    dictionary build, no OOV). One explode + one hash aggregate on
+    doc_id; everything before the aggregate is a map-side projection
+    in whole-stage codegen (explode of sequence + slice — the row form;
+    array HOFs are interpreted, measured 10x slower, see
+    operators/dedup.py::gram_rows_hashed)."""
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    base = d.select("doc_id", toks.alias("_toks"))
+    uni = base.select("doc_id", F.explode("_toks").alias("_g"))
+    bi = (
+        base.filter(F.size("_toks") >= 2)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_p"),
+        )
+        .select(
+            "doc_id", F.concat_ws(" ", F.slice("_toks", F.col("_p"), 2)).alias("_g")
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("bigint") % 4096
+    )
+    w = (bucket * F.lit(2654435761).cast("bigint")) % F.lit(4294967296).cast("bigint")
+    agg = (
+        uni.unionByName(bi)
+        .select("doc_id", w.alias("_w"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_w").alias("_sw"))
+    )
+    return agg.select(
+        "doc_id",
+        "n_feats",
+        F.round(
+            (F.lit(1.0) * F.col("_sw") / F.col("n_feats") - F.lit(2147483648.0))
+            / F.lit(2147483648.0),
+            6,
+        ).alias("margin"),
+        (F.lit(2) * F.col("_sw") >= F.col("n_feats") * F.lit(4294967296).cast("bigint")).alias(
+            "keep"
+        ),
+    )

@@ -1374,3 +1374,146 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+_MD5_VEC = "CAST(('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "q_knn_graph_expand_topk",
+    oracle=f"""
+WITH nodes AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE {_MD5_VEC} % 8 = 0
+), edges AS (
+  SELECT src_id, dst_id FROM (
+    SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(a.emb, b.emb), 4) DESC,
+                      b.vec_id) AS r
+    FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id
+  ) WHERE r <= 8
+), seed AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(list_cosine_similarity(emb,
+                        CAST({_QUERY_SQL_ARRAY} AS DOUBLE[])), 4) DESC,
+                      vec_id) AS r
+    FROM nodes WHERE {_MD5_VEC} % 64 = 0
+  ) WHERE r = 1
+), hops AS (
+  SELECT vec_id, CAST(0 AS BIGINT) AS hop FROM seed
+  UNION ALL
+  SELECT e.dst_id, 1 FROM edges e JOIN seed s ON e.src_id = s.vec_id
+  UNION ALL
+  SELECT e2.dst_id, 2
+  FROM edges e JOIN seed s ON e.src_id = s.vec_id
+  JOIN edges e2 ON e2.src_id = e.dst_id
+), cand AS (
+  SELECT vec_id, MIN(hop) AS hop FROM hops GROUP BY vec_id
+)
+SELECT vec_id, score, hop, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT c.vec_id,
+         ROUND(list_cosine_similarity(n.emb,
+                  CAST({_QUERY_SQL_ARRAY} AS DOUBLE[])), 4) AS score,
+         c.hop,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_cosine_similarity(n.emb,
+                      CAST({_QUERY_SQL_ARRAY} AS DOUBLE[])), 4) DESC,
+                    c.vec_id) AS rank
+  FROM cand c JOIN nodes n ON n.vec_id = c.vec_id
+) WHERE rank <= 10
+""",
+    tags=("similarity", "ann", "graph"),
+)
+def q_knn_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN serving (NSW-style, one seed, two-hop beam):
+    build a k=8 exact kNN graph over a deterministic md5 1/8 sample of
+    the corpus, pick the best entry point from a sparser 1/64 entry
+    set, expand its out-edges two hops, exact-rerank the visited set
+    against the query, return the top-10 with each row's hop distance.
+
+    The serving shape behind HNSW/NSW deployments, recomposed from
+    relational pieces: graph = per-src top-k (the cogroup-einsum
+    kernel with a self-pair mask), expansion = two broadcast-joins
+    whose left side is <= k^2 rows, rerank = the brute_force_topk
+    kernel over <= 1+k+k^2 candidates. The expensive stage is the
+    OFFLINE graph build (exact n^2 over the sampled nodes here; at
+    100 TB the graph would come from the IVF/LSH candidate generators
+    and persist through the layout registry like sources/ann_index.py
+    persists PQ codes) — the ONLINE expand+rerank path touches at most
+    1 + 8 + 64 vectors regardless of corpus size, which is the point:
+    query cost is bounded by graph degree, not corpus mass.
+
+    Oracle-visible end to end: sampling is the portable md5 device, the
+    graph ranks round-4 cosine with dst-id tie-break, and hop distances
+    ride through a MIN() per candidate — any recall or tie drift flips
+    the hash."""
+    from etl_project_spark.operators.similarity import grouped_probe_topk
+    from etl_project_spark.session import scoped_persist
+
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    nodes = e.filter(h % 8 == 0).select("vec_id", "embedding")
+
+    edges = scoped_persist(
+        grouped_probe_topk(
+            nodes.select(F.col("vec_id").alias("dst_id"), "embedding"),
+            nodes.select(
+                F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_emb")
+            ),
+            corpus_id="dst_id",
+            probe_id="src_id",
+            corpus_vec="embedding",
+            probe_vec="src_emb",
+            k=8,
+            neq_cols=("dst_id", "src_id"),
+        ).select("src_id", "dst_id")
+    )
+
+    entries = nodes.filter(h % 64 == 0)
+    seed = (
+        SIM.brute_force_topk(entries, "embedding", QUERY_VEC, k=1, id_col="vec_id")
+        .select(F.col("vec_id").alias("seed_id"))
+    )
+    hop0 = seed.select(
+        F.col("seed_id").alias("vec_id"), F.lit(0).cast("long").alias("hop")
+    )
+    hop1 = (
+        edges.join(F.broadcast(seed), edges.src_id == seed.seed_id)
+        .select(F.col("dst_id").alias("vec_id"), F.lit(1).cast("long").alias("hop"))
+    )
+    mid = hop1.select(F.col("vec_id").alias("mid_id"))
+    hop2 = (
+        edges.join(F.broadcast(mid), edges.src_id == F.col("mid_id"))
+        .select(F.col("dst_id").alias("vec_id"), F.lit(2).cast("long").alias("hop"))
+    )
+    cand = (
+        hop0.unionByName(hop1)
+        .unionByName(hop2)
+        .groupBy("vec_id")
+        .agg(F.min("hop").alias("hop"))
+    )
+    scored = cand.join(nodes, "vec_id").select(
+        "vec_id",
+        F.round(SIM.cosine_score_udf(QUERY_VEC)(F.col("embedding")), 4).alias("score"),
+        "hop",
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+                    F.col("score").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .select("vec_id", "score", "hop", "rank")
+    )

@@ -673,3 +673,31 @@ def test_kmeans_refine_snap_is_half_up_and_skips_carryover(spark):
     assert refined[0] == [1.0, 3e-6]
     # cell 1 got no members: carried over bit-identically, no snap
     assert refined[1] == carry
+
+
+def test_knn_graph_expand_candidates_are_reachable_nodes(spark):
+    """Every returned row must be a sampled graph node within two hops
+    of the seed: hop in {0,1,2}, exactly one hop-0 row when the seed
+    survives the rerank, ranks contiguous from 1, scores non-increasing
+    with ascending rank."""
+    from etl_project_spark.plans.registry import all_specs
+
+    rows = sorted(
+        all_specs()["q_knn_graph_expand_topk"].builder(spark, SF_ORACLE).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows and [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.score >= b.score
+    node_filter = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 8 == 0
+    )
+    node_ids = {
+        r.vec_id
+        for r in read_table(spark, SF_ORACLE, "embeddings")
+        .filter(node_filter).select("vec_id").collect()
+    }
+    for r in rows:
+        assert r.vec_id in node_ids
+        assert r.hop in (0, 1, 2)

@@ -180,3 +180,29 @@ def test_bpe_encode_words_cascade(spark):
     # canonical cascade example, direct kernel semantics
     assert ref("standing") == ["st", "and", "ing"]
     assert ref("the") == ["the"]
+
+
+def test_hashed_linear_score_margin_bounds_and_feat_count(spark):
+    """n_feats must be exactly 2*tokens - 1 (unigrams + bigrams), the
+    margin must sit in [-1, 1), and keep must equal margin >= 0 —
+    including at the integer-compare boundary."""
+    from pyspark.sql import functions as F
+    from etl_project_spark.catalog import read_table
+
+    out = {r.doc_id: r for r in SPECS["q_hashed_linear_quality_score"]
+           .builder(spark, SF_ORACLE).collect()}
+    docs = read_table(spark, SF_ORACLE, "documents")
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+            ).alias("n"),
+        ).collect()
+    }
+    assert set(out) == set(n_toks)
+    for doc_id, r in out.items():
+        assert r.n_feats == 2 * n_toks[doc_id] - 1, doc_id
+        assert -1.0 <= r.margin < 1.0
+        assert r.keep == (r.margin >= 0.0)
