@@ -98,6 +98,13 @@ BENCH_QUERIES = (
     # incremental dedup on the shared gram-index builder
     "q_spatial_radius_cell_profile",
     "q_incremental_dedup_new_batch",
+    # round-13 additions (append-only): curation trio + hashed linear
+    # classifier + graph-based ANN serving
+    "q_canonicalized_dedup_groups",
+    "q_deterministic_shard_assignment",
+    "q_per_domain_quantile_filter",
+    "q_hashed_linear_quality_score",
+    "q_knn_graph_expand_topk",
 )
 
 
@@ -216,8 +223,19 @@ def main() -> None:
         "sf": detail["sf"],
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # belt-and-braces: never exceed the tail window
-        compact.pop("queries")
+    # Belt-and-braces: never exceed the driver's 2000-char tail window.
+    # Degrade gracefully — first shed precision, then drop the CHEAPEST
+    # queries one at a time (the expensive tail is what gets compared
+    # against BASELINE.md) with an explicit omission count, instead of
+    # discarding the whole per-query dict (which the driver contract
+    # requires).
+    if len(line) > 1900:
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and compact["queries"]:
+        cheapest = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][cheapest]
+        compact["queries_omitted"] = compact.get("queries_omitted", 0) + 1
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()

@@ -1382,9 +1382,11 @@ _MD5_VEC = "CAST(('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT
 @register(
     "q_knn_graph_expand_topk",
     oracle=f"""
-WITH nodes AS (
+WITH m AS (
+  SELECT GREATEST(8, COUNT(*) // 2500) AS modulus FROM embeddings
+), nodes AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-  WHERE {_MD5_VEC} % 8 = 0
+  WHERE {_MD5_VEC} % (SELECT modulus FROM m) = 0
 ), edges AS (
   SELECT src_id, dst_id FROM (
     SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
@@ -1401,7 +1403,7 @@ WITH nodes AS (
              ORDER BY ROUND(list_cosine_similarity(emb,
                         CAST({_QUERY_SQL_ARRAY} AS DOUBLE[])), 4) DESC,
                       vec_id) AS r
-    FROM nodes WHERE {_MD5_VEC} % 64 = 0
+    FROM nodes WHERE {_MD5_VEC} % ((SELECT modulus FROM m) * 8) = 0
   ) WHERE r = 1
 ), hops AS (
   SELECT vec_id, CAST(0 AS BIGINT) AS hop FROM seed
@@ -1459,7 +1461,26 @@ def q_knn_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    nodes = e.filter(h % 8 == 0).select("vec_id", "embedding")
+    # Scale-adaptive node sampling: the exact graph build is O(nodes^2),
+    # so a fixed 1/8 fraction would square with the corpus (62.5G pair
+    # scores at sf10). The modulus grows with the corpus to hold the
+    # node sample near 2500 (identical to the fixed /8 at the driver's
+    # SFs, bounded beyond) — exact integer arithmetic both engines
+    # replay, delivered as a 1-row broadcast so plan construction stays
+    # lazy (no eager count, the knn_join discipline).
+    modulus = F.broadcast(
+        e.select(
+            F.greatest(
+                F.lit(8).cast("bigint"),
+                F.floor(F.count(F.lit(1)) / F.lit(2500)).cast("bigint"),
+            ).alias("_mod")
+        )
+    )
+    nodes = (
+        e.crossJoin(modulus)
+        .filter(h % F.col("_mod") == 0)
+        .select("vec_id", "embedding", "_mod")
+    )
 
     edges = scoped_persist(
         grouped_probe_topk(
@@ -1476,7 +1497,7 @@ def q_knn_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("src_id", "dst_id")
     )
 
-    entries = nodes.filter(h % 64 == 0)
+    entries = nodes.filter(h % (F.col("_mod") * 8) == 0)
     seed = (
         SIM.brute_force_topk(entries, "embedding", QUERY_VEC, k=1, id_col="vec_id")
         .select(F.col("vec_id").alias("seed_id"))
