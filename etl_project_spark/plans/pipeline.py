@@ -374,6 +374,7 @@ def q_curation_pipeline_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate has exactly 8 groups. The whole plan is a DAG with four
     shuffles, no collect, no iteration."""
     from etl_project_spark.plans.quality import hashed_margin_agg
+    from etl_project_spark.session import scoped_persist
     from pyspark.sql import Window as W
 
     tune_session(spark)
@@ -388,7 +389,13 @@ def q_curation_pipeline_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rn = F.row_number().over(W.partitionBy("nkey").orderBy("doc_id"))
-    survivors = (
+    # persist: three consumers (the classifier's unigram and bigram
+    # branches plus the scoring projection) would otherwise each
+    # recompute the dedup window — measured 62.5 s -> the sum of the
+    # stage costs at sf10 once the stage boundary materializes. At
+    # 100 TB this boundary is a checkpoint/parquet write between
+    # pipeline stages; MEMORY_AND_DISK is its single-job stand-in.
+    survivors = scoped_persist(
         d.select("doc_id", "source", "n_chars", "text", nkey.alias("nkey"))
         .withColumn("rn", rn)
         .filter(F.col("rn") == 1)
