@@ -123,3 +123,20 @@ def test_pagerank_hub_structure_and_mass(spark):
     assert avg["supplier"] > 5 * avg["customer"]  # bipartite hub structure
     total = sum(r.rank_units for r in rows)
     assert total <= len(rows) * 1_000_000  # floor-div mass never inflates
+
+
+def test_curation_pipeline_plan_reuses_persisted_survivors(spark):
+    """The dedup stage boundary must be persisted: the executed plan
+    shows the survivors InMemoryRelation consumed by multiple
+    InMemoryTableScans (classifier branches + scoring projection)
+    instead of re-running the dedup window per consumer."""
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.session import release_persists
+    from tests.conftest import SF_ORACLE
+
+    df = all_specs()["q_curation_pipeline_sharded"].builder(spark, SF_ORACLE)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    finally:
+        release_persists()
