@@ -70,17 +70,22 @@ def track_for_release(df):
     return df
 
 
-def release_persists() -> int:
-    """Unpersist every tracked cache (non-blocking); returns the count.
+def release_persists(blocking: bool = False) -> int:
+    """Unpersist every tracked cache; returns the count.
 
     Safe to call at any point after the caller's action has
-    materialized — idempotent, never raises.
+    materialized — idempotent, never raises. Default is non-blocking
+    (cheapest for one-shot callers); pass ``blocking=True`` between
+    back-to-back heavy queries in one session — a non-blocking release
+    frees the blocks asynchronously, so the NEXT query's shuffle can
+    transiently double-reside with the previous query's cache (the
+    round-13 sf1 sweep OOM'd exactly this way at 8g heap).
     """
     n = 0
     while _SCOPED_PERSISTS:
         df = _SCOPED_PERSISTS.pop()
         try:
-            df.unpersist(blocking=False)
+            df.unpersist(blocking=blocking)
             n += 1
         except Exception:
             pass

@@ -28,7 +28,14 @@ def main() -> int:
     from etl_project_spark.plans.registry import all_specs
     from etl_project_spark.session import get_spark, release_persists
 
-    spark = get_spark("sweep")
+    # 20g heap unless the env overrides: a full-registry sweep at sf1+
+    # stacks one query's lingering cache blocks against the next
+    # query's shuffle; the default 8g OOM'd in round 13 (the blocking
+    # release below is the fix, the headroom is the belt)
+    spark = get_spark(
+        "sweep",
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"),
+    )
     specs = all_specs()
     if only is not None:
         unknown = only - set(specs)
@@ -54,8 +61,11 @@ def main() -> int:
             print(f"{name:45s} FAIL {type(e).__name__}: {str(e)[:140]}")
         finally:
             # scoped_persist caches (LPA edges, minhash posting lists,
-            # ...) must not accumulate across a 240-query sweep
-            release_persists()
+            # ...) must not accumulate across a 290-query sweep.
+            # BLOCKING: with async release the next heavy query's
+            # shuffle transiently double-resides with this query's
+            # cache — the r13 sf1 sweep OOM'd an 8g heap that way.
+            release_persists(blocking=True)
     for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
         if t > slow:
             print(f"{name:45s} {t:6.2f}s")
