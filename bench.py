@@ -171,7 +171,10 @@ def main() -> None:
             # storage blocks across queries — the round-5 verdict's
             # CacheManager-warning finding — and each query should be
             # timed from a clean cache, same as its cold run.
-            release_persists()
+            # BLOCKING: async eviction bleeds into the next query's
+            # timed window and can double-reside with its shuffle —
+            # the r13 sweep OOM mechanism (tools/sweep.py).
+            release_persists(blocking=True)
         return timings
 
     timings = run_all()

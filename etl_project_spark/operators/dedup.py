@@ -39,6 +39,21 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def canonical_nkey(text: Column) -> Column:
+    """md5 digest of the crawl canonicalization (lowercase, punctuation
+    to spaces, collapse whitespace, trim) — THE dedup group key, shared
+    by `q_canonicalized_dedup_groups` and the composed curation
+    pipeline so the two plans cannot drift apart (a change here changes
+    both, and both oracles must move with it)."""
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " "), r"\s+", " "
+            )
+        )
+    )
+
+
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct character k-grams of the normalized text (array<string>).
 

@@ -1206,16 +1206,9 @@ def q_canonicalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(planted)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            r"\s+",
-            " ",
-        )
-    )
     keyed = corpus.select(
         "doc_id",
-        F.md5(norm).alias("nkey"),
+        DD.canonical_nkey(F.col("text")).alias("nkey"),
         F.md5(F.col("text")).alias("rkey"),
     )
     return (

@@ -379,15 +379,9 @@ def q_curation_pipeline_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     d = read_table(spark, sf_dir, "documents")
-    nkey = F.md5(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-                r"\s+",
-                " ",
-            )
-        )
-    )
+    from etl_project_spark.operators.dedup import canonical_nkey
+
+    nkey = canonical_nkey(F.col("text"))
     rn = F.row_number().over(W.partitionBy("nkey").orderBy("doc_id"))
     # persist: three consumers (the classifier's unigram and bigram
     # branches plus the scoring projection) would otherwise each
@@ -401,16 +395,15 @@ def q_curation_pipeline_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_chars", "text")
     )
-    n_tokens = F.size(
-        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-    )
+    from etl_project_spark.plans.quality import chars_per_token_score
+
     agg = hashed_margin_agg(survivors)
     scored = (
         survivors.select(
             "doc_id",
             "source",
             "n_chars",
-            (F.lit(1.0) * F.col("n_chars") / n_tokens).alias("score"),
+            chars_per_token_score(F.col("n_chars"), F.col("text")).alias("score"),
         )
         .join(agg, "doc_id")
         .filter(

@@ -10,7 +10,7 @@ free by hashing; nothing is collected.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import read_table
@@ -20,6 +20,15 @@ from etl_project_spark.session import tune_session
 #: Word n-grams, whitespace-normalized — the same normalization the
 #: dedup family uses (collapse \s+ runs, trim, lowercase).
 _NORM = "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+
+def chars_per_token_score(n_chars: Column, text: Column) -> Column:
+    """Chars-per-token density score — THE per-doc quality proxy shared
+    by `q_per_domain_quantile_filter` and the composed curation
+    pipeline (a formula change here moves both plans and both oracles
+    together instead of letting them drift)."""
+    n_tokens = F.size(F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " "))
+    return F.lit(1.0) * n_chars / n_tokens
 
 
 @register(
@@ -575,12 +584,11 @@ def q_per_domain_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = read_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
     scored = d.select(
         "doc_id",
         "source",
         "n_chars",
-        (F.lit(1.0) * F.col("n_chars") / n_tokens).alias("score"),
+        chars_per_token_score(F.col("n_chars"), F.col("text")).alias("score"),
     )
     pr = F.percent_rank().over(
         W.partitionBy("source").orderBy("score", "doc_id")

@@ -36,6 +36,7 @@ bucketed variant of the same pattern).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,31 +49,55 @@ BATCH_SOURCE = "src19"
 
 
 class GramIndex:
-    """Handle for one persisted gram inverted index."""
+    """Handle for one persisted gram inverted index.
 
-    __slots__ = ("path", "n")
+    ``owns_path``: True when the module allocated the temp directory
+    itself (caller passed ``path=None``) — such directories are deleted
+    when the registry entry is replaced or cleared, so repeat rebuilds
+    in a long-lived session cannot accumulate orphaned parquet dirs.
+    Caller-supplied paths are never deleted (the caller owns them).
+    """
 
-    def __init__(self, path: str, n: int) -> None:
+    __slots__ = ("path", "n", "owns_path")
+
+    def __init__(self, path: str, n: int, owns_path: bool = False) -> None:
         self.path = path
         self.n = n
+        self.owns_path = owns_path
 
 
 class SimHashIndex:
-    """Handle for one persisted SimHash posting index."""
+    """Handle for one persisted SimHash posting index (same
+    ``owns_path`` cleanup contract as :class:`GramIndex`)."""
 
-    __slots__ = ("path", "max_hamming", "eq_blocks")
+    __slots__ = ("path", "max_hamming", "eq_blocks", "owns_path")
 
-    def __init__(self, path: str, max_hamming: int, eq_blocks: int) -> None:
+    def __init__(
+        self,
+        path: str,
+        max_hamming: int,
+        eq_blocks: int,
+        owns_path: bool = False,
+    ) -> None:
         self.path = path
         self.max_hamming = max_hamming
         self.eq_blocks = eq_blocks
+        self.owns_path = owns_path
 
 
 _GRAM: dict[str, GramIndex] = {}
 _SIMHASH: dict[str, SimHashIndex] = {}
 
 
+def _drop(idx) -> None:
+    """Delete a module-owned index directory (no-op for caller paths)."""
+    if idx is not None and idx.owns_path:
+        shutil.rmtree(os.path.dirname(idx.path), ignore_errors=True)
+
+
 def clear_dedup_indexes() -> None:
+    for idx in (*_GRAM.values(), *_SIMHASH.values()):
+        _drop(idx)
     _GRAM.clear()
     _SIMHASH.clear()
 
@@ -95,14 +120,17 @@ def persist_gram_index(
     source), write it to parquet, and register it for ``sf_dir``."""
     from etl_project_spark.streaming.dedup import history_gram_index
 
+    owns = path is None
     if path is None:
         path = tempfile.mkdtemp(prefix="gram_index_")
     target = os.path.join(path, f"grams_n{n}")
     history_gram_index(_history_docs(spark, sf_dir), n=n).write.mode(
         "overwrite"
     ).parquet(target)
-    idx = GramIndex(target, n)
-    _GRAM[os.path.abspath(sf_dir)] = idx
+    idx = GramIndex(target, n, owns_path=owns)
+    key = os.path.abspath(sf_dir)
+    _drop(_GRAM.get(key))  # rebuild: reap the replaced module-owned dir
+    _GRAM[key] = idx
     return idx
 
 
@@ -130,6 +158,7 @@ def persist_simhash_index(
     to parquet, and register it for ``sf_dir``."""
     from etl_project_spark.streaming.dedup import history_simhash_index
 
+    owns = path is None
     if path is None:
         path = tempfile.mkdtemp(prefix="simhash_index_")
     target = os.path.join(path, f"postings_h{max_hamming}b{eq_blocks}")
@@ -138,8 +167,10 @@ def persist_simhash_index(
         max_hamming=max_hamming,
         eq_blocks=eq_blocks,
     ).write.mode("overwrite").parquet(target)
-    idx = SimHashIndex(target, max_hamming, eq_blocks)
-    _SIMHASH[os.path.abspath(sf_dir)] = idx
+    idx = SimHashIndex(target, max_hamming, eq_blocks, owns_path=owns)
+    key = os.path.abspath(sf_dir)
+    _drop(_SIMHASH.get(key))  # rebuild: reap the replaced module-owned dir
+    _SIMHASH[key] = idx
     return idx
 
 

@@ -191,3 +191,25 @@ def test_span_gram_forms_agree(spark):
         .collect()
     )
     assert row == hof and row
+
+
+def test_module_owned_index_dirs_are_reaped(spark, tmp_path):
+    """path=None allocates a temp dir the MODULE owns: rebuilding for
+    the same corpus reaps the replaced directory, and clear deletes the
+    last one — a long-lived session cannot accumulate orphans.
+    Caller-supplied paths are never deleted."""
+    import os
+
+    a = DX.persist_gram_index(spark, SF_ORACLE)  # module-owned
+    dir_a = os.path.dirname(a.path)
+    assert os.path.isdir(dir_a)
+    b = DX.persist_gram_index(spark, SF_ORACLE)  # rebuild, same corpus
+    assert not os.path.isdir(dir_a)              # replaced dir reaped
+    dir_b = os.path.dirname(b.path)
+    DX.clear_dedup_indexes()
+    assert not os.path.isdir(dir_b)              # cleared dir reaped
+
+    mine = str(tmp_path / "caller_owned")
+    c = DX.persist_gram_index(spark, SF_ORACLE, path=mine)
+    DX.clear_dedup_indexes()
+    assert os.path.isdir(os.path.dirname(c.path))  # caller path kept
