@@ -66,6 +66,17 @@ def main() -> int:
             # shuffle transiently double-resides with this query's
             # cache — the r13 sf1 sweep OOM'd an 8g heap that way.
             release_persists(blocking=True)
+            # Shuffle files of FINISHED queries persist in /tmp/spark-*
+            # until ContextCleaner notices the stage references are
+            # dead — which needs a JVM GC, and the default periodic GC
+            # runs every 30 min. Across a 296-query session the orphans
+            # stack to tens of GB and starved q_knn_join_lsh's spill of
+            # disk at sf10 (r13: "No space left" with 74 GB nominally
+            # free). Force the GC so each query starts disk-clean.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
         if t > slow:
             print(f"{name:45s} {t:6.2f}s")
