@@ -1320,3 +1320,230 @@ def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") >= 2)
         .select("canonical_id", "group_size", "n_raw_forms")
     )
+
+
+# --- Content-defined chunking (CDC) -----------------------------------------
+
+#: CDC boundary contract shared by the Spark plans and their DuckDB
+#: oracles: position i (1-based, i >= window) ends a chunk when the
+#: first two hex chars of md5 over the trailing 16-char window are
+#: <= '03' (P = 4/256 = 1/64 -> ~64-char expected chunks on the
+#: ~300-char driver docs). Window hashing, not full-prefix hashing, is
+#: what makes the boundaries CONTENT-DEFINED: an insertion shifts every
+#: byte after it, but 16 bytes downstream the windows — and therefore
+#: the boundaries — resynchronize, which fixed-size blocking never does.
+_CDC_WINDOW = 16
+_CDC_MASK = "03"
+
+_CDC_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000,
+         'INSERTED PREFIX BYTES SHIFT EVERYTHING ' || text
+  FROM documents
+  WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 7
+"""
+
+_CDC_CHUNKS_SQL = f"""
+WITH corpus AS ({_CDC_CORPUS_SQL}),
+bounds AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(text) >= {_CDC_WINDOW} THEN
+           list_filter(range({_CDC_WINDOW}, length(text) + 1),
+                       i -> substr(md5(substr(text, CAST(i - {_CDC_WINDOW - 1} AS INT),
+                                              {_CDC_WINDOW})), 1, 2) <= '{_CDC_MASK}')
+         ELSE [] END AS b
+  FROM corpus
+),
+chunks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(b) + 2),
+           j -> substr(text,
+                       CAST(CASE WHEN j = 1 THEN 1 ELSE b[CAST(j AS INT) - 1] + 1 END AS INT),
+                       CAST(CASE WHEN j = len(b) + 1 THEN n ELSE b[CAST(j AS INT)] END
+                            - CASE WHEN j = 1 THEN 1 ELSE b[CAST(j AS INT) - 1] + 1 END
+                            + 1 AS INT))
+         )) AS chunk
+  FROM bounds
+)
+"""
+
+
+def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk) rows under the CDC boundary contract above.
+
+    Physical shape: boundary detection and chunk slicing are a single
+    codegen'd map stage (nested higher-order ``filter``/``transform``
+    over each document — no explode of per-position rows, no UDF); the
+    only thing that ever shuffles downstream is the 32-char chunk
+    digest plus a length. The md5-per-position cost is the honest CDC
+    price (FastCDC pays a gear-hash per byte the same way) and it
+    parallelizes embarrassingly: at 100 TB this is a pure map over
+    document splits.
+
+    The driver corpus has no natural sub-document duplication, so a 5%
+    md5-slice of docs is cloned with a PREFIX INSERTION (ids +40M) —
+    the exact transformation fixed-size blocking cannot survive —
+    making the dedup mass a planted, scale-stable assertion that
+    boundaries resynchronize.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 20
+    )
+    clones = d.filter(bucket == 7).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("INSERTED PREFIX BYTES SHIFT EVERYTHING "), F.col("text")
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(clones)
+    w, w1 = _CDC_WINDOW, _CDC_WINDOW - 1
+    bounds = corpus.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.expr(
+            f"CASE WHEN length(text) >= {w} THEN "
+            f" filter(sequence({w}, length(text)),"
+            f"        i -> substring(md5(cast(substring(text, i - {w1}, {w}) AS BINARY)),"
+            f"                       1, 2) <= '{_CDC_MASK}')"
+            " ELSE cast(array() AS array<int>) END"
+        ).alias("b"),
+    )
+    return bounds.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(b) + 1),"
+                " j -> substring(text,"
+                "   CASE WHEN j = 1 THEN 1 ELSE element_at(b, j - 1) + 1 END,"
+                "   (CASE WHEN j = size(b) + 1 THEN n ELSE element_at(b, j) END)"
+                "     - (CASE WHEN j = 1 THEN 1 ELSE element_at(b, j - 1) + 1 END) + 1))"
+            )
+        ).alias("chunk"),
+    ).filter(F.length("chunk") > 0)
+
+
+@register(
+    "q_cdc_chunk_dedup_stats",
+    oracle=_CDC_CHUNKS_SQL
+    + """,
+digests AS (
+  SELECT md5(chunk) AS dg, length(chunk) AS clen, COUNT(*) AS cnt
+  FROM chunks WHERE length(chunk) > 0
+  GROUP BY dg, clen
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_digests,
+       CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_chunk_mass,
+       CAST(SUM((cnt - 1) * clen) AS BIGINT) AS bytes_saved,
+       ROUND(SUM(cnt * clen) * 1.0 / SUM(cnt), 4) AS avg_chunk_len
+FROM digests
+""",
+    tags=("dedup", "cdc", "chunking"),
+)
+def q_cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup ledger: split every document at
+    md5-window boundaries (see ``_cdc_chunk_frame``), content-address
+    the chunks, and report how much sub-document duplication a
+    chunk-level store would collapse — total/distinct chunk counts,
+    duplicated digests and their mass, and the bytes a dedup store
+    saves (rsync/LBFS/FastCDC's economics, phrased as one aggregate).
+
+    Exact-doc dedup scores the planted prefix-insertion clones at 0;
+    CDC recovers their shared suffix chunks — the assertion under test.
+    Scale: one codegen map stage emits (digest, len); a single hash
+    aggregation on the digest and a 1-row rollup follow. No joins, no
+    skew (digests are uniform), linear in corpus bytes.
+    """
+    chunks = _cdc_chunk_frame(spark, sf_dir)
+    digests = chunks.groupBy(
+        F.md5(F.col("chunk").cast("binary")).alias("dg"),
+        F.length("chunk").alias("clen"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return digests.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).cast("long").alias("dup_digests"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("dup_chunk_mass"),
+        F.sum((F.col("cnt") - 1) * F.col("clen")).cast("long").alias("bytes_saved"),
+        F.round(F.sum(F.col("cnt") * F.col("clen")) * 1.0 / F.sum("cnt"), 4).alias(
+            "avg_chunk_len"
+        ),
+    )
+
+
+@register(
+    "q_cdc_shared_chunk_pairs",
+    oracle=_CDC_CHUNKS_SQL
+    + """,
+doc_digests AS (
+  SELECT DISTINCT doc_id, md5(chunk) AS dg, length(chunk) AS clen
+  FROM chunks WHERE length(chunk) > 0
+),
+common AS (
+  SELECT dg FROM doc_digests GROUP BY dg HAVING COUNT(*) <= 8
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS shared_chunks, SUM(a.clen) AS shared_bytes
+  FROM doc_digests a
+  JOIN common c ON a.dg = c.dg
+  JOIN doc_digests b ON a.dg = b.dg AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+  HAVING COUNT(*) >= 3
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(shared_chunks AS BIGINT) AS shared_chunks,
+       CAST(shared_bytes AS BIGINT) AS shared_bytes
+FROM pairs
+""",
+    tags=("dedup", "cdc", "chunking", "pairs"),
+)
+def q_cdc_shared_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs linked by >= 3 shared CDC chunks — sub-document
+    near-dup discovery that exact dedup and even shingle-Jaccard at
+    doc granularity miss (a prefix insertion drops doc-level Jaccard
+    but leaves the chunk suffix set intact). Emits the pair plus the
+    shared chunk count and byte mass.
+
+    The digest self-join is bounded the same way every pair family in
+    this module is: a document-frequency cap (df <= 8, the sparse-
+    cosine ``df <= min(0.1n, 256)`` precedent) drops boilerplate
+    digests BEFORE the join, so candidate mass is sum-of-df^2 over
+    rare digests, not Theta(n^2); the >= 3 agreement floor then prunes
+    accidental single-chunk collisions. Both filters replay exactly in
+    the oracle.
+    """
+    chunks = _cdc_chunk_frame(spark, sf_dir)
+    doc_digests = chunks.select(
+        "doc_id",
+        F.md5(F.col("chunk").cast("binary")).alias("dg"),
+        F.length("chunk").alias("clen"),
+    ).distinct()
+    common = (
+        doc_digests.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 8)
+        .select("dg")
+    )
+    a = doc_digests.join(common, "dg")
+    b = doc_digests.select(
+        F.col("dg").alias("dg2"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, (a["dg"] == b["dg2"]) & (a["doc_id"] < b["doc_b"]))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_chunks"),
+            F.sum("clen").cast("long").alias("shared_bytes"),
+        )
+        .filter(F.col("shared_chunks") >= 3)
+        .select("doc_a", "doc_b", "shared_chunks", "shared_bytes")
+    )

@@ -1538,3 +1538,145 @@ def q_knn_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "score", "hop", "rank")
     )
+
+
+# --- PCA top component via in-plan power iteration ---------------------------
+
+_PCA_D = 16        # leading embedding dims under analysis
+_PCA_ITERS = 40    # fixed iteration budget (determinism, not convergence)
+
+
+def _pca_oracle_sql() -> str:
+    """DuckDB twin of q_pca_power_iteration, generated from the same
+    loops as the Spark side so the arithmetic is term-for-term equal."""
+    d, iters = _PCA_D, _PCA_ITERS
+    covs = ",\n       ".join(
+        f"ROUND(COVAR_POP(CAST(embedding[{i}] AS DOUBLE), CAST(embedding[{j}] AS DOUBLE)), 6)"
+        f" AS c_{i}_{j}"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    )
+    rows = ", ".join(
+        "[" + ", ".join(f"c_{min(i, j)}_{max(i, j)}" for j in range(1, d + 1)) + "]"
+        for i in range(1, d + 1)
+    )
+    trace = " + ".join(f"c_{i}_{i}" for i in range(1, d + 1))
+    ones = ", ".join(["CAST(1 AS DOUBLE)"] * d)
+    matvec = (
+        "LIST_TRANSFORM(C, row -> LIST_REDUCE("
+        f"LIST_TRANSFORM(range(1, {d} + 1), k -> row[CAST(k AS INT)] * acc[CAST(k AS INT)]),"
+        " (a, b) -> a + b))"
+    )
+    rayleigh = (
+        f"LIST_REDUCE(LIST_TRANSFORM(range(1, {d} + 1),"
+        " k -> v[CAST(k AS INT)] * w[CAST(k AS INT)]), (a, b) -> a + b)"
+    )
+    return f"""
+WITH cov AS (
+  SELECT {covs}
+  FROM embeddings
+), mat AS (
+  SELECT [{rows}] AS C, ({trace}) AS tr FROM cov
+), iter AS (
+  SELECT C, tr,
+    LIST_REDUCE(
+      list_prepend([{ones}], LIST_TRANSFORM(range(1, {iters} + 1), i -> [{ones}])),
+      (acc, x) -> LIST_TRANSFORM({matvec},
+        y -> y / SQRT(LIST_REDUCE(LIST_TRANSFORM({matvec}, z -> z * z), (a, b) -> a + b)))
+    ) AS v
+  FROM mat
+), scored AS (
+  SELECT tr, v,
+    LIST_TRANSFORM(C, row -> LIST_REDUCE(
+      LIST_TRANSFORM(range(1, {d} + 1), k -> row[CAST(k AS INT)] * v[CAST(k AS INT)]),
+      (a, b) -> a + b)) AS w
+  FROM iter
+)
+SELECT CAST(dm AS INTEGER) AS dim_i,
+       ROUND(v[CAST(dm AS INT)], 6) AS loading,
+       ROUND({rayleigh}, 6) AS eigenvalue,
+       ROUND({rayleigh} / tr, 6) AS explained_var_ratio
+FROM scored, range(1, {d} + 1) r(dm)
+"""
+
+
+@register(
+    "q_pca_power_iteration",
+    oracle=_pca_oracle_sql(),
+    tags=("similarity", "pca", "power_iteration", "embedding"),
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the leading 16 embedding dims by a
+    fixed-budget power iteration that runs ENTIRELY in-plan: the
+    distributed part is one covariance pass (136 covar_pop aggregates,
+    partial map-side combine, 1-row shuffle); the 16x16 eigen-iteration
+    is then an ``F.aggregate`` fold over that single row — no driver
+    collect, no UDF, no extra job. Reports per-dim loadings, the
+    Rayleigh-quotient eigenvalue, and the explained-variance ratio —
+    the whitening/compression diagnostic ahead of PQ/IVF index design
+    (q_pq_* family).
+
+    Cross-engine contract: both engines ROUND the covariance matrix to
+    6 decimals FIRST (absorbing covar_pop's last-ulp accumulation
+    differences, the q_embedding_covariance precedent), then run 40
+    identical normalized matvec steps from the all-ones start — same
+    doubles, same left-to-right fold order (Spark's aggregate starts
+    at 0.0; DuckDB's list_reduce starts at the first element; IEEE
+    0 + x == x), so the outputs match bit-for-bit BEFORE the final
+    cosmetic round(6). On this synthetic near-isotropic corpus the
+    spectrum is flat, so 40 iterations measure the procedure, not a
+    dominant direction — the eigenvalue still upper-bounds trace/16.
+    """
+    tune_session(spark)
+    d, iters = _PCA_D, _PCA_ITERS
+    e = read_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        *[F.element_at("embedding", i).cast("double").alias(f"x{i}") for i in range(1, d + 1)]
+    )
+    aggs = [
+        F.round(F.covar_pop(f"x{i}", f"x{j}"), 6).alias(f"c_{i}_{j}")
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    ]
+    one = comps.agg(*aggs)
+    mat = one.select(
+        F.array(
+            *[
+                F.array(*[F.col(f"c_{min(i, j)}_{max(i, j)}") for j in range(1, d + 1)])
+                for i in range(1, d + 1)
+            ]
+        ).alias("C"),
+        sum((F.col(f"c_{i}_{i}") for i in range(2, d + 1)), F.col("c_1_1")).alias("tr"),
+    )
+    matvec = (
+        "transform(C, row -> aggregate(zip_with(row, acc, (p, q) -> p * q),"
+        " CAST(0 AS DOUBLE), (a, b) -> a + b))"
+    )
+    step = (
+        f"transform({matvec}, y -> y / SQRT(aggregate(transform({matvec}, z -> z * z),"
+        " CAST(0 AS DOUBLE), (a, b) -> a + b)))"
+    )
+    ones = ", ".join(["CAST(1 AS DOUBLE)"] * d)
+    scored = mat.select(
+        "C",
+        "tr",
+        F.expr(f"aggregate(sequence(1, {iters}), array({ones}), (acc, i) -> {step})").alias("v"),
+    ).select(
+        "tr",
+        "v",
+        F.expr(
+            "transform(C, row -> aggregate(zip_with(row, v, (p, q) -> p * q),"
+            " CAST(0 AS DOUBLE), (a, b) -> a + b))"
+        ).alias("w"),
+    )
+    rayleigh = F.expr(
+        "aggregate(zip_with(v, w, (p, q) -> p * q), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return scored.select(
+        F.explode(F.expr(f"sequence(1, {d})")).alias("dm"), "v", "w", "tr"
+    ).select(
+        F.col("dm").cast("integer").alias("dim_i"),
+        F.round(F.element_at("v", F.col("dm")), 6).alias("loading"),
+        F.round(rayleigh, 6).alias("eigenvalue"),
+        F.round(rayleigh / F.col("tr"), 6).alias("explained_var_ratio"),
+    )

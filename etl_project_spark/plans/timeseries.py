@@ -858,3 +858,150 @@ def q_holt_smoothing_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(lb, 2), 6).alias("holt_trend"),
         F.round(F.element_at(lb, 1) + F.element_at(lb, 2), 6).alias("forecast_next"),
     )
+
+
+_HW_A = 0.5    # level gain (0.5 so alpha and 1-alpha are the same double)
+_HW_B = 0.25   # trend gain
+_HW_G = 0.25   # seasonal gain
+_HW_M = 4      # season length
+
+
+@register(
+    "q_holt_winters_seasonal",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, LIST(value ORDER BY ts, event_id) AS vals
+  FROM events
+  GROUP BY user_id
+  HAVING COUNT(*) >= {2 * _HW_M + 1}
+), seeded AS (
+  SELECT user_id, LEN(vals) AS n_events, vals,
+         (vals[1] + vals[2] + vals[3] + vals[4]) / 4.0 AS mu
+  FROM ordered
+), folded AS (
+  SELECT user_id, n_events,
+    LIST_REDUCE(
+      list_prepend(
+        [mu, CAST(0 AS DOUBLE), vals[1] - mu, vals[2] - mu, vals[3] - mu, vals[4] - mu],
+        LIST_TRANSFORM(vals[{_HW_M + 1}:], x ->
+          [CAST(x AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+           CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+      (acc, x) -> [
+        {_HW_A} * (x[1] - acc[3]) + {1 - _HW_A} * (acc[1] + acc[2]),
+        {_HW_B} * (({_HW_A} * (x[1] - acc[3]) + {1 - _HW_A} * (acc[1] + acc[2])) - acc[1])
+          + {1 - _HW_B} * acc[2],
+        acc[4],
+        acc[5],
+        acc[6],
+        {_HW_G} * (x[1] - ({_HW_A} * (x[1] - acc[3]) + {1 - _HW_A} * (acc[1] + acc[2])))
+          + {1 - _HW_G} * acc[3]
+      ]) AS st
+  FROM seeded
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(st[1], 6) AS hw_level,
+       ROUND(st[2], 6) AS hw_trend,
+       ROUND(st[3], 6) AS hw_season_next,
+       ROUND(st[1] + st[2] + st[3], 6) AS forecast_next
+FROM folded
+""",
+    tags=("timeseries", "holt_winters", "forecast", "fold"),
+)
+def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple smoothing (period m=4) of each
+    user's event-value sequence — the seasonal extension of
+    ``q_holt_smoothing_user_value``:
+
+        l' = alpha*(x - s) + (1-alpha)*(l + b)
+        b' = beta*(l' - l) + (1-beta)*b
+        s' = gamma*(x - l') + (1-gamma)*s
+
+    seeded classically from the first season: l = mean(x[1..4]),
+    b = 0, s_i = x_i - mean. The seasonal state ROTATES inside the
+    fold vector ([l, b, s_cur, s+1, s+2, s+3] -> consume s_cur, append
+    s'), so no step index is needed and the whole recurrence is one
+    ``F.aggregate`` over the collected sequence — the same
+    sequential-by-nature-per-key, embarrassingly-parallel-across-keys
+    shape as Holt: one shuffle to group, codegen'd fold, no UDF.
+
+    alpha = 0.5 keeps alpha and 1-alpha the same exact double; l'
+    appears three times per step and is spelled out identically each
+    time in both engines, so the doubles agree bit-for-bit and
+    round(6) is cosmetic. Forecast is l + b + s_next (the rotated
+    head after the final step).
+    """
+    e = _t(spark, sf_dir, "events")
+    a, b_, g, m = _HW_A, _HW_B, _HW_G, _HW_M
+    collected = (
+        e.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq"))
+        .filter(F.size("seq") >= 2 * m + 1)
+        .select("user_id", F.expr("transform(seq, s -> CAST(s.value AS DOUBLE))").alias("vals"))
+    )
+    seeded = collected.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        "vals",
+        (
+            (
+                F.element_at("vals", 1)
+                + F.element_at("vals", 2)
+                + F.element_at("vals", 3)
+                + F.element_at("vals", 4)
+            )
+            / 4.0
+        ).alias("mu"),
+    )
+
+    def step(acc, x):
+        lvl = F.lit(a) * (x - F.element_at(acc, 3)) + F.lit(1 - a) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        # l' is intentionally re-spelled (not reused) in the trend and
+        # seasonal lines so the Spark expression tree matches the
+        # oracle's literal arithmetic term-for-term
+        return F.array(
+            lvl,
+            F.lit(b_)
+            * (
+                (
+                    F.lit(a) * (x - F.element_at(acc, 3))
+                    + F.lit(1 - a) * (F.element_at(acc, 1) + F.element_at(acc, 2))
+                )
+                - F.element_at(acc, 1)
+            )
+            + F.lit(1 - b_) * F.element_at(acc, 2),
+            F.element_at(acc, 4),
+            F.element_at(acc, 5),
+            F.element_at(acc, 6),
+            F.lit(g)
+            * (
+                x
+                - (
+                    F.lit(a) * (x - F.element_at(acc, 3))
+                    + F.lit(1 - a) * (F.element_at(acc, 1) + F.element_at(acc, 2))
+                )
+            )
+            + F.lit(1 - g) * F.element_at(acc, 3),
+        )
+
+    init = F.array(
+        F.col("mu"),
+        F.lit(0.0),
+        F.element_at("vals", 1) - F.col("mu"),
+        F.element_at("vals", 2) - F.col("mu"),
+        F.element_at("vals", 3) - F.col("mu"),
+        F.element_at("vals", 4) - F.col("mu"),
+    )
+    st = F.aggregate(F.expr(f"slice(vals, {m + 1}, size(vals) - {m})"), init, step)
+    return seeded.select(
+        "user_id",
+        "n_events",
+        F.round(F.element_at(st, 1), 6).alias("hw_level"),
+        F.round(F.element_at(st, 2), 6).alias("hw_trend"),
+        F.round(F.element_at(st, 3), 6).alias("hw_season_next"),
+        F.round(
+            F.element_at(st, 1) + F.element_at(st, 2) + F.element_at(st, 3), 6
+        ).alias("forecast_next"),
+    )
