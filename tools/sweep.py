@@ -20,6 +20,50 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+#: Orphaned-scratch ceiling a query may start with, and how long to
+#: wait for the ContextCleaner to get there. 4 GiB leaves the measured
+#: worst spiller (q_knn_join_lsh, ~67 GB own spill at sf10) real
+#: headroom on a ~77 GB-free host; the timeout keeps a wedged cleaner
+#: from stalling the sweep (we proceed and let the query take its
+#: chances, as before).
+_SCRATCH_CEILING = 4 << 30
+_SCRATCH_TIMEOUT_S = 180.0
+
+
+def _scratch_bytes() -> int:
+    import glob
+    import tempfile
+
+    total = 0
+    for root in glob.glob(os.path.join(tempfile.gettempdir(), "spark-*")):
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass  # cleaner deleted it mid-walk — that's the goal
+    return total
+
+
+def _drain_scratch(spark) -> None:
+    """Bounded barrier: wait for async ContextCleaner deletions until
+    local scratch is below _SCRATCH_CEILING (or the timeout fires)."""
+    deadline = time.perf_counter() + _SCRATCH_TIMEOUT_S
+    while time.perf_counter() < deadline:
+        size = _scratch_bytes()
+        if size <= _SCRATCH_CEILING:
+            return
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(3.0)
+    print(
+        f"scratch drain timed out at {_scratch_bytes() >> 30} GiB — proceeding",
+        flush=True,
+    )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     slow = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
@@ -73,10 +117,21 @@ def main() -> int:
             # stack to tens of GB and starved q_knn_join_lsh's spill of
             # disk at sf10 (r13: "No space left" with 74 GB nominally
             # free). Force the GC so each query starts disk-clean.
+            #
+            # The GC alone is NOT enough (r13b sweep): ContextCleaner
+            # deletions are ASYNCHRONOUS, and q_knn_join_lsh's own
+            # spill peaks ~67 GB on this host's ~77 GB free (measured
+            # isolated, 251.6 s clean) — so even ~10 GB of
+            # not-yet-reaped orphans kills it. Barrier: after nudging
+            # the GC, WAIT (bounded) until the session's scratch dirs
+            # drain below a threshold, re-nudging as we go — the
+            # moral equivalent of a cluster shuffle-service cleanup
+            # between jobs.
             try:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
+            _drain_scratch(spark)
     for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
         if t > slow:
             print(f"{name:45s} {t:6.2f}s")
