@@ -105,6 +105,12 @@ BENCH_QUERIES = (
     "q_per_domain_quantile_filter",
     "q_hashed_linear_quality_score",
     "q_knn_graph_expand_topk",
+    # round-13 close additions (append-only): sub-document CDC dedup +
+    # the two in-plan numeric folds
+    "q_cdc_chunk_dedup_stats",
+    "q_cdc_shared_chunk_pairs",
+    "q_holt_winters_seasonal",
+    "q_pca_power_iteration",
 )
 
 

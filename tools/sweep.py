@@ -35,7 +35,16 @@ def _scratch_bytes() -> int:
     import tempfile
 
     total = 0
-    for root in glob.glob(os.path.join(tempfile.gettempdir(), "spark-*")):
+    # BOTH globs matter: in local mode the shuffle/spill files live
+    # under the DiskBlockManager's /tmp/blockmgr-*, NOT under the
+    # /tmp/spark-* session dir (which holds only userFiles/pyspark
+    # temp). The first version of this barrier measured spark-* alone,
+    # always saw ~1 MB, and provided no barrier at all — q_knn_join_lsh
+    # died on disk again with the "barrier" green (r13c sweep).
+    roots = glob.glob(os.path.join(tempfile.gettempdir(), "spark-*")) + glob.glob(
+        os.path.join(tempfile.gettempdir(), "blockmgr-*")
+    )
+    for root in roots:
         for dirpath, _dirs, files in os.walk(root):
             for f in files:
                 try:
