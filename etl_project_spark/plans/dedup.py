@@ -1369,23 +1369,14 @@ chunks AS (
 """
 
 
-def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, chunk) rows under the CDC boundary contract above.
-
-    Physical shape: boundary detection and chunk slicing are a single
-    codegen'd map stage (nested higher-order ``filter``/``transform``
-    over each document — no explode of per-position rows, no UDF); the
-    only thing that ever shuffles downstream is the 32-char chunk
-    digest plus a length. The md5-per-position cost is the honest CDC
-    price (FastCDC pays a gear-hash per byte the same way) and it
-    parallelizes embarrassingly: at 100 TB this is a pure map over
-    document splits.
+def _cdc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a planted prefix-insertion clone slice (ids +40M).
 
     The driver corpus has no natural sub-document duplication, so a 5%
-    md5-slice of docs is cloned with a PREFIX INSERTION (ids +40M) —
-    the exact transformation fixed-size blocking cannot survive —
-    making the dedup mass a planted, scale-stable assertion that
-    boundaries resynchronize.
+    md5-slice of docs is cloned with a PREFIX INSERTION — the exact
+    transformation fixed-size blocking cannot survive — making the
+    dedup mass a planted, scale-stable assertion that boundaries
+    resynchronize.
     """
     d = _t(spark, sf_dir, "documents")
     bucket = (
@@ -1399,7 +1390,26 @@ def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("INSERTED PREFIX BYTES SHIFT EVERYTHING "), F.col("text")
         ).alias("text"),
     )
-    corpus = d.select("doc_id", "text").unionByName(clones)
+    return d.select("doc_id", "text").unionByName(clones)
+
+
+def _cdc_chunk_frame_hof(
+    spark: SparkSession, sf_dir: str, wide: bool = False
+) -> DataFrame:
+    """Former array-HOF form of ``_cdc_chunk_frame``, retained ONLY as
+    the A/B control for the round-14 row-form rewrite (the standing
+    BASELINE.md expression rule: interpreted per-element HOF eval on
+    hot static paths costs 2-10x vs the explode-row form). ``wide=True``
+    applies the row form's scan-width repartition so the A/B can
+    decompose parallelism vs expression-form gains. Not wired to any
+    registered query; delete once the A/B ledger row lands.
+    """
+    corpus = _cdc_corpus(spark, sf_dir)
+    if wide:
+        par = max(
+            spark.sparkContext.defaultParallelism, corpus.rdd.getNumPartitions()
+        )
+        corpus = corpus.repartition(par, "doc_id")
     w, w1 = _CDC_WINDOW, _CDC_WINDOW - 1
     bounds = corpus.select(
         "doc_id",
@@ -1412,6 +1422,80 @@ def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"                       1, 2) <= '{_CDC_MASK}')"
             " ELSE cast(array() AS array<int>) END"
         ).alias("b"),
+    )
+    return bounds.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(b) + 1),"
+                " j -> substring(text,"
+                "   CASE WHEN j = 1 THEN 1 ELSE element_at(b, j - 1) + 1 END,"
+                "   (CASE WHEN j = size(b) + 1 THEN n ELSE element_at(b, j) END)"
+                "     - (CASE WHEN j = 1 THEN 1 ELSE element_at(b, j - 1) + 1 END) + 1))"
+            )
+        ).alias("chunk"),
+    ).filter(F.length("chunk") > 0)
+
+
+def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk) rows under the CDC boundary contract above.
+
+    Physical shape (row form, per the standing BASELINE.md expression
+    rule): the per-position boundary test runs as a plain whole-stage-
+    codegen projection over EXPLODED position rows — explode
+    ``sequence(w, n)``, md5 the trailing window, filter to the ~1/64
+    surviving boundary positions — so the md5-per-position work (the
+    hot, O(corpus chars) part) never goes through Catalyst's
+    interpreted lambda evaluator. Only (doc_id, int position) rows for
+    the survivors shuffle into a per-doc ``collect_list``; the bounded
+    boundary array (~n/64 ints per doc) then joins back to the corpus
+    text on doc_id and chunk slicing is a ``transform`` over THAT
+    bounded array (fine per the rule: per-doc-bounded, not
+    per-position). The md5-per-position cost is the honest CDC price
+    (FastCDC pays a gear-hash per byte the same way) and it
+    parallelizes embarrassingly: at 100 TB the scan is a pure map over
+    document splits and the only extra exchange vs the HOF form is the
+    int-only boundary shuffle plus a linear join-back of the corpus.
+    """
+    corpus = _cdc_corpus(spark, sf_dir)
+    # The boundary scan does ~one md5 per CHARACTER — 64x more CPU than
+    # bytes read — so input-size-based splitting under-parallelizes it
+    # badly (a 6 MB documents file -> 4 partitions -> 28 idle cores).
+    # Widen to the session's core count, never narrowing what the file
+    # layout already provides; the text shuffle this costs is linear and
+    # ~64x cheaper than the digest work it parallelizes. Hash on doc_id
+    # so the boundary-array join below reuses the same partitioning.
+    par = max(
+        spark.sparkContext.defaultParallelism, corpus.rdd.getNumPartitions()
+    )
+    corpus = corpus.repartition(par, "doc_id")
+    w, w1 = _CDC_WINDOW, _CDC_WINDOW - 1
+    # Generate + filter + project pipeline in ONE codegen stage: text is
+    # a per-input-row local in the generated code, never materialized
+    # per position row; only surviving (doc_id, i) pairs reach the
+    # exchange.
+    boundary_rows = (
+        corpus.filter(F.length("text") >= w)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.expr(f"sequence({w}, length(text))")).alias("i"),
+        )
+        .filter(
+            F.expr(
+                f"substring(md5(cast(substring(text, i - {w1}, {w}) AS BINARY)),"
+                f" 1, 2) <= '{_CDC_MASK}'"
+            )
+        )
+        .select("doc_id", "i")
+    )
+    barr = boundary_rows.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("i")).alias("b")
+    )
+    bounds = (
+        corpus.select("doc_id", "text", F.length("text").alias("n"))
+        .join(barr, "doc_id", "left")
+        .withColumn("b", F.coalesce("b", F.expr("cast(array() AS array<int>)")))
     )
     return bounds.select(
         "doc_id",
