@@ -47,17 +47,29 @@ def cosine_score_udf(query_vec: Sequence[float]):
     return score
 
 
-def pairwise_cosine_udf():
+def pairwise_cosine_udf(a_offset: float = 0.0, b_offset: float = 0.0):
     """Row-wise cosine of two vector columns (vectorized einsum).
 
     Built lazily — ``pandas_udf`` resolves its return type against the
     active session, so the decorator can't run at import time.
+
+    ``a_offset``/``b_offset`` add a uniform scalar to every coordinate
+    of the respective side AFTER the exact float→double widening —
+    bit-identical to ``transform(v, x -> CAST(x AS DOUBLE) + c)`` done
+    upstream, but applied inside the Arrow batch so callers with
+    planted perturbed twins can keep the raw float32 arrays on the
+    join/shuffle payload (half the bytes) and defer the perturbation
+    off the spill path (r14 spill diet, BASELINE §r14).
     """
 
     @pandas_udf("double")
     def _pairwise_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
         ma = np.stack(a.to_numpy()).astype(np.float64)
         mb = np.stack(b.to_numpy()).astype(np.float64)
+        if a_offset:
+            ma = ma + a_offset
+        if b_offset:
+            mb = mb + b_offset
         dots = np.einsum("ij,ij->i", ma, mb)
         denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(np.divide(dots, denom, out=np.zeros_like(dots), where=denom > 0))
@@ -390,9 +402,12 @@ def knn_join(
     broadcast_threshold: int = 100_000,
     broadcast_threshold_bytes: int = 64 << 20,
     right_rows: int | None = None,
+    left_rows: int | None = None,
     dim: int | None = None,
     broadcast_side: str = "right",
     exact_impl: str = "grouped",
+    left_score_offset: float = 0.0,
+    right_score_offset: float = 0.0,
 ) -> DataFrame:
     """Batch kNN join: for every left row, its k nearest right rows.
 
@@ -476,6 +491,13 @@ def knn_join(
                 )
                 small = True
         strategy = "broadcast" if small else "lsh"
+    if strategy != "lsh" and (left_score_offset or right_score_offset):
+        # Silently dropping a requested perturbation would change
+        # SCORES, not just the plan — refuse instead.
+        raise ValueError(
+            "knn_join score offsets are only plumbed through the 'lsh' "
+            f"strategy; resolved strategy is {strategy!r}"
+        )
     if strategy == "lsh":
         if dim is None:
             raise ValueError("knn_join(strategy='lsh') requires dim=")
@@ -489,6 +511,9 @@ def knn_join(
             k=k,
             dim=dim,
             right_rows=right_rows,
+            left_rows=left_rows,
+            left_score_offset=left_score_offset,
+            right_score_offset=right_score_offset,
         )
     if broadcast_side not in ("left", "right"):
         raise ValueError(
@@ -679,6 +704,15 @@ def lsh_join_sizing(
     return n_tables, planes_per_table
 
 
+#: Per-side cap for broadcasting the vector join-back of the LSH kNN
+#: join (estimated as rows x (8*dim + 32) — double-width elements
+#: assumed, row overhead included). 256 MB sits well under executor
+#: memory on any sane cluster while covering every "large corpus,
+#: modest dim" case where the candidate-pair stream — not the vector
+#: table — is the thing that must never be sorted with payload.
+_VEC_BROADCAST_CAP = 256 << 20
+
+
 def knn_join_lsh(
     left: DataFrame,
     right: DataFrame,
@@ -692,8 +726,11 @@ def knn_join_lsh(
     n_tables: int = 16,
     planes_per_table: int = 5,
     right_rows: int | None = None,
+    left_rows: int | None = None,
     design_cosine: float = 0.9,
     target_recall: float = 0.99,
+    left_score_offset: float = 0.0,
+    right_score_offset: float = 0.0,
 ) -> DataFrame:
     """LSH-bucketed kNN join — the scale path for large × large.
 
@@ -760,14 +797,36 @@ def knn_join_lsh(
         .select("_lid", "_rid")
         .distinct()  # collide once per pair
     )
+    # Vector join-backs (r14 spill diet, BASELINE §r14): `scored`
+    # projects down to (ids, score) immediately, so the wide vector
+    # columns exist ONLY inside these two joins — and a sort-merge plan
+    # here sorts the full candidate-pair stream WITH vector payload,
+    # which is what put q_knn_join_lsh at ~67 GB of spill at sf10.
+    # When a row-count hint says a side's vectors fit, broadcast it:
+    # the join-back becomes map-side, and the pair stream then never
+    # carries a vector through ANY exchange (the pair-distinct shuffles
+    # ids, the top-k window shuffles (ids, score)). Above the cap the
+    # shuffle join stands — callers should then pass the NARROWEST
+    # vector type they have (float32 halves the payload; the scorer
+    # widens to double exactly) and the score offsets below keep any
+    # planted perturbation off the payload too.
+    lvecs = left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"))
+    rvecs = right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec"))
+    if left_rows is not None and left_rows * (8 * dim + 32) <= _VEC_BROADCAST_CAP:
+        lvecs = F.broadcast(lvecs)
+    if right_rows is not None and right_rows * (8 * dim + 32) <= _VEC_BROADCAST_CAP:
+        rvecs = F.broadcast(rvecs)
     scored = (
-        cand.join(left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec")), "_lid")
-        .join(right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec")), "_rid")
+        cand.join(lvecs, "_lid")
+        .join(rvecs, "_rid")
         .select(
             "_lid",
             "_rid",
             F.round(
-                pairwise_cosine_udf()(F.col("_lvec"), F.col("_rvec")), 4
+                pairwise_cosine_udf(left_score_offset, right_score_offset)(
+                    F.col("_lvec"), F.col("_rvec")
+                ),
+                4,
             ).alias("score"),
         )
     )

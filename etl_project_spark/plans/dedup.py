@@ -1524,7 +1524,7 @@ SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
        CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
        CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_digests,
        CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_chunk_mass,
-       CAST(SUM((cnt - 1) * clen) AS BIGINT) AS bytes_saved,
+       CAST(SUM((cnt - 1) * clen) AS BIGINT) AS chars_saved,
        ROUND(SUM(cnt * clen) * 1.0 / SUM(cnt), 4) AS avg_chunk_len
 FROM digests
 """,
@@ -1535,8 +1535,12 @@ def q_cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-window boundaries (see ``_cdc_chunk_frame``), content-address
     the chunks, and report how much sub-document duplication a
     chunk-level store would collapse — total/distinct chunk counts,
-    duplicated digests and their mass, and the bytes a dedup store
-    saves (rsync/LBFS/FastCDC's economics, phrased as one aggregate).
+    duplicated digests and their mass, and the CHARACTERS a dedup
+    store saves (``chars_saved`` — ``length()`` is character-counted
+    in both engines, so on non-ASCII corpora this under-reports octet
+    savings; rsync/LBFS/FastCDC's economics, phrased as one
+    aggregate). ``shared_chars`` in the pair query below has the same
+    character semantics.
 
     Exact-doc dedup scores the planted prefix-insertion clones at 0;
     CDC recovers their shared suffix chunks — the assertion under test.
@@ -1556,7 +1560,7 @@ def q_cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("dup_chunk_mass"),
-        F.sum((F.col("cnt") - 1) * F.col("clen")).cast("long").alias("bytes_saved"),
+        F.sum((F.col("cnt") - 1) * F.col("clen")).cast("long").alias("chars_saved"),
         F.round(F.sum(F.col("cnt") * F.col("clen")) * 1.0 / F.sum("cnt"), 4).alias(
             "avg_chunk_len"
         ),
@@ -1576,7 +1580,7 @@ common AS (
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         COUNT(*) AS shared_chunks, SUM(a.clen) AS shared_bytes
+         COUNT(*) AS shared_chunks, SUM(a.clen) AS shared_chars
   FROM doc_digests a
   JOIN common c ON a.dg = c.dg
   JOIN doc_digests b ON a.dg = b.dg AND a.doc_id < b.doc_id
@@ -1585,7 +1589,7 @@ pairs AS (
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        CAST(shared_chunks AS BIGINT) AS shared_chunks,
-       CAST(shared_bytes AS BIGINT) AS shared_bytes
+       CAST(shared_chars AS BIGINT) AS shared_chars
 FROM pairs
 """,
     tags=("dedup", "cdc", "chunking", "pairs"),
@@ -1626,8 +1630,8 @@ def q_cdc_shared_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("shared_chunks"),
-            F.sum("clen").cast("long").alias("shared_bytes"),
+            F.sum("clen").cast("long").alias("shared_chars"),
         )
         .filter(F.col("shared_chunks") >= 3)
-        .select("doc_a", "doc_b", "shared_chunks", "shared_bytes")
+        .select("doc_a", "doc_b", "shared_chunks", "shared_chars")
     )

@@ -196,18 +196,24 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only in r1/r2."""
     tune_session(spark)
     e = read_table(spark, sf_dir, "embeddings")
-    probes = e.select(
-        F.col("vec_id").alias("probe_id"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
-    )
-    twins = e.select(
-        (F.col("vec_id") + 10000).alias("neighbor_id"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.01D)").alias("embedding"),
-    )
-    # right_rows: index-build metadata (parquet row-count metadata, no
-    # data scan) that lets the LSH path hold its bucket depth constant
-    # as the corpus grows — without it, 16×5-bit tables measured 454 s
-    # at the sf1 sweep scale (quadratic bucket depth; see knn_join_lsh).
+    # Spill diet (r14, BASELINE §r14): both sides keep the RAW float32
+    # parquet arrays — half the join/shuffle payload of the former
+    # pre-cast doubles — and the twin's +0.01 perturbation moves into
+    # the scorer (right_score_offset), where it is applied after the
+    # exact float→double widening, bit-identical to the old
+    # `CAST(x AS DOUBLE) + 0.01D` projection. Signatures now hash the
+    # raw vector on BOTH sides, so each probe's twin collides in every
+    # table with probability 1 (identical signatures) — strictly
+    # stronger than the 1-4e-20 analytic bound the docstring derives.
+    probes = e.select(F.col("vec_id").alias("probe_id"), "embedding")
+    twins = e.select((F.col("vec_id") + 10000).alias("neighbor_id"), "embedding")
+    # Row-count hints: index-build metadata (parquet row-count
+    # metadata, no data scan). right_rows lets the LSH path hold its
+    # bucket depth constant as the corpus grows — without it, 16×5-bit
+    # tables measured 454 s at the sf1 sweep scale (quadratic bucket
+    # depth; see knn_join_lsh). Both hints also size the vector
+    # join-back broadcasts that keep payload off the pair-stream sorts.
+    n = e.count()
     out = SIM.knn_join(
         probes,
         twins,
@@ -218,7 +224,9 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
         strategy="lsh",
         dim=64,
-        right_rows=e.count(),
+        right_rows=n,
+        left_rows=n,
+        right_score_offset=0.01,
     )
     return out.orderBy("probe_id", "rank")
 
@@ -1593,9 +1601,9 @@ WITH cov AS (
   FROM iter
 )
 SELECT CAST(dm AS INTEGER) AS dim_i,
-       ROUND(v[CAST(dm AS INT)], 6) AS loading,
-       ROUND({rayleigh}, 6) AS eigenvalue,
-       ROUND({rayleigh} / tr, 6) AS explained_var_ratio
+       ROUND(v[CAST(dm AS INT)], 6) + 0.0 AS loading,
+       ROUND({rayleigh}, 6) + 0.0 AS eigenvalue,
+       ROUND({rayleigh} / tr, 6) + 0.0 AS explained_var_ratio
 FROM scored, range(1, {d} + 1) r(dm)
 """
 
@@ -1672,11 +1680,19 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rayleigh = F.expr(
         "aggregate(zip_with(v, w, (p, q) -> p * q), CAST(0 AS DOUBLE), (a, b) -> a + b)"
     )
+    # `+ 0.0` AFTER the round normalizes IEEE signed zeros (ADVICE
+    # r13): Spark's aggregate seeds 0.0 while DuckDB's list_reduce
+    # seeds the first element, so a degenerate all-zero covariance row
+    # could yield +0.0 here and -0.0 there — and round(6) preserves the
+    # sign into the value hash. -0.0 + 0.0 == +0.0; nonzero values are
+    # untouched. Mirrored in the oracle SQL.
     return scored.select(
         F.explode(F.expr(f"sequence(1, {d})")).alias("dm"), "v", "w", "tr"
     ).select(
         F.col("dm").cast("integer").alias("dim_i"),
-        F.round(F.element_at("v", F.col("dm")), 6).alias("loading"),
-        F.round(rayleigh, 6).alias("eigenvalue"),
-        F.round(rayleigh / F.col("tr"), 6).alias("explained_var_ratio"),
+        (F.round(F.element_at("v", F.col("dm")), 6) + F.lit(0.0)).alias("loading"),
+        (F.round(rayleigh, 6) + F.lit(0.0)).alias("eigenvalue"),
+        (F.round(rayleigh / F.col("tr"), 6) + F.lit(0.0)).alias(
+            "explained_var_ratio"
+        ),
     )

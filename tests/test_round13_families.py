@@ -21,6 +21,23 @@ def _varied_text(n_words: int, salt: str) -> str:
     )
 
 
+def _reassemble(base: str, chunks: list[str]) -> list[str]:
+    """Order a chunk multiset into partition order by greedy prefix
+    match against ``base`` — deterministic even when two chunks have
+    identical content (where ``sort(key=base.find)`` breaks)."""
+    remaining = list(chunks)
+    out: list[str] = []
+    pos = 0
+    while remaining:
+        nxt = next((c for c in remaining if base.startswith(c, pos)), None)
+        if nxt is None:  # not a partition — surface what we had
+            return out + remaining
+        out.append(nxt)
+        remaining.remove(nxt)
+        pos += len(nxt)
+    return out
+
+
 def test_cdc_boundaries_resynchronize_after_prefix_insertion(spark):
     """The CDC selling point, asserted directly: insert bytes at the
     front of a document and every original chunk except (at most) the
@@ -44,8 +61,10 @@ def test_cdc_boundaries_resynchronize_after_prefix_insertion(spark):
     for r in chunks:
         by_doc.setdefault(r.doc_id, []).append(r.chunk)
     assert len(by_doc[1]) >= 3, "fixture too smooth: no boundaries fired"
-    # reconstruction: chunks concatenate back to the document
-    assert "".join(sorted(by_doc[1], key=base.find)) != ""  # sanity of collect
+    # reconstruction: the chunk multiset partitions the document
+    # exactly (find()-keyed ordering would misplace duplicate chunk
+    # content — derive offsets deterministically instead, ADVICE r13)
+    assert "".join(_reassemble(base, by_doc[1])) == base
     missing = [c for c in by_doc[1] if c not in by_doc[2]]
     # only the first chunk of the original may fail to re-lock
     assert len(missing) <= 1, f"resynchronization failed for {len(missing)} chunks"
@@ -64,10 +83,11 @@ def test_cdc_chunks_partition_each_document(spark):
     with tempfile.TemporaryDirectory() as tmp:
         df.write.parquet(os.path.join(tmp, "documents.parquet"))
         got = [r.chunk for r in _cdc_chunk_frame(spark, tmp).collect()]
-    # order-independent reassembly: each chunk appears at its find()
-    # offset; a partition reassembles exactly
-    got.sort(key=base.find)
-    assert "".join(got) == base
+    # order-independent reassembly: greedy prefix-match over the chunk
+    # MULTISET (find()-keyed sorting maps duplicate chunk content to
+    # the first occurrence's offset and can mis-order a correct
+    # partition, ADVICE r13)
+    assert "".join(_reassemble(base, got)) == base
 
 
 def test_holt_winters_exact_on_perfectly_periodic_series(spark):

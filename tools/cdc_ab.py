@@ -31,7 +31,7 @@ def _stats(chunks):
     return digests.agg(
         F.sum("cnt").cast("long").alias("n_chunks"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
-        F.sum((F.col("cnt") - 1) * F.col("clen")).cast("long").alias("bytes_saved"),
+        F.sum((F.col("cnt") - 1) * F.col("clen")).cast("long").alias("chars_saved"),
     )
 
 

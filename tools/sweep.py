@@ -30,20 +30,50 @@ _SCRATCH_CEILING = 4 << 30
 _SCRATCH_TIMEOUT_S = 180.0
 
 
-def _scratch_bytes() -> int:
-    import glob
-    import tempfile
+def _scratch_roots(spark) -> list[str]:
+    """THIS session's scratch dirs, asked of the session itself.
 
+    The r13 barrier globbed every /tmp/spark-* and /tmp/blockmgr-* —
+    including stale trees from crashed or concurrent sessions that our
+    ContextCleaner will never delete, so one leftover >4 GiB orphan
+    made the drain burn its full timeout between EVERY query (ADVICE
+    r13). The DiskBlockManager knows the real spill roots and the
+    session dir holds userFiles; both are exact and session-scoped.
+    Falls back to the old global globs only if the JVM probes fail.
+    """
+    roots: list[str] = []
+    try:
+        jdirs = (
+            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+            .blockManager()
+            .diskBlockManager()
+            .localDirs()
+        )
+        roots += [str(d.getAbsolutePath()) for d in jdirs]
+    except Exception:
+        pass
+    try:
+        roots.append(
+            str(
+                spark.sparkContext._jvm.org.apache.spark.util.Utils.getLocalDir(
+                    spark.sparkContext._jsc.sc().conf()
+                )
+            )
+        )
+    except Exception:
+        pass
+    if not roots:
+        import glob
+        import tempfile
+
+        roots = glob.glob(os.path.join(tempfile.gettempdir(), "spark-*")) + glob.glob(
+            os.path.join(tempfile.gettempdir(), "blockmgr-*")
+        )
+    return roots
+
+
+def _scratch_bytes(roots: list[str]) -> int:
     total = 0
-    # BOTH globs matter: in local mode the shuffle/spill files live
-    # under the DiskBlockManager's /tmp/blockmgr-*, NOT under the
-    # /tmp/spark-* session dir (which holds only userFiles/pyspark
-    # temp). The first version of this barrier measured spark-* alone,
-    # always saw ~1 MB, and provided no barrier at all — q_knn_join_lsh
-    # died on disk again with the "barrier" green (r13c sweep).
-    roots = glob.glob(os.path.join(tempfile.gettempdir(), "spark-*")) + glob.glob(
-        os.path.join(tempfile.gettempdir(), "blockmgr-*")
-    )
     for root in roots:
         for dirpath, _dirs, files in os.walk(root):
             for f in files:
@@ -56,19 +86,33 @@ def _scratch_bytes() -> int:
 
 def _drain_scratch(spark) -> None:
     """Bounded barrier: wait for async ContextCleaner deletions until
-    local scratch is below _SCRATCH_CEILING (or the timeout fires)."""
+    THIS session's scratch is below _SCRATCH_CEILING (or the timeout
+    fires, or the size stops shrinking — mass the cleaner isn't
+    reaping won't drain no matter how long we poll)."""
+    roots = _scratch_roots(spark)
     deadline = time.perf_counter() + _SCRATCH_TIMEOUT_S
+    prev = None
+    stalled = 0
     while time.perf_counter() < deadline:
-        size = _scratch_bytes()
+        size = _scratch_bytes(roots)
         if size <= _SCRATCH_CEILING:
             return
+        stalled = stalled + 1 if prev is not None and size >= prev else 0
+        if stalled >= 3:
+            print(
+                f"scratch drain stalled at {size >> 30} GiB "
+                "(not shrinking) — proceeding",
+                flush=True,
+            )
+            return
+        prev = size
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
         time.sleep(3.0)
     print(
-        f"scratch drain timed out at {_scratch_bytes() >> 30} GiB — proceeding",
+        f"scratch drain timed out at {_scratch_bytes(roots) >> 30} GiB — proceeding",
         flush=True,
     )
 
