@@ -111,6 +111,9 @@ BENCH_QUERIES = (
     "q_cdc_shared_chunk_pairs",
     "q_holt_winters_seasonal",
     "q_pca_power_iteration",
+    # round-14 additions (append-only): incremental curation (batch
+    # twin of the streaming pipeline)
+    "q_incremental_curation_audit",
 )
 
 

@@ -351,6 +351,36 @@ def band_hashes(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def minhash_sig_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    use_token_ngrams: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The MinHash SIGNING pass, factored out so it can be paid once:
+    ``(sig, rows)`` where ``sig`` is one row per doc with the
+    ``n_hashes`` min-hash members (``_id, _h0.._h{n-1}``) and ``rows``
+    is the hashed gram inverted index (``_id, _gram`` int64, duplicates
+    preserved). Pure function of (corpus, n_hashes, shingle_k,
+    use_token_ngrams) — the persisted MinHash index
+    (:mod:`etl_project_spark.sources.dedup_index`) writes exactly these
+    frames, so served and inflight runs are definitionally identical.
+    See :func:`minhash_near_dup_pairs` for the shape/codegen notes.
+    """
+    rows = (
+        ngram_rows(df, id_col, text_col, n=shingle_k)
+        if use_token_ngrams
+        else shingle_rows(df, id_col, text_col, k=shingle_k)
+    ).select("_id", F.xxhash64("_gram").alias("_gram"))
+    sig = rows.groupBy("_id").agg(
+        *[F.min(F.xxhash64("_gram", F.lit(j))).alias(f"_h{j}") for j in range(n_hashes)]
+    )
+    return sig, rows
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -362,6 +392,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     use_token_ngrams: bool = False,
     prefilter: bool = True,
+    signed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact Jaccard verify.
 
@@ -391,47 +422,55 @@ def minhash_near_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    df = ensure_parallelism(df)
     rows_per_band = n_hashes // bands
-    # Grams are hashed to int64 AT THE SOURCE (round-8; same device and
-    # documented collision bound as ngram_jaccard_pairs): every
-    # downstream consumer — the 64-member signature family, the
-    # persisted cache, the exact-verify inverted index — needs only a
-    # stable gram identity, never the text, so the ~50-byte gram
-    # strings are dropped before anything is cached or shuffled. At
-    # the sf10 sweep the persisted gram rows were ~40 GB as strings
-    # (the cache pressure that GC-killed the 8 g JVM) vs ~8 GB as
-    # longs, and the verify join's candidate×gram intermediate slims
-    # by the same factor. The signature values are UNCHANGED: the
-    # member family was already xxhash64(xxhash64(gram), j).
-    rows = (
-        ngram_rows(df, id_col, text_col, n=shingle_k)
-        if use_token_ngrams
-        else shingle_rows(df, id_col, text_col, k=shingle_k)
-    ).select("_id", F.xxhash64("_gram").alias("_gram"))
+    if signed is None:
+        # Grams are hashed to int64 AT THE SOURCE (round-8; same device
+        # and documented collision bound as ngram_jaccard_pairs): every
+        # downstream consumer — the 64-member signature family, the
+        # persisted cache, the exact-verify inverted index — needs only
+        # a stable gram identity, never the text, so the ~50-byte gram
+        # strings are dropped before anything is cached or shuffled. At
+        # the sf10 sweep the persisted gram rows were ~40 GB as strings
+        # (the cache pressure that GC-killed the 8 g JVM) vs ~8 GB as
+        # longs, and the verify join's candidate×gram intermediate
+        # slims by the same factor. The signature values are UNCHANGED:
+        # the member family was already xxhash64(xxhash64(gram), j).
+        #
+        # Hash family: ONE xxhash64 over the gram string, then 64
+        # derived members by re-hashing the resulting 8-byte long with
+        # the member index as seed column. Hashing 8 fixed bytes beats
+        # hashing the string 64× (~1.7× faster measured), and the
+        # expression stays small enough that its one-off codegen
+        # compile is cheap — a multiply-add mod-p family was faster
+        # steady-state but ~1 s slower to compile, a loss for run-once
+        # plans. Derived members of a single 64-bit hash are min-wise
+        # independent enough here because candidates are verified with
+        # exact Jaccard anyway.
+        sig, rows = minhash_sig_rows(
+            ensure_parallelism(df),
+            id_col,
+            text_col,
+            n_hashes=n_hashes,
+            shingle_k=shingle_k,
+            use_token_ngrams=use_token_ngrams,
+        )
+        # sig feeds 4 plan branches (band self-join ×2 + both prefilter
+        # sides) and rows feeds 2; without persist Spark re-executes the
+        # shingle+signature stages once per branch (measured 5×
+        # recompute). sig is tiny (n_docs × 64 longs); shingle rows
+        # spill to disk if big. Tracked for harness-side release
+        # (session.release_persists) — a builder can't unpersist caches
+        # its caller's action still needs.
+        from etl_project_spark.session import scoped_persist
 
-    # Hash family: ONE xxhash64 over the gram string (above), then 64
-    # derived members by re-hashing the resulting 8-byte long with the
-    # member index as seed column. Hashing 8 fixed bytes beats hashing
-    # the string 64× (~1.7× faster measured), and the expression stays
-    # small enough that its one-off codegen compile is cheap — a
-    # multiply-add mod-p family was faster steady-state but ~1 s slower
-    # to compile, a loss for run-once plans. Derived members of a
-    # single 64-bit hash are min-wise independent enough here because
-    # candidates are verified with exact Jaccard anyway.
-    sig = rows.groupBy("_id").agg(
-        *[F.min(F.xxhash64("_gram", F.lit(j))).alias(f"_h{j}") for j in range(n_hashes)]
-    )
-    # sig feeds 4 plan branches (band self-join ×2 + both prefilter
-    # sides) and rows feeds 2; without persist Spark re-executes the
-    # shingle+signature stages once per branch (measured 5× recompute).
-    # sig is tiny (n_docs × 64 longs); shingle rows spill to disk if big.
-    # Tracked for harness-side release (session.release_persists) — a
-    # builder can't unpersist caches its caller's action still needs.
-    from etl_project_spark.session import scoped_persist
-
-    sig = scoped_persist(sig, StorageLevel.MEMORY_AND_DISK)
-    rows = scoped_persist(rows, StorageLevel.MEMORY_AND_DISK)
+        sig = scoped_persist(sig, StorageLevel.MEMORY_AND_DISK)
+        rows = scoped_persist(rows, StorageLevel.MEMORY_AND_DISK)
+    else:
+        # Served from the persisted MinHash index: the signing pass
+        # (shingle explode + 64-way min agg — the dominant cost) was
+        # paid at persist time; the parquet frames re-read cheaply per
+        # branch, so no session cache is taken out here.
+        sig, rows = signed
     sig_arr = F.array(*[F.col(f"_h{j}") for j in range(n_hashes)])
     banded = sig.select(
         "_id",

@@ -109,10 +109,22 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-vs-bruteforce property test in tests/test_dedup.py guards
     the family independently of corpus.
     """
+    from etl_project_spark.sources.dedup_index import (
+        load_minhash_index,
+        minhash_index_for,
+    )
+
     d = _t(spark, sf_dir, "documents")
+    # Serving amortization (round-14, the gram/SimHash index
+    # precedent): a session that has run ``persist_minhash_index``
+    # answers repeat sweeps from the persisted signature + gram frames
+    # and skips the signing pass entirely. No registration (the
+    # driver's correctness runs) → the self-contained inflight path.
+    idx = minhash_index_for(sf_dir, n_hashes=64, shingle_k=3, use_token_ngrams=True)
+    signed = load_minhash_index(spark, idx) if idx is not None else None
     return DD.minhash_near_dup_pairs(
         d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
-        threshold=0.5, use_token_ngrams=True, prefilter=False,
+        threshold=0.5, use_token_ngrams=True, prefilter=False, signed=signed,
     ).orderBy("id_a", "id_b")
 
 

@@ -312,6 +312,21 @@ def _spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed on the cell, which is also the skew-salting shape the
     # docstring names for dense cells.
     joined = cc.join(s9, ["cell_lat", "cell_lng"])
+    # Lossless bounding-box prescreen BEFORE the trig (r14): the grid
+    # join's 3×3 neighborhood admits candidates up to ~1° away, but
+    # haversine ≥ 111.195 km/° · |Δlat| everywhere and ≥ 85.1 km/° ·
+    # |Δlng| at |lat| ≤ 40° (this region's extreme, cos 40° = 0.766),
+    # so |Δlat| ≥ 0.3599° ⇒ km ≥ 40.02 and |Δlng| ≥ 0.4698° ⇒ km ≥
+    # 40.01 — both beyond the round(km,3) ≤ 40.0 acceptance slack
+    # (40.0005) with ≥ 10 m margin. ~68 % of candidates skip the
+    # sin/cos/asin entirely (the box is 0.72×0.94 deg² of the 2.25 deg²
+    # searched); the oracle keeps the plain haversine, which returns
+    # the identical pair set because the prescreen rejects only pairs
+    # the km filter rejects anyway.
+    joined = joined.where(
+        (F.abs(F.col("c_lat") - F.col("s_lat")) < 0.3599)
+        & (F.abs(F.col("c_lng") - F.col("s_lng")) < 0.4698)
+    )
     dphi = F.radians(F.col("c_lat") - F.col("s_lat")) / 2.0
     dlmb = F.radians(F.col("c_lng") - F.col("s_lng")) / 2.0
     a = F.sin(dphi) * F.sin(dphi) + F.cos(F.radians(F.col("s_lat"))) * F.cos(

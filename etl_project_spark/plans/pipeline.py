@@ -427,3 +427,110 @@ def q_curation_pipeline_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").cast("long").alias("n_sources"),
         )
     )
+
+
+@register(
+    "q_incremental_curation_audit",
+    oracle="""
+WITH batch AS (
+  SELECT doc_id, source, n_chars, text,
+         MD5(TRIM(regexp_replace(regexp_replace(LOWER(text),
+             '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS nkey
+  FROM documents WHERE source = 'src19'
+), hist AS (
+  SELECT DISTINCT MD5(TRIM(regexp_replace(regexp_replace(LOWER(text),
+             '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS nkey
+  FROM documents WHERE source <> 'src19'
+), canon AS (
+  SELECT doc_id, source, n_chars, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY nkey ORDER BY doc_id) AS rn
+    FROM batch WHERE nkey NOT IN (SELECT nkey FROM hist)
+  ) WHERE rn = 1
+), toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(TRIM(regexp_replace(LOWER(text),
+             '\\s+', ' ', 'g')), ' ') AS t
+  FROM canon
+), feats AS (
+  SELECT doc_id, u.g FROM toks, UNNEST(t) AS u(g)
+  UNION ALL
+  SELECT doc_id, array_to_string(t[p : p + 1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(p)
+  WHERE len(t) >= 2
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_feats,
+         SUM(((CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % 4096)
+               * 2654435761) % 4294967296) AS sw
+  FROM feats GROUP BY doc_id
+)
+SELECT CAST(('0x' || SUBSTR(MD5(CAST(c.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+         AS shard,
+       COUNT(*) AS n_docs,
+       SUM(c.n_chars) AS total_chars,
+       CAST(COUNT(DISTINCT c.source) AS BIGINT) AS n_sources
+FROM canon c JOIN agg a ON a.doc_id = c.doc_id
+WHERE 2 * a.sw >= a.n_feats * 4294967296
+GROUP BY shard
+""",
+    tags=("pipeline", "curation", "incremental", "dedup"),
+)
+def q_incremental_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation — the continuous-ingestion shape of
+    ``q_curation_pipeline_sharded``: the arriving crawl batch (source
+    ``src19``, the incremental-dedup convention) is canonical-key
+    deduplicated WITHIN ITSELF (min doc_id per nkey) and AGAINST the
+    history corpus's nkey set, quality-gated by the hashed linear
+    classifier, then shard-assigned and audited per shard.
+
+    The history side is servable from the persisted canonical-key
+    index (:mod:`etl_project_spark.sources.dedup_index`): a session
+    that ran ``persist_nkey_index`` answers repeat batches without
+    re-canonicalizing history. The streaming twin
+    (:mod:`etl_project_spark.streaming.pipeline`) consumes the
+    identical static frame; its drained state feeds the SAME
+    ``curation_shard_audit`` rollup this plan ends with, so batch and
+    stream cannot drift (equality pinned in tests/test_streaming.py).
+
+    Scale shape: the anti-join shuffles (nkey) on both sides — at
+    100 TB the persisted index is bucketed by nkey so only the batch
+    side moves; dedup shuffles digests; the classifier shuffles
+    (doc_id, bigint) feature rows; the audit has ≤ 8 groups. The text
+    column never crosses an exchange.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_project_spark.operators.dedup import canonical_nkey
+    from etl_project_spark.plans.quality import hashed_margin_agg
+    from etl_project_spark.sources.dedup_index import (
+        BATCH_SOURCE,
+        load_nkey_index,
+        nkey_index_for,
+    )
+    from etl_project_spark.streaming.pipeline import (
+        curation_shard_audit,
+        history_nkey_index,
+    )
+
+    tune_session(spark)
+    d = read_table(spark, sf_dir, "documents")
+    idx = nkey_index_for(sf_dir)
+    hist = (
+        load_nkey_index(spark, idx)
+        if idx is not None
+        else history_nkey_index(d.filter(F.col("source") != BATCH_SOURCE))
+    )
+    batch = d.filter(F.col("source") == BATCH_SOURCE).select(
+        "doc_id", "source", "n_chars", "text",
+        canonical_nkey(F.col("text")).alias("nkey"),
+    )
+    rn = F.row_number().over(W.partitionBy("nkey").orderBy("doc_id"))
+    canon = (
+        batch.join(hist, "nkey", "left_anti")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars", "text")
+    )
+    canonicals = canon.join(hashed_margin_agg(canon), "doc_id").select(
+        "doc_id", "source", "n_chars", "n_feats", "_sw"
+    )
+    return curation_shard_audit(canonicals)

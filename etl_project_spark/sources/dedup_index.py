@@ -85,21 +85,84 @@ class SimHashIndex:
         self.owns_path = owns_path
 
 
+class MinHashIndex:
+    """Handle for one persisted MinHash signing pass: the signature
+    frame (``_id, _h0.._h{n-1}``) plus the DISTINCT hashed-gram
+    inverted index (``_id, _gram``) the exact-Jaccard verify needs —
+    both written by the shared :func:`minhash_sig_rows` builder over
+    the FULL corpus (the near-dup sweep topology, unlike the
+    batch/history split above). Same ``owns_path`` cleanup contract as
+    :class:`GramIndex`. ``bands`` is deliberately NOT a key parameter:
+    band hashes derive from the signature downstream, so one signing
+    serves any banding.
+    """
+
+    __slots__ = (
+        "sig_path",
+        "rows_path",
+        "n_hashes",
+        "shingle_k",
+        "use_token_ngrams",
+        "owns_path",
+    )
+
+    def __init__(
+        self,
+        sig_path: str,
+        rows_path: str,
+        n_hashes: int,
+        shingle_k: int,
+        use_token_ngrams: bool,
+        owns_path: bool = False,
+    ) -> None:
+        self.sig_path = sig_path
+        self.rows_path = rows_path
+        self.n_hashes = n_hashes
+        self.shingle_k = shingle_k
+        self.use_token_ngrams = use_token_ngrams
+        self.owns_path = owns_path
+
+
+class NkeyIndex:
+    """Handle for one persisted canonical-key (``nkey``) set of the
+    HISTORY corpus — the static side of the incremental curation
+    pipeline's dedup stage. Same ``owns_path`` contract as
+    :class:`GramIndex`. No build parameters: the canonicalization is
+    THE shared ``canonical_nkey`` contract, so there is nothing to
+    mismatch."""
+
+    __slots__ = ("path", "owns_path")
+
+    def __init__(self, path: str, owns_path: bool = False) -> None:
+        self.path = path
+        self.owns_path = owns_path
+
+
 _GRAM: dict[str, GramIndex] = {}
 _SIMHASH: dict[str, SimHashIndex] = {}
+_MINHASH: dict[str, MinHashIndex] = {}
+_NKEY: dict[str, NkeyIndex] = {}
 
 
 def _drop(idx) -> None:
     """Delete a module-owned index directory (no-op for caller paths)."""
     if idx is not None and idx.owns_path:
-        shutil.rmtree(os.path.dirname(idx.path), ignore_errors=True)
+        path = idx.sig_path if isinstance(idx, MinHashIndex) else idx.path
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
 def clear_dedup_indexes() -> None:
-    for idx in (*_GRAM.values(), *_SIMHASH.values()):
+    for idx in (
+        *_GRAM.values(),
+        *_SIMHASH.values(),
+        *_MINHASH.values(),
+        *_NKEY.values(),
+    ):
         _drop(idx)
     _GRAM.clear()
     _SIMHASH.clear()
+    _MINHASH.clear()
+    _NKEY.clear()
 
 
 def _history_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,4 +251,102 @@ def simhash_index_for(
 
 
 def load_simhash_index(spark: SparkSession, idx: SimHashIndex) -> DataFrame:
+    return spark.read.parquet(idx.path)
+
+
+def persist_minhash_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+    use_token_ngrams: bool = True,
+    path: str | None = None,
+) -> MinHashIndex:
+    """Pay the MinHash signing pass once for the FULL documents corpus
+    at ``sf_dir``: write the signature frame and the distinct
+    hashed-gram rows (built by the SAME ``minhash_sig_rows`` the
+    inflight plan uses) to parquet and register them. Repeat near-dup
+    sweeps then skip the shingle explode + 64-way min aggregation —
+    the dominant cost of ``q_minhash_near_dup_pairs`` (the #1 sf10
+    in-sweep cost, 394–454 s, re-signed on every run before this)."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.operators.dedup import minhash_sig_rows
+
+    owns = path is None
+    if path is None:
+        path = tempfile.mkdtemp(prefix="minhash_index_")
+    tag = f"nh{n_hashes}_k{shingle_k}_{'tok' if use_token_ngrams else 'char'}"
+    sig_path = os.path.join(path, f"sig_{tag}")
+    rows_path = os.path.join(path, f"grams_{tag}")
+    sig, rows = minhash_sig_rows(
+        read_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n_hashes=n_hashes,
+        shingle_k=shingle_k,
+        use_token_ngrams=use_token_ngrams,
+    )
+    sig.write.mode("overwrite").parquet(sig_path)
+    # Distinct here is idempotent for the verify stage (it re-applies
+    # dropDuplicates) and shrinks the persisted index.
+    rows.dropDuplicates(["_id", "_gram"]).write.mode("overwrite").parquet(rows_path)
+    idx = MinHashIndex(
+        sig_path, rows_path, n_hashes, shingle_k, use_token_ngrams, owns_path=owns
+    )
+    key = os.path.abspath(sf_dir)
+    _drop(_MINHASH.get(key))  # rebuild: reap the replaced module-owned dir
+    _MINHASH[key] = idx
+    return idx
+
+
+def minhash_index_for(
+    sf_dir: str, *, n_hashes: int, shingle_k: int, use_token_ngrams: bool
+) -> MinHashIndex | None:
+    idx = _MINHASH.get(os.path.abspath(sf_dir))
+    if (
+        idx is not None
+        and idx.n_hashes == n_hashes
+        and idx.shingle_k == shingle_k
+        and idx.use_token_ngrams == use_token_ngrams
+    ):
+        return idx
+    return None
+
+
+def load_minhash_index(
+    spark: SparkSession, idx: MinHashIndex
+) -> tuple[DataFrame, DataFrame]:
+    """(sig, distinct gram rows) — the ``signed=`` input of
+    :func:`minhash_near_dup_pairs`."""
+    return spark.read.parquet(idx.sig_path), spark.read.parquet(idx.rows_path)
+
+
+def persist_nkey_index(
+    spark: SparkSession, sf_dir: str, *, path: str | None = None
+) -> NkeyIndex:
+    """Write the history corpus's distinct canonical-key set (built by
+    the shared ``history_nkey_index``) and register it for ``sf_dir``
+    — the static side of the incremental curation dedup."""
+    from etl_project_spark.streaming.pipeline import history_nkey_index
+
+    owns = path is None
+    if path is None:
+        path = tempfile.mkdtemp(prefix="nkey_index_")
+    target = os.path.join(path, "nkeys")
+    history_nkey_index(_history_docs(spark, sf_dir)).write.mode(
+        "overwrite"
+    ).parquet(target)
+    idx = NkeyIndex(target, owns_path=owns)
+    key = os.path.abspath(sf_dir)
+    _drop(_NKEY.get(key))  # rebuild: reap the replaced module-owned dir
+    _NKEY[key] = idx
+    return idx
+
+
+def nkey_index_for(sf_dir: str) -> NkeyIndex | None:
+    return _NKEY.get(os.path.abspath(sf_dir))
+
+
+def load_nkey_index(spark: SparkSession, idx: NkeyIndex) -> DataFrame:
     return spark.read.parquet(idx.path)

@@ -213,3 +213,100 @@ def test_module_owned_index_dirs_are_reaped(spark, tmp_path):
     c = DX.persist_gram_index(spark, SF_ORACLE, path=mine)
     DX.clear_dedup_indexes()
     assert os.path.isdir(os.path.dirname(c.path))  # caller path kept
+
+
+def _run_minhash(spark):
+    return sorted(
+        tuple(r)
+        for r in all_specs()["q_minhash_near_dup_pairs"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    )
+
+
+def test_minhash_index_served_equals_inflight(spark, tmp_path):
+    DX.clear_dedup_indexes()
+    inflight = _run_minhash(spark)
+    DX.persist_minhash_index(spark, SF_ORACLE, path=str(tmp_path / "midx"))
+    try:
+        served = _run_minhash(spark)
+    finally:
+        DX.clear_dedup_indexes()
+    assert served == inflight and inflight
+
+
+def test_minhash_index_served_plan_skips_signing_scan(spark, tmp_path):
+    """With the index registered, the near-dup plan must not touch the
+    documents table at all — signatures AND verify grams both come from
+    the persisted parquet, so no text column is read anywhere."""
+    spark.catalog.clearCache()
+    DX.persist_minhash_index(spark, SF_ORACLE, path=str(tmp_path / "midx"))
+    try:
+        plan = (
+            all_specs()["q_minhash_near_dup_pairs"]
+            .builder(spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        DX.clear_dedup_indexes()
+    assert "text:string" not in plan  # no corpus scan survives
+    assert "_h0:bigint" in plan  # signature parquet is the source
+    # guard the assertion against plan-string drift: the inflight plan
+    # DOES scan the text column
+    inflight_plan = (
+        all_specs()["q_minhash_near_dup_pairs"]
+        .builder(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "text:string" in inflight_plan
+
+
+def test_minhash_index_param_mismatch_refuses(spark, tmp_path):
+    idx = DX.persist_minhash_index(spark, SF_ORACLE, path=str(tmp_path / "midx"))
+    try:
+        assert (
+            DX.minhash_index_for(
+                SF_ORACLE, n_hashes=64, shingle_k=3, use_token_ngrams=True
+            )
+            is idx
+        )
+        assert (
+            DX.minhash_index_for(
+                SF_ORACLE, n_hashes=64, shingle_k=5, use_token_ngrams=True
+            )
+            is None
+        )
+        assert (
+            DX.minhash_index_for(
+                "/nonexistent", n_hashes=64, shingle_k=3, use_token_ngrams=True
+            )
+            is None
+        )
+    finally:
+        DX.clear_dedup_indexes()
+
+
+def test_nkey_index_served_equals_inflight(spark, tmp_path):
+    DX.clear_dedup_indexes()
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in all_specs()["q_incremental_curation_audit"]
+            .builder(spark, SF_ORACLE)
+            .collect()
+        )
+
+    inflight = run()
+    idx = DX.persist_nkey_index(spark, SF_ORACLE, path=str(tmp_path / "nidx"))
+    try:
+        assert DX.nkey_index_for(SF_ORACLE) is idx
+        assert DX.nkey_index_for("/nonexistent") is None
+        served = run()
+    finally:
+        DX.clear_dedup_indexes()
+    assert served == inflight and inflight

@@ -1197,3 +1197,79 @@ def test_stream_incremental_topk_merge_dedups_by_id(spark, tmp_path):
     assert q.awaitTermination(180)
     assert state == want
     assert len({vid for _, vid in state}) == len(state)
+
+
+def test_curation_doc_state_matches_hashed_margin_agg(spark):
+    """The stream side's stateless array-fold classifier must be
+    BIGINT-identical to the batch explode-aggregate (the property that
+    makes the stream/batch equality exact, not a tolerance)."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.plans.quality import hashed_margin_agg
+    from etl_project_spark.streaming import pipeline as SP
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    got = {
+        r.doc_id: (r.n_feats, r._sw)
+        for r in SP.curation_doc_state(docs).collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r._sw) for r in hashed_margin_agg(docs).collect()
+    }
+    assert got == want and want
+
+
+def test_stream_curation_audit_matches_batch(spark, tmp_path):
+    """Stream-static incremental curation: src19 documents streamed
+    over multiple triggers against the static nkey index; the drained
+    canonical state + the shared shard-audit rollup reproduce
+    q_incremental_curation_audit's full output exactly."""
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.streaming import pipeline as SP
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    batch_dir = str(tmp_path / "arriving")
+    # several files -> several micro-batches with maxFilesPerTrigger=1;
+    # repartition splits nkey groups ACROSS triggers, exercising the
+    # cross-trigger min-merge
+    docs.filter("source = 'src19'").repartition(4).write.parquet(batch_dir)
+    hist = SP.history_nkey_index(docs.filter("source <> 'src19'"))
+
+    stream = (
+        spark.readStream.schema(SD_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_dir)
+    )
+    q = (
+        SP.stream_curation_canonicals(stream, hist)
+        .writeStream.format("memory")
+        .queryName("curation_canon")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+    # update mode re-emits a key's row whenever a smaller doc_id
+    # arrives; the drain rollup keeps the final (min) state per nkey
+    state = spark.sql("SELECT * FROM curation_canon")
+    final = (
+        state.groupBy("nkey")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(
+                F.struct("source", "n_chars", "n_feats", "_sw"), F.col("doc_id")
+            ).alias("_p"),
+        )
+        .select("doc_id", "_p.source", "_p.n_chars", "_p.n_feats", "_p._sw")
+    )
+    got = {
+        r.shard: (r.n_docs, r.total_chars, r.n_sources)
+        for r in SP.curation_shard_audit(final).collect()
+    }
+    want = {
+        r.shard: (r.n_docs, r.total_chars, r.n_sources)
+        for r in all_specs()["q_incremental_curation_audit"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    }
+    assert got == want and want
