@@ -917,12 +917,13 @@ def q_distinct_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ").alias("t"),
     ).where(F.size("t") >= 3)
+    # Row form (standing rule, BASELINE §r13): explode the position
+    # sequence and slice as a plain codegen projection — the former
+    # transform(sequence, p -> array_join(slice(...))) evaluated the
+    # join+slice through the interpreted lambda evaluator per gram.
     grams = toks.select(
-        "source",
-        F.explode(
-            F.expr("transform(sequence(1, size(t) - 2), p -> array_join(slice(t, p, 3), ' '))")
-        ).alias("g"),
-    )
+        "source", "t", F.explode(F.expr("sequence(1, size(t) - 2)")).alias("p")
+    ).select("source", F.expr("array_join(slice(t, p, 3), ' ')").alias("g"))
     return grams.groupBy("source").agg(
         F.count(F.lit(1)).alias("total_3grams"),
         F.countDistinct("g").alias("distinct_3grams"),
