@@ -112,8 +112,9 @@ BENCH_QUERIES = (
     "q_holt_winters_seasonal",
     "q_pca_power_iteration",
     # round-14 additions (append-only): incremental curation (batch
-    # twin of the streaming pipeline)
+    # twin of the streaming pipeline) + incremental CDC chunk-store
     "q_incremental_curation_audit",
+    "q_cdc_incremental_chunk_dedup",
 )
 
 

@@ -1356,18 +1356,25 @@ _CDC_CORPUS_SQL = """
   WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 7
 """
 
-_CDC_CHUNKS_SQL = f"""
-WITH corpus AS ({_CDC_CORPUS_SQL}),
-bounds AS (
+def _cdc_chunks_cte(corpus_sql: str, prefix: str = "") -> str:
+    """DuckDB CTE block chunking an arbitrary ``(doc_id, text)`` corpus
+    under the CDC boundary contract — the SQL twin of
+    :func:`_cdc_chunks_of`. ``prefix`` namespaces the CTE names so two
+    corpora can be chunked in one query."""
+    w, w1, mask = _CDC_WINDOW, _CDC_WINDOW - 1, _CDC_MASK
+    p = prefix
+    return f"""
+{p}corpus AS ({corpus_sql}),
+{p}bounds AS (
   SELECT doc_id, text, length(text) AS n,
-         CASE WHEN length(text) >= {_CDC_WINDOW} THEN
-           list_filter(range({_CDC_WINDOW}, length(text) + 1),
-                       i -> substr(md5(substr(text, CAST(i - {_CDC_WINDOW - 1} AS INT),
-                                              {_CDC_WINDOW})), 1, 2) <= '{_CDC_MASK}')
+         CASE WHEN length(text) >= {w} THEN
+           list_filter(range({w}, length(text) + 1),
+                       i -> substr(md5(substr(text, CAST(i - {w1} AS INT),
+                                              {w})), 1, 2) <= '{mask}')
          ELSE [] END AS b
-  FROM corpus
+  FROM {p}corpus
 ),
-chunks AS (
+{p}chunks AS (
   SELECT doc_id,
          UNNEST(list_transform(range(1, len(b) + 2),
            j -> substr(text,
@@ -1376,9 +1383,12 @@ chunks AS (
                             - CASE WHEN j = 1 THEN 1 ELSE b[CAST(j AS INT) - 1] + 1 END
                             + 1 AS INT))
          )) AS chunk
-  FROM bounds
+  FROM {p}bounds
 )
 """
+
+
+_CDC_CHUNKS_SQL = "WITH " + _cdc_chunks_cte(_CDC_CORPUS_SQL)
 
 
 def _cdc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,7 +1460,14 @@ def _cdc_chunk_frame_hof(
 
 
 def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, chunk) rows under the CDC boundary contract above.
+    """(doc_id, chunk) rows for the planted-clone CDC corpus — see
+    :func:`_cdc_chunks_of` for the physical shape."""
+    return _cdc_chunks_of(spark, _cdc_corpus(spark, sf_dir))
+
+
+def _cdc_chunks_of(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """(doc_id, chunk) rows under the CDC boundary contract above, for
+    any ``(doc_id, text)`` corpus.
 
     Physical shape (row form, per the standing BASELINE.md expression
     rule): the per-position boundary test runs as a plain whole-stage-
@@ -1469,7 +1486,6 @@ def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     document splits and the only extra exchange vs the HOF form is the
     int-only boundary shuffle plus a linear join-back of the corpus.
     """
-    corpus = _cdc_corpus(spark, sf_dir)
     # The boundary scan does ~one md5 per CHARACTER — 64x more CPU than
     # bytes read — so input-size-based splitting under-parallelizes it
     # badly (a 6 MB documents file -> 4 partitions -> 28 idle cores).
@@ -1646,4 +1662,117 @@ def q_cdc_shared_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("shared_chunks") >= 3)
         .select("doc_a", "doc_b", "shared_chunks", "shared_chars")
+    )
+
+
+_CDC_HIST_SQL = "SELECT doc_id, text FROM documents WHERE source <> 'src19'"
+
+_CDC_BATCH_SQL = """
+  SELECT doc_id, text FROM documents WHERE source = 'src19'
+  UNION ALL
+  SELECT doc_id + 50000000,
+         'INSERTED PREFIX BYTES SHIFT EVERYTHING ' || text
+  FROM documents
+  WHERE source <> 'src19'
+    AND CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 7
+"""
+
+
+@register(
+    "q_cdc_incremental_chunk_dedup",
+    oracle="WITH "
+    + _cdc_chunks_cte(_CDC_HIST_SQL, "h")
+    + ","
+    + _cdc_chunks_cte(_CDC_BATCH_SQL, "b")
+    + """,
+store AS (
+  SELECT DISTINCT md5(chunk) AS dg FROM hchunks WHERE length(chunk) > 0
+),
+bc AS (
+  SELECT doc_id, md5(chunk) AS dg, length(chunk) AS clen
+  FROM bchunks WHERE length(chunk) > 0
+)
+SELECT bc.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN s.dg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       CAST(SUM(CASE WHEN s.dg IS NOT NULL THEN clen ELSE 0 END) AS BIGINT)
+         AS chars_saved,
+       ROUND(1.0 * SUM(CASE WHEN s.dg IS NOT NULL THEN clen ELSE 0 END)
+             / SUM(clen), 4) AS dedup_ratio
+FROM bc LEFT JOIN store s ON bc.dg = s.dg
+GROUP BY bc.doc_id
+""",
+    tags=("dedup", "cdc", "chunking", "incremental"),
+)
+def q_cdc_incremental_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC chunk-store dedup — the chunk family's
+    continuous-ingestion shape (rsync/LBFS at the corpus level, and the
+    chunk-level sibling of ``q_incremental_dedup_new_batch``): the
+    arriving batch (source ``src19``) is chunked at md5-window
+    boundaries and content-addressed against the HISTORY corpus's
+    distinct chunk-digest store; per batch document it reports how many
+    chunks the store already holds and the characters a chunk-level
+    store deduplicates away.
+
+    The synthetic corpus has no natural cross-source duplication, so a
+    5% md5-slice of HISTORY docs is planted into the batch with a
+    PREFIX INSERTION (ids +50M) — exactly the transformation fixed-size
+    blocking cannot survive; CDC re-finds their suffix chunks in the
+    store, making per-doc dedup_ratio a scale-stable planted assertion
+    (near-0 for genuine src19 docs, high for the planted clones).
+
+    Scale shape: both chunkers are the width-controlled row-form scan
+    (:func:`_cdc_chunks_of`); the store is a distinct over 32-char
+    digests (map-side partial agg); the probe is a digest equi-join
+    whose left side is batch-bounded and whose right side shuffles only
+    digests. At 100 TB the store is the persisted piece (bucketed by
+    digest, the ``sources/dedup_index.py`` pattern) and only the
+    arriving batch is chunked per run. Output is one row per batch doc.
+    """
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("source") != "src19").select("doc_id", "text")
+    store = (
+        _cdc_chunks_of(spark, hist)
+        .select(F.md5(F.col("chunk").cast("binary")).alias("dg"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 20
+    )
+    clones = d.filter((F.col("source") != "src19") & (bucket == 7)).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("INSERTED PREFIX BYTES SHIFT EVERYTHING "), F.col("text")
+        ).alias("text"),
+    )
+    batch = (
+        d.filter(F.col("source") == "src19")
+        .select("doc_id", "text")
+        .unionByName(clones)
+    )
+    bc = _cdc_chunks_of(spark, batch).select(
+        "doc_id",
+        F.md5(F.col("chunk").cast("binary")).alias("dg"),
+        F.length("chunk").alias("clen"),
+    )
+    return (
+        bc.join(store, "dg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("dup_chunks"),
+            F.sum(F.when(F.col("hit").isNotNull(), F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("chars_saved"),
+            F.round(
+                F.sum(F.when(F.col("hit").isNotNull(), F.col("clen")).otherwise(0))
+                * 1.0
+                / F.sum("clen"),
+                4,
+            ).alias("dedup_ratio"),
+        )
     )
