@@ -1418,13 +1418,13 @@ def _cdc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cdc_chunk_frame_hof(
     spark: SparkSession, sf_dir: str, wide: bool = False
 ) -> DataFrame:
-    """Former array-HOF form of ``_cdc_chunk_frame``, retained ONLY as
-    the A/B control for the round-14 row-form rewrite (the standing
-    BASELINE.md expression rule: interpreted per-element HOF eval on
-    hot static paths costs 2-10x vs the explode-row form). ``wide=True``
-    applies the row form's scan-width repartition so the A/B can
-    decompose parallelism vs expression-form gains. Not wired to any
-    registered query; delete once the A/B ledger row lands.
+    """Former array-HOF form of ``_cdc_chunk_frame``, retained as the
+    A/B control for ``tools/cdc_ab.py`` (measured BASELINE §r14: the
+    r13 interpreted-HOF diagnosis REFUTED — per-element md5 dominates;
+    the 11.8x gain at both decades is scan WIDTH). ``wide=True``
+    applies the row form's scan-width repartition so the A/B
+    decomposes parallelism vs expression-form gains. Not wired to any
+    registered query.
     """
     corpus = _cdc_corpus(spark, sf_dir)
     if wide:
