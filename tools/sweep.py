@@ -84,12 +84,75 @@ def _scratch_bytes(roots: list[str]) -> int:
     return total
 
 
+#: Reap stale foreign scratch when free disk drops below this. The
+#: biggest in-sweep spillers (contamination ~60 GB, knn-join post-diet
+#: ~19 GB) die exactly when orphans push free space under their peak.
+_FREE_FLOOR = 60 << 30
+#: A scratch tree none of whose files changed for this long belongs to
+#: a dead session (a live Spark session touches its dirs constantly).
+_STALE_AGE_S = 600.0
+
+
+def _free_bytes() -> int:
+    import tempfile
+
+    st = os.statvfs(tempfile.gettempdir())
+    return st.f_bavail * st.f_frsize
+
+
+def _reap_stale_foreign_scratch(own_roots: list[str]) -> int:
+    """Delete /tmp scratch trees that belong to NO live session: not
+    ours, and untouched for _STALE_AGE_S. The r14 sf10 sweep died on
+    disk because a failed query's and dead sessions' orphans ate the
+    headroom q_benchmark_contamination needs — and a barrier that only
+    WAITS can never reclaim another session's tree (its ContextCleaner
+    is gone). Deleting is safe under the staleness guard: a live
+    session's dirs have recent mtimes. Returns trees removed."""
+    import glob
+    import shutil
+    import tempfile
+
+    own = {os.path.realpath(r) for r in own_roots}
+    now = time.time()
+    reaped = 0
+    for pat in ("spark-*", "blockmgr-*"):
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            if os.path.realpath(d) in own:
+                continue
+            try:
+                newest = os.path.getmtime(d)
+                for dp, _dirs, files in os.walk(d):
+                    for f in files:
+                        try:
+                            newest = max(
+                                newest, os.path.getmtime(os.path.join(dp, f))
+                            )
+                        except OSError:
+                            pass
+            except OSError:
+                continue
+            if now - newest > _STALE_AGE_S:
+                shutil.rmtree(d, ignore_errors=True)
+                reaped += 1
+    return reaped
+
+
 def _drain_scratch(spark) -> None:
     """Bounded barrier: wait for async ContextCleaner deletions until
     THIS session's scratch is below _SCRATCH_CEILING (or the timeout
     fires, or the size stops shrinking — mass the cleaner isn't
-    reaping won't drain no matter how long we poll)."""
+    reaping won't drain no matter how long we poll). Under disk
+    pressure, additionally reap stale foreign scratch trees — waiting
+    cannot reclaim those (see _reap_stale_foreign_scratch)."""
     roots = _scratch_roots(spark)
+    if _free_bytes() < _FREE_FLOOR:
+        n = _reap_stale_foreign_scratch(roots)
+        if n:
+            print(
+                f"reaped {n} stale foreign scratch trees "
+                f"(free now {_free_bytes() >> 30} GiB)",
+                flush=True,
+            )
     deadline = time.perf_counter() + _SCRATCH_TIMEOUT_S
     prev = None
     stalled = 0
