@@ -90,7 +90,40 @@ def _scratch_bytes(roots: list[str]) -> int:
 _FREE_FLOOR = 60 << 30
 #: A scratch tree none of whose files changed for this long belongs to
 #: a dead session (a live Spark session touches its dirs constantly).
-_STALE_AGE_S = 600.0
+#: 1800 s sits 3× above the longest observed single-query stage
+#: (~600 s, minhash at sf10) so a live session parked in one long
+#: no-write stage can't look stale (ADVICE r14); the open-fd liveness
+#: probe below is the primary guard, this is the belt.
+_STALE_AGE_S = 1800.0
+
+
+def _tree_in_use(d: str) -> bool:
+    """True if ANY live process holds an open fd inside tree ``d``.
+
+    mtime staleness alone can misfire: a live session mid-way through a
+    long pure-compute stage writes nothing, and a driver's spark-* temp
+    dir (jars, userFiles) may be untouched for the whole app lifetime.
+    A /proc fd scan is exact for the dangerous case — deleting a file
+    some JVM still has open (shuffle fetch, persisted block) — and
+    costs one readdir per process, only paid under disk pressure."""
+    dreal = os.path.realpath(d).rstrip(os.sep)
+    prefix = dreal + os.sep
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        fddir = os.path.join("/proc", pid, "fd")
+        try:
+            fds = os.listdir(fddir)
+        except OSError:
+            continue  # raced exit or not ours to inspect
+        for fd in fds:
+            try:
+                tgt = os.readlink(os.path.join(fddir, fd))
+            except OSError:
+                continue
+            if tgt == dreal or tgt.startswith(prefix):
+                return True
+    return False
 
 
 def _free_bytes() -> int:
@@ -106,8 +139,12 @@ def _reap_stale_foreign_scratch(own_roots: list[str]) -> int:
     disk because a failed query's and dead sessions' orphans ate the
     headroom q_benchmark_contamination needs — and a barrier that only
     WAITS can never reclaim another session's tree (its ContextCleaner
-    is gone). Deleting is safe under the staleness guard: a live
-    session's dirs have recent mtimes. Returns trees removed."""
+    is gone). Deleting is gated THREE ways (ADVICE r14): not one of our
+    own roots, no live process holds an fd inside the tree (exact
+    guard — see _tree_in_use), and nothing in it was touched for
+    _STALE_AGE_S (belt, 3x the longest observed stage). Each deleted
+    tree is logged so a post-mortem can tell reaped-orphan from
+    crashed-session. Returns trees removed."""
     import glob
     import shutil
     import tempfile
@@ -131,7 +168,8 @@ def _reap_stale_foreign_scratch(own_roots: list[str]) -> int:
                             pass
             except OSError:
                 continue
-            if now - newest > _STALE_AGE_S:
+            if now - newest > _STALE_AGE_S and not _tree_in_use(d):
+                print(f"reaping stale foreign scratch: {d}", flush=True)
                 shutil.rmtree(d, ignore_errors=True)
                 reaped += 1
     return reaped
