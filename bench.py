@@ -115,6 +115,35 @@ BENCH_QUERIES = (
     # twin of the streaming pipeline) + incremental CDC chunk-store
     "q_incremental_curation_audit",
     "q_cdc_incremental_chunk_dedup",
+    # round-15 additions (append-only): build-then-serve registry forms
+    # of the MinHash signing index and the history nkey index
+    "q_minhash_indexed_pairs",
+    "q_nkey_indexed_curation_audit",
+)
+
+#: PINNED omission priority for the compact stdout line (round-14
+#: verdict #5): when the line exceeds the driver's 2000-char window we
+#: shed per-query entries in THIS fixed order, never by
+#: cheapest-this-run — so the compact line's query set stays identical
+#: round over round and BENCH_rN diffs are like-for-like. The first six
+#: are exactly the set r14's line shed (all sub-0.5 s at sf0.1); the
+#: tail extends with the next-cheapest sf0.1 queries so future
+#: append-only additions don't force an ad-hoc choice. APPEND-ONLY,
+#: same rule as BENCH_QUERIES. Every query always appears in
+#: BENCH_DETAIL.json regardless.
+OMIT_PRIORITY = (
+    "q_domain_quota_cap",
+    "q_knn_bruteforce_topk",
+    "q_chunk_documents_overlap",
+    "q_deterministic_shard_assignment",
+    "q_per_domain_quantile_filter",
+    "q_bmp_decoded_stats",
+    "q_bpe_token_estimate",
+    "q_image_phash_clusters",
+    "q_bpe_encode_words",
+    "q_token_stats_per_lang",
+    "q_gif_decoded_stats",
+    "q_jaro_winkler_part_pairs",
 )
 
 
@@ -237,17 +266,23 @@ def main() -> None:
     }
     line = json.dumps(compact, separators=(",", ":"))
     # Belt-and-braces: never exceed the driver's 2000-char tail window.
-    # Degrade gracefully — first shed precision, then drop the CHEAPEST
-    # queries one at a time (the expensive tail is what gets compared
-    # against BASELINE.md) with an explicit omission count, instead of
-    # discarding the whole per-query dict (which the driver contract
-    # requires).
+    # Degrade gracefully — first shed precision, then drop queries one
+    # at a time IN THE PINNED OMIT_PRIORITY ORDER (the expensive tail
+    # is what gets compared against BASELINE.md) with an explicit
+    # omission count, instead of discarding the whole per-query dict
+    # (which the driver contract requires). Cheapest-current is only
+    # the fallback once the pinned list is exhausted.
     if len(line) > 1900:
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(compact, separators=(",", ":"))
+    omit_queue = [q for q in OMIT_PRIORITY if q in compact["queries"]]
     while len(line) > 1900 and compact["queries"]:
-        cheapest = min(compact["queries"], key=compact["queries"].get)
-        del compact["queries"][cheapest]
+        victim = (
+            omit_queue.pop(0)
+            if omit_queue
+            else min(compact["queries"], key=compact["queries"].get)
+        )
+        del compact["queries"][victim]
         compact["queries_omitted"] = compact.get("queries_omitted", 0) + 1
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

@@ -713,6 +713,28 @@ def lsh_join_sizing(
 _VEC_BROADCAST_CAP = 256 << 20
 
 
+def _hint_plausible(vecs: DataFrame) -> bool:
+    """Sanity-clamp a caller's row-count hint against Catalyst's own
+    size estimate before broadcasting (ADVICE r14: an understated
+    ``left_rows``/``right_rows`` would broadcast an arbitrarily large
+    frame — a driver/executor OOM class — with no runtime validation).
+
+    ``optimizedPlan().stats().sizeInBytes`` is planning-time metadata
+    (file sizes × column-pruning ratio for parquet scans) — no job
+    runs. The estimate is deliberately compared against a LOOSE 16×
+    cap: Catalyst inflates projections of wide rows and we only need
+    to catch order-of-magnitude understatement, not re-derive the
+    size. On any stats failure trust the hint (the documented
+    contract: hints must be upper bounds)."""
+    try:
+        est = int(
+            vecs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return True
+    return est <= 16 * _VEC_BROADCAST_CAP
+
+
 def knn_join_lsh(
     left: DataFrame,
     right: DataFrame,
@@ -744,6 +766,16 @@ def knn_join_lsh(
     lower agreement the probe only loses far-away neighbors, which is
     the approximation being bought. Left rows whose true k-th neighbor
     never collides return fewer than k rows (standard ANN semantics).
+
+    ``left_rows`` / ``right_rows`` are ADVISORY UPPER BOUNDS on each
+    side's row count (index-build-time metadata, e.g. a catalog
+    count). They gate two things: LSH sizing (right side) and the
+    vector join-back broadcast — so an UNDERSTATED hint used to
+    broadcast an arbitrarily large frame. Each broadcast decision is
+    now cross-checked against Catalyst's planning-time size estimate
+    (:func:`_hint_plausible`) and falls back to the shuffle join when
+    the estimate contradicts the hint by more than an order of
+    magnitude; pass exact or over-stated counts for best plans.
     """
     from etl_project_spark.operators.dedup import _hyperplane_signs
 
@@ -812,9 +844,21 @@ def knn_join_lsh(
     # planted perturbation off the payload too.
     lvecs = left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"))
     rvecs = right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec"))
-    if left_rows is not None and left_rows * (8 * dim + 32) <= _VEC_BROADCAST_CAP:
+    # Hints are advisory upper bounds (see docstring); _hint_plausible
+    # cross-checks each against Catalyst's planning-time size estimate
+    # so an understated hint degrades to the shuffle join instead of
+    # broadcasting an arbitrarily large frame (ADVICE r14).
+    if (
+        left_rows is not None
+        and left_rows * (8 * dim + 32) <= _VEC_BROADCAST_CAP
+        and _hint_plausible(lvecs)
+    ):
         lvecs = F.broadcast(lvecs)
-    if right_rows is not None and right_rows * (8 * dim + 32) <= _VEC_BROADCAST_CAP:
+    if (
+        right_rows is not None
+        and right_rows * (8 * dim + 32) <= _VEC_BROADCAST_CAP
+        and _hint_plausible(rvecs)
+    ):
         rvecs = F.broadcast(rvecs)
     scored = (
         cand.join(lvecs, "_lid")

@@ -62,9 +62,12 @@ def q_key_dedup_orders_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_minhash_near_dup_pairs",
-    oracle="""
+#: Exact word-3-gram Jaccard >= 0.5 pair set — shared by the inflight
+#: and the indexed MinHash queries: both must return the identical
+#: (id_a, id_b, jaccard_sim) rows by construction (same signing
+#: builder, same banding, same exact verify), so one SQL twin checks
+#: both, the q_knn_ivf_indexed_topk precedent.
+_MINHASH_PAIRS_ORACLE = """
 WITH norm AS (
   SELECT doc_id,
          regexp_split_to_array(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS t
@@ -85,7 +88,12 @@ FROM shared s
 JOIN sizes sa ON s.id_a = sa.doc_id
 JOIN sizes sb ON s.id_b = sb.doc_id
 WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.5
-""",
+"""
+
+
+@register(
+    "q_minhash_near_dup_pairs",
+    oracle=_MINHASH_PAIRS_ORACLE,
     tags=("dedup", "lsh"),
 )
 def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +133,66 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_dup_pairs(
         d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
         threshold=0.5, use_token_ngrams=True, prefilter=False, signed=signed,
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_minhash_indexed_pairs",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    tags=("dedup", "lsh", "index"),
+)
+def q_minhash_indexed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs served from a MATERIALIZED signing index
+    — the q_knn_ivf_indexed_topk pattern applied to dedup (round-14
+    verdict #3): build (or rebuild) the persisted signature + distinct
+    hashed-gram parquet frames with ``persist_minhash_index``, then
+    answer the SAME banding + exact-verify query from them via
+    ``signed=``, skipping the shingle explode and the 64-way min
+    aggregation entirely — the dominant cost of the inflight query
+    (394–604 s of its sf10 runtime) and exactly the pass a 100 TB
+    incremental pipeline pays once per corpus, not once per sweep.
+
+    The build is part of the query so the registry entry is
+    self-contained and deterministic; in production the build runs
+    once and probes amortize it (measured 2.1× steady / 2.8× cold on
+    repeat sweeps, BASELINE.md round 14). ``register=False`` keeps the
+    build caller-scoped: running this query never flips the
+    process-local serving switch, so the inflight twin's timing series
+    stays a measurement of the inflight plan. Same oracle as
+    ``q_minhash_near_dup_pairs`` — the served path returns the
+    identical pair set by construction (same ``minhash_sig_rows``
+    builder wrote the index), so one SQL twin checks both; the
+    no-documents-scan property is asserted in
+    tests/test_dedup_index.py.
+
+    The index lands in a per-process unique temp dir (the IVF
+    precedent's race note): a path shared across processes raced —
+    one session's overwrite deleting part-files under another's probe
+    scan. The few-MB leak per process is bounded (one dir per
+    (pid, sf)) and lives under the OS-reaped /tmp.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from etl_project_spark.sources.dedup_index import (
+        load_minhash_index,
+        persist_minhash_index,
+    )
+
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"etl_project_spark_minhash_{_os.getpid()}",
+        _os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    idx = persist_minhash_index(
+        spark, sf_dir, n_hashes=64, shingle_k=3, use_token_ngrams=True,
+        path=path, register=False,
+    )
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dup_pairs(
+        d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
+        threshold=0.5, use_token_ngrams=True, prefilter=False,
+        signed=load_minhash_index(spark, idx),
     ).orderBy("id_a", "id_b")
 
 

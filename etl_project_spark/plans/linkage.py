@@ -243,6 +243,58 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GEO_EARTH_KM = 6371.0
 _GEO_RADIUS_KM = 40.0
 
+#: Synthetic coordinate bases (``coord = md5-hash % 2000 / 100 - base``,
+#: so lat ∈ [-_GEO_LAT_BASE, -_GEO_LAT_BASE + 19.99]). The bounding-box
+#: prescreen's Δlng rejection threshold leans on cos(max |lat|) — these
+#: constants exist so the Spark plan, and the import-time losslessness
+#: check below, share ONE definition of that extent (ADVICE r14: the
+#: old literal 40.0 sat silently at the exact edge of the cos bound).
+_GEO_LAT_BASE = 40.0
+_GEO_LNG_BASE = 60.0
+
+#: Bounding-box prescreen rejection thresholds (degrees): pairs with
+#: |Δlat| ≥ _PRESCREEN_DLAT_DEG or |Δlng| ≥ _PRESCREEN_DLNG_DEG skip
+#: the haversine because they cannot pass round(km, 3) ≤ 40.0.
+_PRESCREEN_DLAT_DEG = 0.3599
+_PRESCREEN_DLNG_DEG = 0.4698
+
+
+def _assert_prescreen_lossless() -> None:
+    """Import-time proof that the prescreen thresholds reject ONLY
+    pairs the km ≤ 40 filter rejects anyway, GIVEN the generator's
+    coordinate range (ADVICE r14: change _GEO_LAT_BASE and the old
+    hard-coded thresholds silently turned lossy — now that change
+    fails the import instead). Worst cases are exact: Δlat alone is
+    latitude-independent; Δlng alone is weakest where cos(lat) is
+    smallest, i.e. both points at the generator's extreme |lat| =
+    _GEO_LAT_BASE. round(km, 3) ≤ 40.0 accepts up to 40.0005, so the
+    thresholds must map to strictly more than that."""
+    import math
+
+    accept_edge = _GEO_RADIUS_KM + 0.0005
+    km_dlat = (
+        2.0
+        * _GEO_EARTH_KM
+        * math.asin(math.sin(math.radians(_PRESCREEN_DLAT_DEG) / 2.0))
+    )
+    worst_cos = math.cos(math.radians(_GEO_LAT_BASE))
+    km_dlng = (
+        2.0
+        * _GEO_EARTH_KM
+        * math.asin(worst_cos * math.sin(math.radians(_PRESCREEN_DLNG_DEG) / 2.0))
+    )
+    if km_dlat <= accept_edge or km_dlng <= accept_edge:
+        raise AssertionError(
+            "spatial prescreen no longer lossless for the generator's "
+            f"coordinate range: Δlat {_PRESCREEN_DLAT_DEG}° ⇒ {km_dlat:.4f} km, "
+            f"Δlng {_PRESCREEN_DLNG_DEG}° ⇒ {km_dlng:.4f} km at |lat| ≤ "
+            f"{_GEO_LAT_BASE}°, acceptance edge {accept_edge} km — widen the "
+            "thresholds or re-derive them before shipping"
+        )
+
+
+_assert_prescreen_lossless()
+
 
 def _coord_sql(key: str, off: int, base: str) -> str:
     h = f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR) || '/geo'), {off}, 8)) AS BIGINT)"
@@ -271,13 +323,13 @@ def _spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole spatial family (raw list, nearest-k, cell profile)."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
-        _coord_spark(F.col("c_custkey"), 1, 40.0).alias("c_lat"),
-        _coord_spark(F.col("c_custkey"), 9, 60.0).alias("c_lng"),
+        _coord_spark(F.col("c_custkey"), 1, _GEO_LAT_BASE).alias("c_lat"),
+        _coord_spark(F.col("c_custkey"), 9, _GEO_LNG_BASE).alias("c_lng"),
     )
     s = _t(spark, sf_dir, "supplier").select(
         "s_suppkey",
-        _coord_spark(F.col("s_suppkey"), 1, 40.0).alias("s_lat"),
-        _coord_spark(F.col("s_suppkey"), 9, 60.0).alias("s_lng"),
+        _coord_spark(F.col("s_suppkey"), 1, _GEO_LAT_BASE).alias("s_lat"),
+        _coord_spark(F.col("s_suppkey"), 9, _GEO_LNG_BASE).alias("s_lng"),
     )
     # 0.5° cells (round-8; was 1°): the grid is a LOSSLESS candidate
     # filter — any complete cell size yields the identical ≤40 km pair
@@ -324,8 +376,8 @@ def _spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identical pair set because the prescreen rejects only pairs
     # the km filter rejects anyway.
     joined = joined.where(
-        (F.abs(F.col("c_lat") - F.col("s_lat")) < 0.3599)
-        & (F.abs(F.col("c_lng") - F.col("s_lng")) < 0.4698)
+        (F.abs(F.col("c_lat") - F.col("s_lat")) < _PRESCREEN_DLAT_DEG)
+        & (F.abs(F.col("c_lng") - F.col("s_lng")) < _PRESCREEN_DLNG_DEG)
     )
     dphi = F.radians(F.col("c_lat") - F.col("s_lat")) / 2.0
     dlmb = F.radians(F.col("c_lng") - F.col("s_lng")) / 2.0

@@ -262,6 +262,7 @@ def persist_minhash_index(
     shingle_k: int = 3,
     use_token_ngrams: bool = True,
     path: str | None = None,
+    register: bool = True,
 ) -> MinHashIndex:
     """Pay the MinHash signing pass once for the FULL documents corpus
     at ``sf_dir``: write the signature frame and the distinct
@@ -294,9 +295,15 @@ def persist_minhash_index(
     idx = MinHashIndex(
         sig_path, rows_path, n_hashes, shingle_k, use_token_ngrams, owns_path=owns
     )
-    key = os.path.abspath(sf_dir)
-    _drop(_MINHASH.get(key))  # rebuild: reap the replaced module-owned dir
-    _MINHASH[key] = idx
+    # register=False builds a caller-scoped index WITHOUT flipping the
+    # process-local serving switch: the indexed registry query uses it
+    # so running it can never silently convert the inflight query's
+    # next run (same session, e.g. mid-sweep) into a served run —
+    # that would corrupt the inflight timing series, not its answer.
+    if register:
+        key = os.path.abspath(sf_dir)
+        _drop(_MINHASH.get(key))  # rebuild: reap the replaced module-owned dir
+        _MINHASH[key] = idx
     return idx
 
 
@@ -323,7 +330,11 @@ def load_minhash_index(
 
 
 def persist_nkey_index(
-    spark: SparkSession, sf_dir: str, *, path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    path: str | None = None,
+    register: bool = True,
 ) -> NkeyIndex:
     """Write the history corpus's distinct canonical-key set (built by
     the shared ``history_nkey_index``) and register it for ``sf_dir``
@@ -338,9 +349,10 @@ def persist_nkey_index(
         "overwrite"
     ).parquet(target)
     idx = NkeyIndex(target, owns_path=owns)
-    key = os.path.abspath(sf_dir)
-    _drop(_NKEY.get(key))  # rebuild: reap the replaced module-owned dir
-    _NKEY[key] = idx
+    if register:  # see persist_minhash_index: False = caller-scoped build
+        key = os.path.abspath(sf_dir)
+        _drop(_NKEY.get(key))  # rebuild: reap the replaced module-owned dir
+        _NKEY[key] = idx
     return idx
 
 

@@ -290,6 +290,53 @@ def test_minhash_index_param_mismatch_refuses(spark, tmp_path):
         DX.clear_dedup_indexes()
 
 
+def test_minhash_indexed_query_matches_inflight(spark, tmp_path):
+    """q_minhash_indexed_pairs (build-then-serve registry form) must
+    return the inflight pair set row-for-row, its probe plan must not
+    scan the documents text column, and — register=False — running it
+    must NOT flip the process-local serving switch for the inflight
+    twin (the mid-sweep timing-corruption hazard its docstring pins)."""
+    DX.clear_dedup_indexes()
+    spark.catalog.clearCache()
+    inflight = _run_minhash(spark)
+    df = all_specs()["q_minhash_indexed_pairs"].builder(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "text:string" not in plan  # probe is served, not re-signed
+    assert "_h0:bigint" in plan  # signature parquet is the source
+    indexed = sorted(tuple(r) for r in df.collect())
+    assert indexed == inflight and indexed
+    # caller-scoped build: the registry must still be empty
+    assert (
+        DX.minhash_index_for(
+            SF_ORACLE, n_hashes=64, shingle_k=3, use_token_ngrams=True
+        )
+        is None
+    )
+
+
+def test_nkey_indexed_query_matches_inflight(spark, tmp_path):
+    """q_nkey_indexed_curation_audit must equal the inflight audit
+    row-for-row, serve history from parquet (no history-predicate
+    documents scan in the plan), and leave the serving registry
+    untouched (register=False)."""
+    DX.clear_dedup_indexes()
+    spark.catalog.clearCache()
+    inflight = sorted(
+        tuple(r)
+        for r in all_specs()["q_incremental_curation_audit"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    )
+    df = all_specs()["q_nkey_indexed_curation_audit"].builder(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # history comes from the persisted nkey parquet: the history
+    # predicate (source != src19) survives in NO pushed filter
+    assert "Not(EqualTo(source" not in plan
+    indexed = sorted(tuple(r) for r in df.collect())
+    assert indexed == inflight and indexed
+    assert DX.nkey_index_for(SF_ORACLE) is None
+
+
 def test_nkey_index_served_equals_inflight(spark, tmp_path):
     DX.clear_dedup_indexes()
 

@@ -22,20 +22,43 @@ def _varied_text(n_words: int, salt: str) -> str:
 
 
 def _reassemble(base: str, chunks: list[str]) -> list[str]:
-    """Order a chunk multiset into partition order by greedy prefix
-    match against ``base`` — deterministic even when two chunks have
-    identical content (where ``sort(key=base.find)`` breaks)."""
-    remaining = list(chunks)
+    """Order a chunk multiset into partition order by backtracking
+    prefix search against ``base`` — deterministic even when two
+    chunks have identical content (where ``sort(key=base.find)``
+    breaks), and exact when one chunk is a proper prefix of another
+    starting at the same offset (where a greedy walk can pick the
+    short one, dead-end, and spuriously fail a correct multiset —
+    ADVICE r14). Longest-first ordering makes the common case
+    first-try; backtracking guarantees that if ANY ordering partitions
+    ``base``, it is found. Returns the chunks unordered when no
+    ordering works (not a partition), so the caller's join-equality
+    assertion still fails with the evidence."""
+    from collections import Counter
+
+    remaining = Counter(chunks)
+    n_left = len(chunks)
     out: list[str] = []
-    pos = 0
-    while remaining:
-        nxt = next((c for c in remaining if base.startswith(c, pos)), None)
-        if nxt is None:  # not a partition — surface what we had
-            return out + remaining
-        out.append(nxt)
-        remaining.remove(nxt)
-        pos += len(nxt)
-    return out
+
+    def walk(pos: int) -> bool:
+        nonlocal n_left
+        if pos == len(base):
+            return n_left == 0
+        for c in sorted(
+            (c for c, cnt in remaining.items() if cnt and base.startswith(c, pos)),
+            key=len,
+            reverse=True,
+        ):
+            remaining[c] -= 1
+            n_left -= 1
+            out.append(c)
+            if walk(pos + len(c)):
+                return True
+            out.pop()
+            n_left += 1
+            remaining[c] += 1
+        return False
+
+    return out if walk(0) else list(chunks)
 
 
 def test_cdc_boundaries_resynchronize_after_prefix_insertion(spark):
