@@ -375,10 +375,20 @@ def minhash_sig_rows(
         if use_token_ngrams
         else shingle_rows(df, id_col, text_col, k=shingle_k)
     ).select("_id", F.xxhash64("_gram").alias("_gram"))
-    sig = rows.groupBy("_id").agg(
+    return minhash_sig_from_rows(rows, n_hashes=n_hashes), rows
+
+
+def minhash_sig_from_rows(rows: DataFrame, *, n_hashes: int = 64) -> DataFrame:
+    """The signature aggregation over hashed-gram rows, factored out so
+    the index APPEND path can derive the batch signature frame FROM the
+    already-persisted distinct gram rows (one batch scan, not two).
+    ``min`` is duplicate-insensitive, so the signature over distinct
+    ``(_id, _gram)`` rows is bit-identical to one over raw rows — the
+    append-equals-rebuild test in tests/test_dedup_index.py pins this.
+    """
+    return rows.groupBy("_id").agg(
         *[F.min(F.xxhash64("_gram", F.lit(j))).alias(f"_h{j}") for j in range(n_hashes)]
     )
-    return sig, rows
 
 
 def minhash_near_dup_pairs(

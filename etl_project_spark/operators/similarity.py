@@ -713,7 +713,7 @@ def lsh_join_sizing(
 _VEC_BROADCAST_CAP = 256 << 20
 
 
-def _hint_plausible(vecs: DataFrame) -> bool:
+def _hint_plausible(vecs: DataFrame, hint_bytes: int) -> bool:
     """Sanity-clamp a caller's row-count hint against Catalyst's own
     size estimate before broadcasting (ADVICE r14: an understated
     ``left_rows``/``right_rows`` would broadcast an arbitrarily large
@@ -721,18 +721,22 @@ def _hint_plausible(vecs: DataFrame) -> bool:
 
     ``optimizedPlan().stats().sizeInBytes`` is planning-time metadata
     (file sizes × column-pruning ratio for parquet scans) — no job
-    runs. The estimate is deliberately compared against a LOOSE 16×
-    cap: Catalyst inflates projections of wide rows and we only need
-    to catch order-of-magnitude understatement, not re-derive the
-    size. On any stats failure trust the hint (the documented
-    contract: hints must be upper bounds)."""
+    runs. The estimate is compared against a LOOSE 16× multiple of the
+    HINT-IMPLIED bytes, not of the absolute broadcast cap (ADVICE r15:
+    the absolute form let a hint understated by <16× pass with a true
+    size far above the 256 MB budget — e.g. a 2 GB frame behind a
+    hint implying 200 MB). Catalyst inflates projections of wide rows,
+    so the 16× slack absorbs estimator noise while keeping the
+    worst-case admitted broadcast bounded by the hint's own claim. On
+    any stats failure trust the hint (the documented contract: hints
+    must be upper bounds)."""
     try:
         est = int(
             vecs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:
         return True
-    return est <= 16 * _VEC_BROADCAST_CAP
+    return est <= 16 * hint_bytes
 
 
 def knn_join_lsh(
@@ -851,13 +855,13 @@ def knn_join_lsh(
     if (
         left_rows is not None
         and left_rows * (8 * dim + 32) <= _VEC_BROADCAST_CAP
-        and _hint_plausible(lvecs)
+        and _hint_plausible(lvecs, left_rows * (8 * dim + 32))
     ):
         lvecs = F.broadcast(lvecs)
     if (
         right_rows is not None
         and right_rows * (8 * dim + 32) <= _VEC_BROADCAST_CAP
-        and _hint_plausible(rvecs)
+        and _hint_plausible(rvecs, right_rows * (8 * dim + 32))
     ):
         rvecs = F.broadcast(rvecs)
     scored = (

@@ -165,29 +165,82 @@ def q_minhash_indexed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-documents-scan property is asserted in
     tests/test_dedup_index.py.
 
-    The index lands in a per-process unique temp dir (the IVF
-    precedent's race note): a path shared across processes raced —
+    The index lands in a per-(process, corpus-abspath) unique temp dir
+    (the IVF precedent's race note, hardened per ADVICE r15 —
+    ``query_scoped_index_dir``): a path shared across processes raced —
     one session's overwrite deleting part-files under another's probe
     scan. The few-MB leak per process is bounded (one dir per
-    (pid, sf)) and lives under the OS-reaped /tmp.
+    (pid, corpus)) and lives under the OS-reaped /tmp.
     """
-    import os as _os
-    import tempfile as _tempfile
-
     from etl_project_spark.sources.dedup_index import (
         load_minhash_index,
         persist_minhash_index,
+        query_scoped_index_dir,
     )
 
-    path = _os.path.join(
-        _tempfile.gettempdir(),
-        f"etl_project_spark_minhash_{_os.getpid()}",
-        _os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
+    path = query_scoped_index_dir("minhash", sf_dir)
     idx = persist_minhash_index(
         spark, sf_dir, n_hashes=64, shingle_k=3, use_token_ngrams=True,
         path=path, register=False,
     )
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dup_pairs(
+        d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
+        threshold=0.5, use_token_ngrams=True, prefilter=False,
+        signed=load_minhash_index(spark, idx),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_minhash_index_append_pairs",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    tags=("dedup", "lsh", "index", "incremental"),
+)
+def q_minhash_index_append_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs served from an INCREMENTALLY GROWN index
+    — the maintenance path `q_minhash_indexed_pairs` was missing
+    (round-15 verdict #1, the last 100 TB operator class): the
+    persisted index is built over the HISTORY corpus only (every
+    source except the arriving batch, the ``src19`` incremental
+    convention), the batch is then signed IN ISOLATION and APPENDED
+    into the signature + distinct-gram parquet
+    (``append_minhash_index``), and the banding + exact-verify probe
+    runs against the grown index.
+
+    This is the steady-state economics of continuous ingestion at
+    100 TB: history is signed once, each arriving batch pays O(batch)
+    signing + an append write — never the O(corpus) re-sign the
+    rebuild form pays per run. The grown index is bit-identical to a
+    whole-corpus rebuild (signatures are per-document pure functions
+    of text and doc_id is unique corpus-wide — see
+    ``batch_minhash_frames``), so this query returns EXACTLY the
+    whole-corpus pair set and shares ``q_minhash_near_dup_pairs``'s
+    oracle verbatim. The signs-only-the-batch property (the append
+    job's one documents scan carries the pushed ``source = src19``
+    filter; history text is never re-read) is asserted in
+    tests/test_dedup_index.py.
+
+    Build + append + probe all inside the query so the registry entry
+    is self-contained and deterministic; ``register=False`` keeps the
+    index caller-scoped (the inflight twin's timing series stays
+    inflight — see ``q_minhash_indexed_pairs``). Same
+    per-(process, corpus-abspath) temp dir contract; append-vs-rebuild
+    economics are measured in BASELINE.md (round 16).
+    """
+    from etl_project_spark.sources.dedup_index import (
+        _history_docs,
+        append_minhash_index,
+        load_minhash_index,
+        persist_minhash_index,
+        query_scoped_index_dir,
+    )
+
+    path = query_scoped_index_dir("minhash_append", sf_dir)
+    idx = persist_minhash_index(
+        spark, sf_dir, n_hashes=64, shingle_k=3, use_token_ngrams=True,
+        path=path, register=False, docs=_history_docs(spark, sf_dir),
+    )
+    append_minhash_index(spark, sf_dir, idx)
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(
         d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,

@@ -583,24 +583,68 @@ def q_nkey_indexed_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     history-scan-free property of the served plan is asserted in
     tests/test_dedup_index.py.
 
-    Per-process unique temp dir for the same overwrite-race reason as
-    the IVF/PQ/MinHash indexed queries.
+    Per-(process, corpus-abspath) unique temp dir for the same
+    overwrite-race reason as the IVF/PQ/MinHash indexed queries
+    (``query_scoped_index_dir``, ADVICE r15).
     """
-    import os as _os
-    import tempfile as _tempfile
-
     from etl_project_spark.sources.dedup_index import (
         load_nkey_index,
         persist_nkey_index,
+        query_scoped_index_dir,
     )
 
     tune_session(spark)
-    path = _os.path.join(
-        _tempfile.gettempdir(),
-        f"etl_project_spark_nkey_{_os.getpid()}",
-        _os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
+    path = query_scoped_index_dir("nkey", sf_dir)
     idx = persist_nkey_index(spark, sf_dir, path=path, register=False)
+    return _incremental_audit_from_history(
+        spark, sf_dir, load_nkey_index(spark, idx)
+    )
+
+
+@register(
+    "q_nkey_index_append_audit",
+    oracle=_INCR_CURATION_ORACLE,
+    tags=("pipeline", "curation", "incremental", "dedup", "index"),
+)
+def q_nkey_index_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation audit against an INCREMENTALLY GROWN nkey
+    index — the maintenance twin of ``q_nkey_indexed_curation_audit``
+    (round-15 verdict #1, nkey side): the persisted canonical-key set
+    is built over the OLDER history only (every source except the two
+    most recent crawls), the previously-arrived ``src18`` batch is
+    then folded in by ``append_nkey_index`` — which canonicalizes ONLY
+    that batch and anti-joins its distinct nkeys against the persisted
+    digest column, never re-reading history text — and the arriving
+    ``src19`` batch is audited against the grown index.
+
+    Because the nkey index is a distinct SET (unlike the per-doc
+    MinHash frames), the append dedups against the existing index
+    before writing; the grown set equals ``history_nkey_index`` over
+    the full history exactly, so this query returns the identical
+    per-shard audit as the inflight and rebuild forms and shares their
+    oracle verbatim. This is the fold-in step a continuous-ingestion
+    deployment runs after each batch commits: the index grows by
+    O(batch-new-keys) per cycle while every audit keeps anti-joining a
+    build-once parquet.
+    """
+    from etl_project_spark.sources.dedup_index import (
+        BATCH_SOURCE,
+        append_nkey_index,
+        load_nkey_index,
+        persist_nkey_index,
+        query_scoped_index_dir,
+    )
+
+    tune_session(spark)
+    path = query_scoped_index_dir("nkey_append", sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    older = d.filter(
+        (F.col("source") != BATCH_SOURCE) & (F.col("source") != "src18")
+    )
+    idx = persist_nkey_index(
+        spark, sf_dir, path=path, register=False, docs=older
+    )
+    append_nkey_index(spark, sf_dir, idx, batch_source="src18")
     return _incremental_audit_from_history(
         spark, sf_dir, load_nkey_index(spark, idx)
     )

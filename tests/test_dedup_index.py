@@ -330,10 +330,138 @@ def test_nkey_indexed_query_matches_inflight(spark, tmp_path):
     df = all_specs()["q_nkey_indexed_curation_audit"].builder(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # history comes from the persisted nkey parquet: the history
-    # predicate (source != src19) survives in NO pushed filter
+    # predicate (source != src19) survives in NO pushed filter. The
+    # positive anchor (ADVICE r15: a negative check alone passes
+    # vacuously if a Spark upgrade reformats plan strings) is the index
+    # parquet's ReadSchema — only the served scan reads a bare nkey
+    # column; the inflight plan computes nkey from text.
+    assert "struct<nkey:string>" in plan
     assert "Not(EqualTo(source" not in plan
     indexed = sorted(tuple(r) for r in df.collect())
     assert indexed == inflight and indexed
+    assert DX.nkey_index_for(SF_ORACLE) is None
+
+
+def test_minhash_append_grown_equals_rebuild(spark, tmp_path):
+    """The incremental-maintenance invariant (round-16): a history-only
+    index grown by ``append_minhash_index`` over the arriving batch is
+    FRAME-IDENTICAL to a whole-corpus rebuild — same signature rows,
+    same distinct gram rows — so every ``signed=`` consumer is
+    oblivious to how the index was built. Also pins the
+    sig-from-distinct-rows equivalence ``minhash_sig_from_rows``'s
+    docstring claims (min is duplicate-insensitive)."""
+    DX.clear_dedup_indexes()
+    grown = DX.persist_minhash_index(
+        spark, SF_ORACLE, path=str(tmp_path / "hist"), register=False,
+        docs=DX._history_docs(spark, SF_ORACLE),
+    )
+    DX.append_minhash_index(spark, SF_ORACLE, grown)
+    full = DX.persist_minhash_index(
+        spark, SF_ORACLE, path=str(tmp_path / "full"), register=False
+    )
+    gsig, grows = DX.load_minhash_index(spark, grown)
+    fsig, frows = DX.load_minhash_index(spark, full)
+    assert sorted(tuple(r) for r in gsig.collect()) == sorted(
+        tuple(r) for r in fsig.collect()
+    )
+    assert sorted(tuple(r) for r in grows.collect()) == sorted(
+        tuple(r) for r in frows.collect()
+    )
+    assert gsig.count() > 0
+
+
+def test_minhash_append_signs_only_batch(spark, tmp_path):
+    """The append job's unit of work must be O(batch), not O(corpus):
+    both frames it writes carry exactly one documents scan, and that
+    scan has the batch predicate PUSHED to the parquet source. Positive
+    anchor (the pushed EqualTo must APPEAR) guards the negative
+    single-scan check against plan-format drift (ADVICE r15)."""
+    idx = DX.MinHashIndex(
+        str(tmp_path / "sig"), str(tmp_path / "rows"),
+        n_hashes=64, shingle_k=3, use_token_ngrams=True,
+    )
+    sig, rows = DX.batch_minhash_frames(spark, SF_ORACLE, idx)
+    for df in (sig, rows):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EqualTo(source,src19)" in plan  # batch filter is pushed
+        assert plan.count("FileScan") == 1  # one scan: no history side
+        assert "text" in plan  # that scan is the documents text scan
+
+
+def test_minhash_append_query_matches_inflight(spark):
+    """q_minhash_index_append_pairs (history build + batch append +
+    probe) must return the inflight whole-corpus pair set row-for-row,
+    probe from the grown parquet (no text scan in the probe plan), and
+    leave the serving registry untouched (register=False)."""
+    DX.clear_dedup_indexes()
+    spark.catalog.clearCache()
+    inflight = _run_minhash(spark)
+    df = all_specs()["q_minhash_index_append_pairs"].builder(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "text:string" not in plan  # probe is served, not re-signed
+    assert "_h0:bigint" in plan  # signature parquet is the source
+    appended = sorted(tuple(r) for r in df.collect())
+    assert appended == inflight and appended
+    assert (
+        DX.minhash_index_for(
+            SF_ORACLE, n_hashes=64, shingle_k=3, use_token_ngrams=True
+        )
+        is None
+    )
+
+
+def test_nkey_append_grown_equals_rebuild_and_stays_distinct(spark, tmp_path):
+    """Growing the nkey index by one batch (``append_nkey_index``)
+    must land exactly on ``history_nkey_index`` over the full history —
+    including the distinct-SET property (a batch nkey already present
+    in history must not be appended again). A second fold-in of the
+    same batch is a no-op (idempotent), because the anti-join sees the
+    keys already present."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.streaming.pipeline import history_nkey_index
+
+    d = read_table(spark, SF_ORACLE, "documents")
+    older = d.filter(
+        (F.col("source") != DX.BATCH_SOURCE) & (F.col("source") != "src18")
+    )
+    idx = DX.persist_nkey_index(
+        spark, SF_ORACLE, path=str(tmp_path / "nk"), register=False, docs=older
+    )
+    DX.append_nkey_index(spark, SF_ORACLE, idx, batch_source="src18")
+    full = sorted(
+        r.nkey
+        for r in history_nkey_index(
+            DX._history_docs(spark, SF_ORACLE)
+        ).collect()
+    )
+    grown = sorted(r.nkey for r in DX.load_nkey_index(spark, idx).collect())
+    assert grown == full and grown  # equality implies no duplicates
+    DX.append_nkey_index(spark, SF_ORACLE, idx, batch_source="src18")
+    again = sorted(r.nkey for r in DX.load_nkey_index(spark, idx).collect())
+    assert again == full
+
+
+def test_nkey_append_query_matches_inflight(spark):
+    """q_nkey_index_append_audit (older-history build + src18 fold-in +
+    src19 audit) must equal the inflight audit row-for-row and serve
+    history from the grown parquet (positive anchor: the bare-nkey
+    ReadSchema; negative: no history-predicate documents scan)."""
+    DX.clear_dedup_indexes()
+    spark.catalog.clearCache()
+    inflight = sorted(
+        tuple(r)
+        for r in all_specs()["q_incremental_curation_audit"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    )
+    df = all_specs()["q_nkey_index_append_audit"].builder(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "struct<nkey:string>" in plan
+    assert "Not(EqualTo(source" not in plan
+    appended = sorted(tuple(r) for r in df.collect())
+    assert appended == inflight and appended
     assert DX.nkey_index_for(SF_ORACLE) is None
 
 

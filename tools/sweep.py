@@ -105,7 +105,19 @@ def _tree_in_use(d: str) -> bool:
     dir (jars, userFiles) may be untouched for the whole app lifetime.
     A /proc fd scan is exact for the dangerous case — deleting a file
     some JVM still has open (shuffle fetch, persisted block) — and
-    costs one readdir per process, only paid under disk pressure."""
+    costs one readdir per process, only paid under disk pressure.
+
+    Two cases the fd scan alone misses (ADVICE r15): a file held only
+    via mmap (fd closed after mapping — NIO shuffle index/data reads do
+    this), covered by also scanning /proc/<pid>/maps; and a process we
+    cannot inspect (other-uid → EACCES on the fd dir), which is treated
+    as IN-USE — conservative: an uninspectable live process may well
+    own the tree, and skipping one reap is cheap next to deleting a
+    mapped shuffle file. A vanished pid (ENOENT/ESRCH) stays not-in-use.
+    The scan-then-rmtree TOCTOU window remains (nothing short of a lock
+    closes it); the 1800 s mtime belt plus the fact that sessions create
+    new scratch trees rather than adopt orphaned ones keeps that window
+    benign."""
     dreal = os.path.realpath(d).rstrip(os.sep)
     prefix = dreal + os.sep
     for pid in os.listdir("/proc"):
@@ -114,8 +126,10 @@ def _tree_in_use(d: str) -> bool:
         fddir = os.path.join("/proc", pid, "fd")
         try:
             fds = os.listdir(fddir)
+        except PermissionError:
+            return True  # uninspectable live process — assume in-use
         except OSError:
-            continue  # raced exit or not ours to inspect
+            continue  # raced exit
         for fd in fds:
             try:
                 tgt = os.readlink(os.path.join(fddir, fd))
@@ -123,6 +137,19 @@ def _tree_in_use(d: str) -> bool:
                 continue
             if tgt == dreal or tgt.startswith(prefix):
                 return True
+        # mmap-only holds: fd closed after mapping, path still live in
+        # the address space. One read per process, same pressure gate.
+        try:
+            with open(os.path.join("/proc", pid, "maps")) as fh:
+                for line in fh:
+                    parts = line.split(None, 5)
+                    path = parts[5].strip() if len(parts) == 6 else ""
+                    if path == dreal or path.startswith(prefix):
+                        return True
+        except PermissionError:
+            return True
+        except OSError:
+            continue
     return False
 
 
