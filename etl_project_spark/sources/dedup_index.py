@@ -389,16 +389,28 @@ def batch_minhash_frames(
     from pyspark.sql import functions as F
 
     from etl_project_spark.catalog import read_table
+
+    batch = read_table(spark, sf_dir, "documents").filter(
+        F.col("source") == batch_source
+    )
+    return minhash_frames_for(batch, idx)
+
+
+def minhash_frames_for(
+    docs: DataFrame, idx: MinHashIndex
+) -> tuple[DataFrame, DataFrame]:
+    """(signature, distinct gram rows) for an ARBITRARY docs frame,
+    signed with the index's own parameters. The signature is derived
+    FROM the distinct rows (min is duplicate-insensitive, so values
+    are unchanged): when an append persists ``rows``, the sig write
+    then reuses that cache instead of re-running the shingle explode."""
     from etl_project_spark.operators.dedup import (
         minhash_sig_from_rows,
         minhash_sig_rows,
     )
 
-    batch = read_table(spark, sf_dir, "documents").filter(
-        F.col("source") == batch_source
-    )
     _, rows = minhash_sig_rows(
-        batch,
+        docs,
         "doc_id",
         "text",
         n_hashes=idx.n_hashes,
@@ -406,11 +418,24 @@ def batch_minhash_frames(
         use_token_ngrams=idx.use_token_ngrams,
     )
     rows = rows.dropDuplicates(["_id", "_gram"])
-    # Signature derived FROM the distinct rows (min is duplicate-
-    # insensitive, so values are unchanged): when the append persists
-    # ``rows``, the sig write then reuses that cache instead of
-    # re-running the batch shingle explode.
     return minhash_sig_from_rows(rows, n_hashes=idx.n_hashes), rows
+
+
+def append_minhash_frames(idx: MinHashIndex, docs: DataFrame) -> None:
+    """The shared append WRITE body: sign ``docs`` with the index's
+    parameters and append both frames into the persisted parquet. Both
+    the batch maintenance path (:func:`append_minhash_index`) and the
+    streaming twin (``streaming.dedup.stream_minhash_index_append``'s
+    per-epoch fold) call exactly this, so the two cannot drift."""
+    from pyspark import StorageLevel
+
+    sig, rows = minhash_frames_for(docs, idx)
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rows.write.mode("append").parquet(idx.rows_path)
+        sig.write.mode("append").parquet(idx.sig_path)
+    finally:
+        rows.unpersist(blocking=False)
 
 
 def append_minhash_index(
@@ -449,17 +474,16 @@ def append_minhash_index(
 
     Returns the same (mutated-on-disk) handle for chaining.
     """
-    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
 
-    sig, rows = batch_minhash_frames(
-        spark, sf_dir, idx, batch_source=batch_source
+    from etl_project_spark.catalog import read_table
+
+    append_minhash_frames(
+        idx,
+        read_table(spark, sf_dir, "documents").filter(
+            F.col("source") == batch_source
+        ),
     )
-    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        rows.write.mode("append").parquet(idx.rows_path)
-        sig.write.mode("append").parquet(idx.sig_path)
-    finally:
-        rows.unpersist(blocking=False)
     return idx
 
 

@@ -236,3 +236,44 @@ def stream_repeated_span_positions(
         "doc_id", "pos", F.col("g").alias("_g")
     )
     return g.join(dup_gram_index, "_g", "left_semi").select("doc_id", "pos")
+
+
+def stream_minhash_index_append(arriving: DataFrame, idx, *, checkpoint: str):
+    """Index MAINTENANCE as a stream (round-16, the batch
+    ``append_minhash_index``'s continuous-ingestion twin): arriving
+    document files are signed per micro-batch and appended into the
+    persisted MinHash index via ``foreachBatch`` — each epoch's fold
+    calls THE SAME ``append_minhash_frames`` write body as the batch
+    path, so a drained availableNow run leaves an index bit-identical
+    to one batch append over the same rows (asserted in
+    tests/test_dedup_index.py).
+
+    Why per-batch signing is CORRECT with zero cross-trigger state: a
+    document's grams all derive from its own ``text`` cell, which
+    arrives whole in one stream row — so per-doc signatures and
+    distinct-gram sets are complete within the micro-batch that
+    carries the row, and appends over disjoint doc sets compose to
+    exactly the whole-batch append (same per-doc purity argument as
+    ``batch_minhash_frames``). No watermark, no state store; the only
+    stateful thing is the source's file-position checkpoint.
+
+    Exactly-once seam, stated plainly: plain parquet append has no
+    transactional manifest, so an epoch RETRY after a mid-write crash
+    could leave a partial double-append (same single-writer seam the
+    batch path documents — a real deployment commits each epoch behind
+    a Delta/Iceberg manifest). ``trigger(availableNow=True)`` + the
+    checkpoint models the one-maintenance-stream topology.
+
+    Returns the started StreamingQuery; caller awaits termination.
+    """
+    from etl_project_spark.sources.dedup_index import append_minhash_frames
+
+    def _fold(batch_df: DataFrame, _epoch_id: int) -> None:
+        append_minhash_frames(idx, batch_df)
+
+    return (
+        arriving.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -443,6 +443,49 @@ def test_nkey_append_grown_equals_rebuild_and_stays_distinct(spark, tmp_path):
     assert again == full
 
 
+def test_stream_minhash_index_append_equals_batch_append(spark, tmp_path):
+    """The streaming maintenance twin: an availableNow multi-trigger
+    run over the batch's files (maxFilesPerTrigger=1 → one epoch per
+    file, exercising per-epoch append composition) must leave the
+    persisted index bit-identical to a whole-corpus rebuild — i.e. the
+    drained stream == the batch append == the rebuild."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.streaming.dedup import stream_minhash_index_append
+
+    d = read_table(spark, SF_ORACLE, "documents")
+    arriving_dir = str(tmp_path / "arriving")
+    d.filter(F.col("source") == DX.BATCH_SOURCE).repartition(4).write.parquet(
+        arriving_dir
+    )
+    grown = DX.persist_minhash_index(
+        spark, SF_ORACLE, path=str(tmp_path / "hist"), register=False,
+        docs=DX._history_docs(spark, SF_ORACLE),
+    )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arriving_dir)
+    )
+    q = stream_minhash_index_append(
+        stream, grown, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and not q.isActive
+    full = DX.persist_minhash_index(
+        spark, SF_ORACLE, path=str(tmp_path / "full"), register=False
+    )
+    gsig, grows = DX.load_minhash_index(spark, grown)
+    fsig, frows = DX.load_minhash_index(spark, full)
+    assert sorted(tuple(r) for r in gsig.collect()) == sorted(
+        tuple(r) for r in fsig.collect()
+    )
+    assert sorted(tuple(r) for r in grows.collect()) == sorted(
+        tuple(r) for r in frows.collect()
+    )
+
+
 def test_nkey_append_query_matches_inflight(spark):
     """q_nkey_index_append_audit (older-history build + src18 fold-in +
     src19 audit) must equal the inflight audit row-for-row and serve
