@@ -316,9 +316,13 @@ def main() -> int:
     for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
         if t > slow:
             print(f"{name:45s} {t:6.2f}s")
+    # label with the ATTEMPTED registry size, not just the timed count
+    # (r15's record said "302 queries" while the registry held 304 —
+    # the two indexed queries registered after that sweep started; the
+    # explicit "of N" erases that class of asterisk)
     print(
-        f"total: {round(sum(times.values()), 1)}s over {len(times)} queries "
-        f"({len(failed)} failed) at {sf_dir}"
+        f"total: {round(sum(times.values()), 1)}s over {len(times)} timed "
+        f"of {len(specs)} queries ({len(failed)} failed) at {sf_dir}"
     )
     spark.stop()
     return 1 if failed else 0
