@@ -211,3 +211,66 @@ def test_dedup_query_runs_docid_shuffle_free_on_bucketed_documents(spark):
     finally:
         clear_bucketed_layout()
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cdc_incremental_elides_docid_exchanges_on_bucketed_documents(spark):
+    """Third doc_id-keyed beneficiary (r15 verdict #6): the r16 family
+    A/B found the bucketed documents layout elides doc_id Exchanges
+    ONLY for q_cdc_incremental_chunk_dedup among the candidates tested
+    — simhash and the CDC pair query shuffle exclusively on derived
+    keys (postings / chunk digests / pair ids), so there is nothing
+    for the layout to remove there (sf1 A/B: 6→6 and 0→0 exchanges;
+    their small steady deltas are file-layout noise, not elision).
+    Here the batch chunking and the per-doc store-hit aggregation
+    inherit the scan's bucket partitioning: measured 4 → 2 doc_id
+    exchanges with identical rows (sf1 steady 2.72 → 2.18 s,
+    BASELINE.md §r16). The residual 2 are the history-side digest
+    store build — keyed on chunk digest, correctly untouched."""
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    from etl_project_spark.plans.registry import all_specs
+    from etl_project_spark.sources.bucketed import (
+        clear_bucketed_layout,
+        persist_bucketed_family,
+    )
+
+    q = all_specs()["q_cdc_incremental_chunk_dedup"].builder
+    flat = q(spark, SF_SMOKE)
+    flat_rows = sorted(tuple(r) for r in flat.collect())
+    flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+    flat_n = len(
+        re.findall(r"Exchange hashpartitioning\((?:doc_id|_id)#", flat_plan)
+    )
+
+    tag = hashlib.sha256(os.path.abspath(SF_SMOKE).encode()).hexdigest()[:8]
+    table = f"bkc_{tag}_documents"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    try:
+        made = persist_bucketed_family(
+            spark,
+            SF_SMOKE,
+            {"documents": "doc_id"},
+            n_buckets=spark.sparkContext.defaultParallelism,
+            prefix="bkc",
+        )
+        assert made == {"documents": table}
+        bucketed = q(spark, SF_SMOKE)
+        # sorted: the audit rows are set-equal, but their arrival order
+        # shifts with the scan partitioning (no trailing orderBy here)
+        assert sorted(tuple(r) for r in bucketed.collect()) == flat_rows
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        bucketed_n = len(
+            re.findall(r"Exchange hashpartitioning\((?:doc_id|_id)#", plan)
+        )
+        # positive anchor: the flat plan must still carry doc_id
+        # exchanges, or the elision assertion is vacuous
+        assert flat_n >= 3
+        assert bucketed_n <= flat_n - 2, (flat_n, bucketed_n)
+    finally:
+        clear_bucketed_layout()
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

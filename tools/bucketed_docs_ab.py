@@ -12,8 +12,11 @@ hashpartitioning(doc_id) lets Catalyst elide the first shuffle of the
 signing aggregation — the same pay-once-at-ingest economics as the
 orderkey family (BASELINE.md §r10).
 
-Usage: python tools/bucketed_docs_ab.py [sf_dir] [query] [n_buckets] [passes]
-       (defaults: /tmp/sf1, q_minhash_near_dup_pairs, 32, 3)
+Usage: python tools/bucketed_docs_ab.py [sf_dir] [query] [n_buckets] [passes] [table] [key] [aliases]
+       (defaults: /tmp/sf1, q_minhash_near_dup_pairs, 32, 3,
+        documents, doc_id, "doc_id,_id" — table/key/aliases generalize
+        the A/B to other layouts, e.g. embeddings vec_id
+        "vec_id,_id,_lid,_rid" for the ANN join-back family)
 
 Writes managed tables into the session's spark-warehouse — run with a
 throwaway cwd (or export SPARK_GRAFT_DRIVER_MEM for sf10).
@@ -36,6 +39,15 @@ def main() -> None:
     query = sys.argv[2] if len(sys.argv) > 2 else "q_minhash_near_dup_pairs"
     n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     passes = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    # round-16 generalization (verdict #6): A/B any table:key layout,
+    # counting Exchanges on any of the key's in-plan alias spellings —
+    # e.g. `embeddings vec_id vec_id,_id,_lid,_rid` for the ANN
+    # join-back family. Defaults preserve the original documents run.
+    table = sys.argv[5] if len(sys.argv) > 5 else "documents"
+    key = sys.argv[6] if len(sys.argv) > 6 else "doc_id"
+    aliases = (
+        sys.argv[7].split(",") if len(sys.argv) > 7 else [key, "_id"]
+    )
 
     from etl_project_spark.plans.registry import all_specs
     from etl_project_spark.session import get_spark, release_persists
@@ -46,12 +58,15 @@ def main() -> None:
 
     spark = get_spark("bucketed-docs-ab")
     builder = all_specs()[query].builder
+    alias_re = re.compile(
+        r"Exchange hashpartitioning\((?:" + "|".join(map(re.escape, aliases)) + r")#"
+    )
 
     def docid_exchanges(df) -> int:
         # the dedup family aliases doc_id to _id before its first
-        # shuffle; count both spellings so the elision is visible
+        # shuffle; count every alias spelling so the elision is visible
         plan = df._jdf.queryExecution().executedPlan().toString()
-        return len(re.findall(r"Exchange hashpartitioning\((?:doc_id|_id)#", plan))
+        return len(alias_re.findall(plan))
 
     def run() -> dict:
         times = []
@@ -71,7 +86,7 @@ def main() -> None:
 
     t0 = time.time()
     tables = persist_bucketed_family(
-        spark, sf_dir, {"documents": "doc_id"}, n_buckets=n_buckets
+        spark, sf_dir, {table: key}, n_buckets=n_buckets
     )
     build_s = round(time.time() - t0, 3)
     try:
@@ -86,6 +101,8 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "query": query,
+                "table": table,
+                "key": key,
                 "n_buckets": n_buckets,
                 "bucketed_write_s": build_s,
                 "flat": flat,
