@@ -122,6 +122,9 @@ BENCH_QUERIES = (
     # round-16 addition (append-only): incremental index MAINTENANCE —
     # history build + batch-only append + probe of the grown index
     "q_minhash_index_append_pairs",
+    # round-16 addition (append-only): the per-cycle incremental probe
+    # (batch-banded x corpus-banded candidates over the grown index)
+    "q_minhash_batch_probe_pairs",
 )
 
 #: Queries that BUILD a persisted index as part of the query (write
@@ -138,6 +141,7 @@ BUILD_QUERIES = frozenset((
     "q_minhash_indexed_pairs",
     "q_nkey_indexed_curation_audit",
     "q_minhash_index_append_pairs",
+    "q_minhash_batch_probe_pairs",
 ))
 
 #: PINNED omission priority for the compact stdout line (round-14

@@ -403,11 +403,24 @@ def minhash_near_dup_pairs(
     use_token_ngrams: bool = False,
     prefilter: bool = True,
     signed: tuple[DataFrame, DataFrame] | None = None,
+    probe_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact Jaccard verify.
 
     Returns ``(id_a, id_b, jaccard_sim)`` with ``id_a < id_b`` and
     ``jaccard_sim >= threshold``.
+
+    ``probe_ids`` (a one-column ``_id`` frame, typically the arriving
+    batch) restricts the output to pairs with AT LEAST ONE member in
+    the probe set — the incremental-discovery shape: candidate
+    generation becomes probe-banded × corpus-banded instead of the
+    corpus self-join, so candidate mass scales with the BATCH's band
+    collisions, not the corpus's. Recall argument is unchanged (every
+    qualifying pair has a probe-side member whose banded rows carry
+    all its band hashes); pair orientation is re-normalized with
+    least/greatest since the probe side may hold the larger id. The
+    agreement-estimator prefilter is skipped in probe mode — candidate
+    mass is already batch-bounded, which is the prefilter's job.
 
     Scale shape (all whole-stage-codegen, no lambda HOFs in the hot
     path): shingle explode → 64 flat ``min(xxhash64(gram, j))``
@@ -488,6 +501,34 @@ def minhash_near_dup_pairs(
             "_band_idx", "_band_hash"
         ),
     )
+    if probe_ids is not None:
+        # Probe-restricted candidates: only the (small) probe side's
+        # banded rows enter the left of the band join — a semi-join
+        # Spark broadcasts — and the inequality is != (not <) because
+        # the probe member may be either side of the ordered pair;
+        # least/greatest re-normalizes and distinct() collapses the
+        # probe-probe pairs seen from both orientations.
+        left = banded.join(
+            probe_ids.select("_id"), "_id", "left_semi"
+        ).alias("l")
+        right = banded.alias("r")
+        candidates = (
+            left.join(
+                right,
+                (F.col("l._band_idx") == F.col("r._band_idx"))
+                & (F.col("l._band_hash") == F.col("r._band_hash"))
+                & (F.col("l._id") != F.col("r._id")),
+            )
+            .select(
+                F.least("l._id", "r._id").alias("id_a"),
+                F.greatest("l._id", "r._id").alias("id_b"),
+            )
+            .distinct()
+        )
+        distinct_grams = rows.dropDuplicates(["_id", "_gram"])
+        return pair_jaccard(candidates, distinct_grams).filter(
+            F.col("jaccard_sim") >= threshold
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (

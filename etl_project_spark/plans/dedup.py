@@ -90,6 +90,36 @@ JOIN sizes sb ON s.id_b = sb.doc_id
 WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.5
 """
 
+#: The incremental-probe twin: the SAME gram/verify semantics over an
+#: AUGMENTED corpus (documents ∪ planted prefix-insertion clones of a
+#: deterministic 5% md5-slice of history, ids +50M, tagged src19 — the
+#: q_cdc_incremental_chunk_dedup planting convention, needed because
+#: the natural src19 batch has zero near-dups against the corpus and
+#: an unplanted probe oracle would be a vacuous 0=0 match, the round-1
+#: lesson), restricted to pairs with >= 1 batch member. Derived from
+#: the shared constant by string surgery (WITH-head splice + the one
+#: FROM swap + the WHERE restriction) so the gram normalization and
+#: the verify arithmetic can never drift between the two oracles.
+_MINHASH_BATCH_PROBE_ORACLE = (
+    """
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 50000000 AS doc_id, 'src19' AS source,
+         'INSERTED PREFIX BYTES SHIFT EVERYTHING ' || text AS text
+  FROM documents
+  WHERE source <> 'src19'
+    AND CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 7
+),"""
+    + _MINHASH_PAIRS_ORACLE.lstrip().removeprefix("WITH")
+    .replace("FROM documents", "FROM aug", 1)
+    .rstrip()
+    + """
+  AND (s.id_a IN (SELECT doc_id FROM aug WHERE source = 'src19')
+    OR s.id_b IN (SELECT doc_id FROM aug WHERE source = 'src19'))
+"""
+)
+
 
 @register(
     "q_minhash_near_dup_pairs",
@@ -246,6 +276,80 @@ def q_minhash_index_append_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
         threshold=0.5, use_token_ngrams=True, prefilter=False,
         signed=load_minhash_index(spark, idx),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_minhash_batch_probe_pairs",
+    oracle=_MINHASH_BATCH_PROBE_ORACLE,
+    tags=("dedup", "lsh", "index", "incremental"),
+)
+def q_minhash_batch_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-cycle query of the incremental topology, end to end:
+    grow the index (history build + the shared
+    ``append_minhash_frames`` write body over the arriving batch —
+    exactly ``q_minhash_index_append_pairs``'s maintenance step), then
+    probe ONLY the batch against the grown corpus: near-dup pairs with
+    at least one batch member.
+
+    This is what a production deployment runs per arriving batch
+    instead of the whole-corpus sweep the other registry forms price:
+    candidate generation is (batch-banded × corpus-banded), so its
+    mass scales with the batch's band collisions — O(batch) per cycle
+    — while the whole-corpus sweep re-verifies every historical pair
+    it already knows. The LSH recall argument is the inflight query's
+    verbatim (any qualifying pair has a batch-side member whose banded
+    rows carry every band hash; candidates ∩ exact-verify ⊆ exact
+    restricted set, same collision floor).
+
+    The natural src19 batch has ZERO near-dups against this corpus, so
+    the batch is augmented with planted prefix-insertion clones of a
+    deterministic md5-slice of history (ids +50M — the
+    ``q_cdc_incremental_chunk_dedup`` convention): a prefix insertion
+    leaves every original word-3-gram intact and adds exactly the
+    prefix-spanning grams, so (original, clone) Jaccard is
+    ``|G|/(|G|+5)`` — ≥0.5 whenever the doc has ≥5 grams, replayed
+    bit-identically by the oracle's augmented CTE. Without the plant
+    the oracle would be a vacuous 0=0 (the round-1 lesson).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.sources.dedup_index import (
+        BATCH_SOURCE,
+        append_minhash_frames,
+        load_minhash_index,
+        persist_minhash_index,
+        query_scoped_index_dir,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 20
+    )
+    clones = d.filter((F.col("source") != BATCH_SOURCE) & (bucket == 7)).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.lit(BATCH_SOURCE).alias("source"),
+        F.concat(
+            F.lit("INSERTED PREFIX BYTES SHIFT EVERYTHING "), F.col("text")
+        ).alias("text"),
+    )
+    aug = d.unionByName(clones)
+    hist = aug.filter(F.col("source") != BATCH_SOURCE)
+    batch = aug.filter(F.col("source") == BATCH_SOURCE)
+
+    path = query_scoped_index_dir("minhash_probe", sf_dir)
+    idx = persist_minhash_index(
+        spark, sf_dir, n_hashes=64, shingle_k=3, use_token_ngrams=True,
+        path=path, register=False, docs=hist,
+    )
+    append_minhash_frames(idx, batch)
+    return DD.minhash_near_dup_pairs(
+        aug, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
+        threshold=0.5, use_token_ngrams=True, prefilter=False,
+        signed=load_minhash_index(spark, idx),
+        probe_ids=batch.select(F.col("doc_id").alias("_id")),
     ).orderBy("id_a", "id_b")
 
 
