@@ -647,3 +647,40 @@ def test_repeated_spans_disjoint_and_thresholded(spark, docs):
         for a, b in zip(doc_rows, doc_rows[1:]):
             # maximality: next span starts strictly past this span's end
             assert b.span_start > a.span_start + a.span_tokens - 1
+
+
+def test_minhash_probe_restriction_equals_filtered_full(spark, docs):
+    """probe_ids semantics: the batch-restricted probe must return
+    EXACTLY the full pair set filtered to pairs with >= 1 probe member
+    — no lost pairs (the probe side covers every band hash of its
+    members, so recall is the full query's), no extra pairs, and the
+    (id_a < id_b) orientation intact even though the probe member may
+    be the larger id (least/greatest renormalization)."""
+    kw = dict(
+        n_hashes=64, bands=32, shingle_k=3, threshold=0.5,
+        use_token_ngrams=True, prefilter=False,
+    )
+    full = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in DD.minhash_near_dup_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    # probe = the doc_ids of one source — arbitrary but non-trivial;
+    # src0 participates in the corpus's near-dup pairs at this SF
+    probe = docs.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("_id")
+    )
+    probe_ids = {r._id for r in probe.collect()}
+    expected = {
+        p: j for p, j in full.items() if p[0] in probe_ids or p[1] in probe_ids
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in DD.minhash_near_dup_pairs(
+            docs, "doc_id", "text", probe_ids=probe, **kw
+        ).collect()
+    }
+    assert got == expected
+    assert all(a < b for (a, b) in got)
+    # non-vacuousness: the restriction must actually drop something
+    # while keeping something, or the equality proves nothing
+    assert expected and len(expected) < len(full)
