@@ -445,6 +445,18 @@ def minhash_near_dup_pairs(
     """
     from pyspark import StorageLevel
 
+    if probe_ids is not None and prefilter:
+        # Part of the API contract, not just prose (ADVICE r16): the
+        # probe branch returns before the estimator stage, so a caller
+        # asking for both would silently get a different plan shape
+        # than requested. Candidate mass in probe mode is already
+        # batch-bounded — which is the prefilter's whole job.
+        raise ValueError(
+            "probe_ids and prefilter are mutually exclusive: the "
+            "agreement-estimator prefilter is skipped in probe mode "
+            "(candidate mass is already batch-bounded); pass "
+            "prefilter=False"
+        )
     rows_per_band = n_hashes // bands
     if signed is None:
         # Grams are hashed to int64 AT THE SOURCE (round-8; same device
@@ -525,7 +537,30 @@ def minhash_near_dup_pairs(
             )
             .distinct()
         )
-        distinct_grams = rows.dropDuplicates(["_id", "_gram"])
+        # Verify-side restriction (round-16 verdict #7): the exact
+        # verify only ever looks at docs that appear in some candidate
+        # pair, so the gram frame is semi-joined to the candidate id
+        # set BEFORE the distinct — a production probe must not build
+        # distinct grams for the whole corpus when the candidate set
+        # is batch-bounded. Both small frames are persisted: candidates
+        # feeds pair_jaccard plus the semi-join under each of the gram
+        # frame's three consumers (sizes, ga, gb — 4 occurrences would
+        # re-run the band join), and caching the restricted gram rows
+        # collapses those three full index-parquet scans into one.
+        from etl_project_spark.session import scoped_persist
+
+        candidates = scoped_persist(candidates, StorageLevel.MEMORY_AND_DISK)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("_id"))
+            .unionByName(candidates.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        distinct_grams = scoped_persist(
+            rows.join(cand_ids, "_id", "left_semi").dropDuplicates(
+                ["_id", "_gram"]
+            ),
+            StorageLevel.MEMORY_AND_DISK,
+        )
         return pair_jaccard(candidates, distinct_grams).filter(
             F.col("jaccard_sim") >= threshold
         )

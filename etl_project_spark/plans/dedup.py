@@ -100,8 +100,46 @@ WHERE ROUND(1.0 * s.inter / (sa.sz + sb.sz - s.inter), 4) >= 0.5
 #: the shared constant by string surgery (WITH-head splice + the one
 #: FROM swap + the WHERE restriction) so the gram normalization and
 #: the verify arithmetic can never drift between the two oracles.
-_MINHASH_BATCH_PROBE_ORACLE = (
-    """
+# Import-time pins for the string-surgery assumptions (ADVICE r16):
+# the splice below relies on the base oracle starting with WITH,
+# containing exactly ONE "FROM documents" (the norm CTE), and ending
+# in the WHERE clause a restriction tail can extend with AND. Any
+# future edit to the base oracle that breaks one of these (a second
+# documents read, an ORDER BY tail, a leading comment) must fail
+# loudly here, not as a confusing parity mismatch three rounds later.
+assert _MINHASH_PAIRS_ORACLE.lstrip().startswith("WITH"), (
+    "minhash pairs oracle no longer starts with WITH; "
+    "the aug-corpus splice below would produce malformed SQL"
+)
+assert _MINHASH_PAIRS_ORACLE.count("FROM documents") == 1, (
+    "minhash pairs oracle reads documents more than once; the "
+    "single FROM swap below would leave a stray unaugmented read"
+)
+assert _MINHASH_PAIRS_ORACLE.rstrip().endswith(">= 0.5"), (
+    "minhash pairs oracle no longer ends in its WHERE clause; the "
+    "AND restriction tail below would be malformed"
+)
+
+
+def _aug_pairs_oracle(bucket_mod: int, bucket_val: int, where_tail: str = "") -> str:
+    """The shared pair SQL over an AUGMENTED corpus: documents ∪
+    planted prefix-insertion clones of the deterministic md5-slice
+    ``doc_id-bucket % bucket_mod == bucket_val`` of history (ids +50M,
+    tagged src19 — the ``q_cdc_incremental_chunk_dedup`` planting
+    convention). Built by string surgery on ``_MINHASH_PAIRS_ORACLE``
+    (WITH-head splice + the one FROM swap + an optional WHERE tail) so
+    the gram normalization and verify arithmetic can never drift
+    between the whole-corpus, batch-probe, and post-delete oracles;
+    the surgery's assumptions are pinned at import above."""
+    spliced = (
+        _MINHASH_PAIRS_ORACLE.lstrip()
+        .removeprefix("WITH")
+        .replace("FROM documents", "FROM aug", 1)
+        .rstrip()
+    )
+    assert "FROM aug" in spliced and "FROM documents" not in spliced
+    return (
+        f"""
 WITH aug AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
@@ -109,16 +147,34 @@ WITH aug AS (
          'INSERTED PREFIX BYTES SHIFT EVERYTHING ' || text AS text
   FROM documents
   WHERE source <> 'src19'
-    AND CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 7
+    AND CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {bucket_mod} = {bucket_val}
 ),"""
-    + _MINHASH_PAIRS_ORACLE.lstrip().removeprefix("WITH")
-    .replace("FROM documents", "FROM aug", 1)
-    .rstrip()
-    + """
+        + spliced
+        + where_tail
+    )
+
+
+_MINHASH_BATCH_PROBE_ORACLE = _aug_pairs_oracle(
+    20,
+    7,
+    """
   AND (s.id_a IN (SELECT doc_id FROM aug WHERE source = 'src19')
     OR s.id_b IN (SELECT doc_id FROM aug WHERE source = 'src19'))
-"""
+""",
 )
+
+#: The post-DELETE twin (round-16 verdict #1): the identical pair SQL
+#: over the augmented corpus AFTER tombstoning half the planted clones.
+#: The Spark side plants bucket20==7 clones, appends them as the
+#: batch, then deletes the bucket40==7 sub-slice from the grown index;
+#: bucket20==7 splits exactly into bucket40∈{7,27}, so the surviving
+#: corpus IS documents ∪ clones(bucket40==27) — which lets the oracle
+#: state the post-delete world directly instead of replaying the
+#: delete, keeping it pure ANSI SQL over the base tables. Non-vacuous
+#: by construction: both the deleted and the surviving clone slices
+#: own (original, clone) pairs, so the delete visibly shrinks the
+#: answer (pinned in tests/test_dedup_index.py).
+_MINHASH_DELETE_ORACLE = _aug_pairs_oracle(40, 27)
 
 
 @register(
@@ -350,6 +406,91 @@ def q_minhash_batch_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5, use_token_ngrams=True, prefilter=False,
         signed=load_minhash_index(spark, idx),
         probe_ids=batch.select(F.col("doc_id").alias("_id")),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_minhash_index_delete_pairs",
+    oracle=_MINHASH_DELETE_ORACLE,
+    tags=("dedup", "lsh", "index", "incremental"),
+)
+def q_minhash_index_delete_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index maintenance lifecycle END TO END, retraction included
+    (round-16 verdict #1): build the index over history, grow it with
+    the arriving batch (planted clones of the deterministic bucket20==7
+    md5-slice of history — the probe query's corpus, so both deleted
+    and surviving tombstone slices own (original, clone) pairs), then
+    DELETE the bucket40==7 half of the planted clones from the grown
+    index — the takedown/opt-out path — and run the whole-corpus
+    near-dup sweep against the shrunk index.
+
+    The delete (``delete_from_minhash_index``) re-signs NOTHING: one
+    column-pruned id pass finds the part-files holding tombstoned
+    rows, and only those files are rewritten minus the tombstones —
+    O(affected files), which for a recent batch is O(that batch's
+    files) since appends land in their own part-files. No job in the
+    chain reads any document text except the signing of history (once)
+    and the batch (once) — in particular the tombstone frame itself is
+    built from ``(doc_id, source)`` alone (asserted on executed plans
+    in tests/test_dedup_index.py).
+
+    The shrunk index is frame-identical to a rebuild over
+    corpus-minus-tombstones (per-doc purity: dropping one doc's rows
+    cannot perturb another's), so the sweep returns exactly the pair
+    set of the surviving corpus — documents ∪ clones(bucket40==27),
+    which is what the oracle states directly. Non-vacuous three ways:
+    the surviving clones still pair with their originals (result
+    non-empty), the deleted clones owned pairs (the grown-index answer
+    is strictly larger — pinned in tests), and a pair of two
+    tombstoned members must not resurface.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.sources.dedup_index import (
+        BATCH_SOURCE,
+        append_minhash_frames,
+        delete_from_minhash_index,
+        load_minhash_index,
+        persist_minhash_index,
+        query_scoped_index_dir,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bucket40 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 40
+    )
+    # bucket20==7 ≡ bucket40 ∈ {7, 27}: the full planted-clone slice…
+    clones = d.filter(
+        (F.col("source") != BATCH_SOURCE) & bucket40.isin(7, 27)
+    ).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.lit(BATCH_SOURCE).alias("source"),
+        F.concat(
+            F.lit("INSERTED PREFIX BYTES SHIFT EVERYTHING "), F.col("text")
+        ).alias("text"),
+    )
+    aug = d.unionByName(clones)
+    hist = aug.filter(F.col("source") != BATCH_SOURCE)
+    batch = aug.filter(F.col("source") == BATCH_SOURCE)
+    # …and bucket40==7 is the tombstoned half. Built from (doc_id,
+    # source) only — retraction must never need the text.
+    tomb = d.filter(
+        (F.col("source") != BATCH_SOURCE) & (bucket40 == 7)
+    ).select((F.col("doc_id") + 50_000_000).alias("_id"))
+
+    path = query_scoped_index_dir("minhash_delete", sf_dir)
+    idx = persist_minhash_index(
+        spark, sf_dir, n_hashes=64, shingle_k=3, use_token_ngrams=True,
+        path=path, register=False, docs=hist,
+    )
+    append_minhash_frames(idx, batch)
+    delete_from_minhash_index(spark, idx, tomb)
+    return DD.minhash_near_dup_pairs(
+        aug, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
+        threshold=0.5, use_token_ngrams=True, prefilter=False,
+        signed=load_minhash_index(spark, idx),
     ).orderBy("id_a", "id_b")
 
 

@@ -613,13 +613,15 @@ def q_nkey_index_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is built over the OLDER history only (every source except the two
     most recent crawls), the previously-arrived ``src18`` batch is
     then folded in by ``append_nkey_index`` — which canonicalizes ONLY
-    that batch and anti-joins its distinct nkeys against the persisted
-    digest column, never re-reading history text — and the arriving
+    that batch and blind-appends its ``(nkey, +owners)`` ledger rows,
+    never re-reading history text (or even the index: the ledger
+    format made the r16 anti-join unnecessary) — and the arriving
     ``src19`` batch is audited against the grown index.
 
-    Because the nkey index is a distinct SET (unlike the per-doc
-    MinHash frames), the append dedups against the existing index
-    before writing; the grown set equals ``history_nkey_index`` over
+    Because the nkey index is a distinct SET at the consumer level
+    (unlike the per-doc MinHash frames), the persisted owner-count
+    ledger is folded at load (``SUM(_n) > 0``); the folded grown set
+    equals ``history_nkey_index`` over
     the full history exactly, so this query returns the identical
     per-shard audit as the inflight and rebuild forms and shares their
     oracle verbatim. This is the fold-in step a continuous-ingestion

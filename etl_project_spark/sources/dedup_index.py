@@ -124,12 +124,33 @@ class MinHashIndex:
 
 
 class NkeyIndex:
-    """Handle for one persisted canonical-key (``nkey``) set of the
-    HISTORY corpus — the static side of the incremental curation
-    pipeline's dedup stage. Same ``owns_path`` contract as
+    """Handle for one persisted canonical-key (``nkey``) OWNER-COUNT
+    LEDGER of the history corpus — the static side of the incremental
+    curation pipeline's dedup stage. Same ``owns_path`` contract as
     :class:`GramIndex`. No build parameters: the canonicalization is
     THE shared ``canonical_nkey`` contract, so there is nothing to
-    mismatch."""
+    mismatch.
+
+    Round-17 format change (the delete path forced it): the parquet
+    stores ``(nkey, _n)`` signed owner-count DELTAS, not the bare
+    distinct set. The live set is the FOLD — ``GROUP BY nkey HAVING
+    SUM(_n) > 0`` — which :func:`load_nkey_index` applies, so every
+    consumer still sees exactly ``history_nkey_index``'s one-column
+    distinct frame. The bare set was unfixably delete-blind: an nkey
+    may be owned by several documents, and retracting one of them must
+    remove the key only when its LAST owner goes — which the set
+    cannot know without re-canonicalizing history, the O(corpus) text
+    scan maintenance exists to avoid. With counts, append = +owners of
+    the batch (O(batch), no read of the index at all — the r16
+    anti-join is gone), delete = −owners of the tombstones (O(tomb)),
+    and the fold resolves last-owner exactly. This is the
+    log-structured merge-on-read ledger (Delta/Iceberg deletion
+    vectors play the same role); :func:`compact_nkey_index` is the
+    periodic fold-in that keeps the probe-side aggregate O(live set).
+    Counts are correct under the modeled exactly-once single-writer
+    seam; a replayed epoch would double-count owners (set membership
+    survives, delete accuracy does not) — the same contract the
+    MinHash appends document."""
 
     __slots__ = ("path", "owns_path")
 
@@ -426,7 +447,21 @@ def append_minhash_frames(idx: MinHashIndex, docs: DataFrame) -> None:
     parameters and append both frames into the persisted parquet. Both
     the batch maintenance path (:func:`append_minhash_index`) and the
     streaming twin (``streaming.dedup.stream_minhash_index_append``'s
-    per-epoch fold) call exactly this, so the two cannot drift."""
+    per-epoch fold) call exactly this, so the two cannot drift.
+
+    The two appends are separate non-transactional parquet writes; the
+    ORDER is part of the contract (ADVICE r16): gram rows first,
+    signatures LAST. A crash between them leaves sig-less docs — the
+    benign failure state: a doc with grams but no signature is never
+    banded, so it is simply invisible to every probe (exactly its
+    pre-append visibility); the reverse order would band docs whose
+    verify-side grams are missing. A retry that re-appends the epoch
+    leaves duplicate gram rows, which every consumer collapses
+    (``dropDuplicates(["_id", "_gram"])`` is re-applied at probe time)
+    — though on-disk frame equality with a rebuild is then lost until
+    :func:`compact_minhash_index` folds the dir. On a real object
+    store both writes land behind one manifest commit (Delta/Iceberg);
+    single-writer exactly-once append is the modeled seam here."""
     from pyspark import StorageLevel
 
     sig, rows = minhash_frames_for(docs, idx)
@@ -487,6 +522,160 @@ def append_minhash_index(
     return idx
 
 
+def _affected_index_files(
+    spark: SparkSession, path: str, tombstone_ids: DataFrame
+) -> list[str]:
+    """The part-files of a per-doc index frame that contain at least
+    one tombstoned ``_id`` — the unit of a file-granularity delete.
+
+    The scan is column-pruned to ``_id`` + the virtual file name, so
+    finding the affected files costs one cheap id-column pass; the
+    collect is bounded metadata (distinct file PATHS, not rows — at
+    most the directory's part-file count). Because appends land each
+    batch in its own part-files, a delete targeting a recent batch
+    touches only that batch's files: the rewrite is O(affected files),
+    not O(index) — the hand-rolled form of Delta/Iceberg's
+    file-level delete planning.
+    """
+    return [r["_file"] for r in _affected_files_frame(spark, path, tombstone_ids).collect()]
+
+
+def _affected_files_frame(
+    spark: SparkSession, path: str, tombstone_ids: DataFrame
+) -> DataFrame:
+    """The distinct-file-paths frame behind
+    :func:`_affected_index_files` — factored out so tests can assert
+    the executed plan (column-pruned to ``_id``; no text anywhere)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .select("_id", F.input_file_name().alias("_file"))
+        .join(tombstone_ids.select("_id"), "_id", "left_semi")
+        .select("_file")
+        .distinct()
+    )
+
+
+def _rewrite_files_minus(
+    spark: SparkSession, path: str, files: list[str], tombstone_ids: DataFrame
+) -> None:
+    """Rewrite ``files`` (part-files of the parquet dir ``path``)
+    without the tombstoned ``_id`` rows: survivors are staged to a
+    sibling dir, moved in, and only then are the originals removed.
+
+    That order makes the crash window's failure state benign
+    DUPLICATES (survivor rows present twice until the originals go),
+    which every consumer collapses (``dropDuplicates`` on gram rows;
+    banded/candidate ``distinct()`` over signature rows) — never
+    missing rows, which the delete-first order would risk. Same
+    single-writer exactly-once seam as the appends; on a real object
+    store this is one atomic manifest swap (Delta/Iceberg
+    rewrite-and-commit).
+    """
+    import urllib.parse
+    import urllib.request
+
+    staging = path.rstrip("/") + ".staging_delete"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        spark.read.parquet(*files)
+        .join(tombstone_ids.select("_id"), "_id", "left_anti")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    moved = []
+    for name in os.listdir(staging):
+        if name.startswith("part-"):
+            # staged part names carry Spark's per-job UUID, so moving
+            # them in cannot collide with existing part-files
+            dst = os.path.join(path, name)
+            shutil.move(os.path.join(staging, name), dst)
+            moved.append(dst)
+    for f in files:
+        local = urllib.request.url2pathname(urllib.parse.urlparse(f).path)
+        try:
+            os.remove(local)
+        except FileNotFoundError:
+            pass
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def delete_from_minhash_index(
+    spark: SparkSession, idx: MinHashIndex, tombstone_ids: DataFrame
+) -> MinHashIndex:
+    """Index DELETE — the retraction half of incremental maintenance
+    (round-16 verdict #1): remove tombstoned documents (takedowns,
+    opt-outs, licensing reversals) from the persisted signature +
+    gram parquet WITHOUT re-signing anything.
+
+    ``tombstone_ids`` is a one-column ``_id`` frame. Both MinHash
+    frames are strictly per-doc (signatures and distinct grams carry
+    their owner's ``_id``), so retraction is a pure anti-join — no
+    last-owner subtlety, unlike the nkey set
+    (:func:`delete_from_nkey_index`). Mechanism: find the part-files
+    that contain a tombstoned row (one column-pruned id pass), rewrite
+    ONLY those files minus the tombstones, leave every other file
+    untouched. Nothing in the job reads document text — not history's,
+    not even the tombstoned docs' (asserted on the executed plans in
+    tests/test_dedup_index.py); cost is O(affected files), and since
+    appends batch into their own part-files, deleting a recent batch
+    rewrites just that batch's files.
+
+    The deleted docs' rows vanish from both frames, so the shrunk
+    index is frame-identical to a rebuild over corpus-minus-tombstones
+    (signatures are per-doc pure functions of text; dropping a doc's
+    rows cannot perturb any other doc's). Every ``signed=`` consumer
+    is oblivious to how the index shrank.
+    """
+    for path in (idx.sig_path, idx.rows_path):
+        affected = _affected_index_files(spark, path, tombstone_ids)
+        if affected:
+            _rewrite_files_minus(spark, path, affected, tombstone_ids)
+    return idx
+
+
+def compact_minhash_index(
+    spark: SparkSession, idx: MinHashIndex, *, target_files: int = 8
+) -> MinHashIndex:
+    """Fold K append/delete cycles' accumulated part-files into
+    ``target_files`` per frame (round-16 verdict #2): every
+    ``mode("append")`` adds files, so after K daily cycles a probe
+    scan opens K× the files (and any crash-retry duplicates persist on
+    disk); read amplification grows without bound until someone
+    rewrites. This is that rewrite: each frame is read, gram rows are
+    re-distincted (folding benign duplicate rows from retried
+    appends/deletes), coalesced, staged, and atomically swapped in
+    (``os.rename`` of the directory — the manifest-commit seam the
+    append docstrings name; on an object store this is the
+    Delta/Iceberg OPTIMIZE + snapshot swap, since object stores have
+    no atomic rename).
+
+    Compacted ≡ grown frame equality is pinned in
+    tests/test_dedup_index.py; degradation-vs-cycles and the recovery
+    are measured in BASELINE.md (tools/index_compact_ab.py).
+    """
+    for path, dedup_cols in (
+        (idx.sig_path, ["_id"]),
+        (idx.rows_path, ["_id", "_gram"]),
+    ):
+        staging = path.rstrip("/") + ".staging_compact"
+        old = path.rstrip("/") + ".pre_compact"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        (
+            spark.read.parquet(path)
+            .dropDuplicates(dedup_cols)
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+    return idx
+
+
 def persist_nkey_index(
     spark: SparkSession,
     sf_dir: str,
@@ -495,21 +684,23 @@ def persist_nkey_index(
     register: bool = True,
     docs: DataFrame | None = None,
 ) -> NkeyIndex:
-    """Write the history corpus's distinct canonical-key set (built by
-    the shared ``history_nkey_index``) and register it for ``sf_dir``
-    — the static side of the incremental curation dedup.
+    """Write the history corpus's canonical-key owner-count ledger
+    (``(nkey, _n)`` — see :class:`NkeyIndex` for the format) and
+    register it for ``sf_dir`` — the static side of the incremental
+    curation dedup. The canonicalization is the shared
+    ``canonical_nkey`` expression, so the folded set is definitionally
+    ``history_nkey_index`` over the same docs.
 
     ``docs`` overrides the indexed corpus (default: ``_history_docs``);
     a partial corpus should pass ``register=False`` — see
     :func:`persist_minhash_index` for the contract. Partial builds are
-    grown with :func:`append_nkey_index`."""
-    from etl_project_spark.streaming.pipeline import history_nkey_index
-
+    grown with :func:`append_nkey_index` and shrunk with
+    :func:`delete_from_nkey_index`."""
     owns = path is None
     if path is None:
         path = tempfile.mkdtemp(prefix="nkey_index_")
     target = os.path.join(path, "nkeys")
-    history_nkey_index(
+    _nkey_ledger(
         _history_docs(spark, sf_dir) if docs is None else docs
     ).write.mode("overwrite").parquet(target)
     idx = NkeyIndex(target, owns_path=owns)
@@ -524,8 +715,40 @@ def nkey_index_for(sf_dir: str) -> NkeyIndex | None:
     return _NKEY.get(os.path.abspath(sf_dir))
 
 
+def _nkey_ledger(docs: DataFrame) -> DataFrame:
+    """Owner-count ledger rows ``(nkey, _n)`` of a docs frame: the
+    shared ``canonical_nkey`` canonicalization, aggregated to one row
+    per key. ``GROUP BY`` keys ≡ ``DISTINCT``, so the ledger's key set
+    is definitionally ``history_nkey_index`` over the same docs — the
+    counts are what the delete path adds on top."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.operators.dedup import canonical_nkey
+
+    return (
+        docs.select(canonical_nkey(F.col("text")).alias("nkey"))
+        .groupBy("nkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
 def load_nkey_index(spark: SparkSession, idx: NkeyIndex) -> DataFrame:
-    return spark.read.parquet(idx.path)
+    """The LIVE distinct key set: fold the signed owner-count deltas
+    and keep keys with surviving owners. Output schema is the same
+    one-column ``nkey`` frame the pre-ledger format served, so every
+    anti-join consumer is oblivious to the format change. The fold is
+    a map-side-combined hash aggregate over a two-column parquet —
+    and in production the ledger is bucketed by nkey, making it
+    shuffle-free."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(idx.path)
+        .groupBy("nkey")
+        .agg(F.sum("_n").alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select("nkey")
+    )
 
 
 def append_nkey_index(
@@ -536,38 +759,82 @@ def append_nkey_index(
     batch_source: str = BATCH_SOURCE,
 ) -> NkeyIndex:
     """Incremental maintenance for the canonical-key index: fold an
-    arriving batch's nkeys into the persisted set without
+    arriving batch's nkeys into the persisted ledger without
     re-canonicalizing history (round-15 verdict #1, nkey side).
 
-    Unlike MinHash signatures (per-doc, disjoint by doc_id), the nkey
-    index is a DISTINCT set — a batch nkey may already exist in
-    history, so a blind append would break the set property. The
-    append therefore anti-joins the batch's distinct nkeys against the
-    persisted index first: that reads the INDEX (a bare digest column,
-    the cheap side) — never the history TEXT, which is the scan this
-    path exists to avoid. Grown index == rebuild over history ∪ batch,
-    exactly. In production the index parquet is bucketed by nkey, so
-    the anti-join moves only the batch side.
+    With the owner-count ledger format the append is a pure O(batch)
+    blind append of the batch's ``(nkey, +owners)`` rows — it never
+    reads the index at all (the r16 anti-join, and the
+    read-while-append localCheckpoint hazard it dragged in, are gone):
+    a batch nkey already present in history simply adds a second
+    positive delta, and the fold at :func:`load_nkey_index` restores
+    the set property. Folded grown index == ``history_nkey_index``
+    over history ∪ batch, exactly (pinned in tests/test_dedup_index).
     """
     from pyspark.sql import functions as F
 
     from etl_project_spark.catalog import read_table
-    from etl_project_spark.streaming.pipeline import history_nkey_index
 
     batch = read_table(spark, sf_dir, "documents").filter(
         F.col("source") == batch_source
     )
-    new = history_nkey_index(batch).join(
-        spark.read.parquet(idx.path), "nkey", "left_anti"
+    _nkey_ledger(batch).write.mode("append").parquet(idx.path)
+    return idx
+
+
+def delete_from_nkey_index(
+    spark: SparkSession, idx: NkeyIndex, tombstoned_docs: DataFrame
+) -> NkeyIndex:
+    """Index DELETE, nkey side (round-16 verdict #1): retract
+    tombstoned documents' ownership from the canonical-key ledger
+    WITHOUT re-canonicalizing history.
+
+    ``tombstoned_docs`` is a docs frame (needs ``text``) of ONLY the
+    documents being removed — canonicalizing them is O(tombstones),
+    the retraction analog of the append's O(batch). Their negated
+    owner counts are appended as ``(nkey, -owners)`` deltas; the fold
+    then drops exactly the nkeys whose LAST owner was tombstoned and
+    keeps every key another surviving document still owns — the
+    distinct-set subtlety that made the bare-set format delete-blind.
+    Nothing reads history text, and nothing reads the index either:
+    the delete is a blind O(tomb) append, with
+    :func:`compact_nkey_index` folding the tombstone rows away
+    physically on the next maintenance window.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        _nkey_ledger(tombstoned_docs)
+        .select("nkey", (-F.col("_n")).alias("_n"))
+        .write.mode("append")
+        .parquet(idx.path)
     )
-    # The anti-join READS idx.path and the append WRITES it. The file
-    # listing is planned against the pre-append snapshot, but a task
-    # retry or stage re-execution DURING the write could re-list the
-    # grown directory and re-derive a different "new" set. An eager
-    # localCheckpoint materializes the new-nkey frame (tiny: distinct
-    # digests of one batch) and severs the lineage back to the index
-    # scan before the write starts, so re-execution replays stored
-    # blocks instead of re-reading the directory being appended to.
-    new = new.localCheckpoint(eager=True)
-    new.write.mode("append").parquet(idx.path)
+    return idx
+
+
+def compact_nkey_index(spark: SparkSession, idx: NkeyIndex) -> NkeyIndex:
+    """Fold the ledger physically: aggregate the signed deltas, drop
+    dead keys (``SUM(_n) <= 0``), rewrite as one compact file set, and
+    atomically swap the directory in — the periodic fold-in that
+    bounds both the ledger's file count and the probe-side
+    aggregate's input after K append/delete cycles. Folded ≡ unfolded
+    live set is pinned in tests/test_dedup_index.py."""
+    from pyspark.sql import functions as F
+
+    staging = idx.path.rstrip("/") + ".staging_compact"
+    old = idx.path.rstrip("/") + ".pre_compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (
+        spark.read.parquet(idx.path)
+        .groupBy("nkey")
+        .agg(F.sum("_n").alias("_n"))
+        .filter(F.col("_n") > 0)
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    os.rename(idx.path, old)
+    os.rename(staging, idx.path)
+    shutil.rmtree(old, ignore_errors=True)
     return idx

@@ -98,8 +98,9 @@ def curation_doc_state(new_docs: DataFrame) -> DataFrame:
 
 def history_nkey_index(history_docs: DataFrame) -> DataFrame:
     """Static-side canonical-key index: the DISTINCT ``nkey`` set of the
-    history corpus — the frame ``persist_nkey_index`` writes, so served
-    and inflight anti-joins are definitionally identical."""
+    history corpus — the frame ``persist_nkey_index``'s owner-count
+    ledger FOLDS to (``load_nkey_index``), so served and inflight
+    anti-joins are definitionally identical."""
     from etl_project_spark.operators.dedup import canonical_nkey
 
     return history_docs.select(canonical_nkey(F.col("text")).alias("nkey")).distinct()

@@ -333,9 +333,9 @@ def test_nkey_indexed_query_matches_inflight(spark, tmp_path):
     # predicate (source != src19) survives in NO pushed filter. The
     # positive anchor (ADVICE r15: a negative check alone passes
     # vacuously if a Spark upgrade reformats plan strings) is the index
-    # parquet's ReadSchema — only the served scan reads a bare nkey
-    # column; the inflight plan computes nkey from text.
-    assert "struct<nkey:string>" in plan
+    # parquet's ReadSchema — only the served scan reads the (nkey, _n)
+    # ledger columns; the inflight plan computes nkey from text.
+    assert "struct<nkey:string,_n:bigint>" in plan
     assert "Not(EqualTo(source" not in plan
     indexed = sorted(tuple(r) for r in df.collect())
     assert indexed == inflight and indexed
@@ -501,7 +501,7 @@ def test_nkey_append_query_matches_inflight(spark):
     )
     df = all_specs()["q_nkey_index_append_audit"].builder(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "struct<nkey:string>" in plan
+    assert "struct<nkey:string,_n:bigint>" in plan
     assert "Not(EqualTo(source" not in plan
     appended = sorted(tuple(r) for r in df.collect())
     assert appended == inflight and appended
@@ -528,3 +528,289 @@ def test_nkey_index_served_equals_inflight(spark, tmp_path):
     finally:
         DX.clear_dedup_indexes()
     assert served == inflight and inflight
+
+
+# -- round-17: index DELETE (retraction) + compaction -----------------------
+
+
+def _tomb_ids(spark):
+    """Tombstone set for the delete tests: the even-md5-bucket half of
+    the src19 batch — deterministic, non-empty, and a strict subset of
+    the batch, so the delete after an append exercises exactly the
+    takedown-of-recent-ingest shape. Built from (doc_id, source) only;
+    retraction must never need the text."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+
+    d = read_table(spark, SF_ORACLE, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    return d.filter(
+        (F.col("source") == DX.BATCH_SOURCE) & (bucket == 0)
+    ).select(F.col("doc_id").alias("_id"))
+
+
+def _frames_sorted(spark, idx):
+    sig, rows = DX.load_minhash_index(spark, idx)
+    return (
+        sorted(tuple(r) for r in sig.collect()),
+        sorted(tuple(r) for r in rows.collect()),
+    )
+
+
+def test_minhash_delete_shrunk_equals_rebuild_minus_tombstones(spark, tmp_path):
+    """The retraction invariant (round-17): a grown index with a
+    tombstone slice deleted is FRAME-IDENTICAL to a rebuild over
+    corpus-minus-tombstones — per-doc purity in reverse: dropping one
+    doc's rows cannot perturb any other doc's. Also pins that the
+    delete actually removed rows (non-vacuous)."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+
+    tomb = _tomb_ids(spark)
+    assert tomb.count() > 0
+    grown = DX.persist_minhash_index(
+        spark, SF_ORACLE, path=str(tmp_path / "hist"), register=False,
+        docs=DX._history_docs(spark, SF_ORACLE),
+    )
+    DX.append_minhash_index(spark, SF_ORACLE, grown)
+    before_sig, _ = _frames_sorted(spark, grown)
+    DX.delete_from_minhash_index(spark, grown, tomb)
+
+    alive = read_table(spark, SF_ORACLE, "documents").join(
+        tomb.select(F.col("_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    rebuilt = DX.persist_minhash_index(
+        spark, SF_ORACLE, path=str(tmp_path / "alive"), register=False,
+        docs=alive,
+    )
+    gsig, grows = _frames_sorted(spark, grown)
+    rsig, rrows = _frames_sorted(spark, rebuilt)
+    assert gsig == rsig and grows == rrows
+    assert gsig and len(gsig) < len(before_sig)  # delete shrank the index
+
+
+def test_minhash_delete_rewrites_only_affected_files(spark, tmp_path):
+    """The O(affected files) claim: appends land each batch in its own
+    part-files, so deleting batch-only tombstones must leave every
+    history-build part-file untouched (same inode set) and remove or
+    rewrite only files that held a tombstoned row."""
+    import os
+    import urllib.parse
+    import urllib.request
+
+    def local_files(path):
+        return {
+            f for f in os.listdir(path) if f.startswith("part-")
+        }
+
+    grown = DX.persist_minhash_index(
+        spark, SF_ORACLE, path=str(tmp_path / "hist"), register=False,
+        docs=DX._history_docs(spark, SF_ORACLE),
+    )
+    hist_files = local_files(grown.rows_path)
+    DX.append_minhash_index(spark, SF_ORACLE, grown)
+    tomb = _tomb_ids(spark)
+    affected = DX._affected_index_files(spark, grown.rows_path, tomb)
+    affected_names = {
+        os.path.basename(urllib.parse.urlparse(f).path) for f in affected
+    }
+    # tombstones are batch-only ⇒ no history part-file is affected
+    assert affected_names and affected_names.isdisjoint(hist_files)
+    DX.delete_from_minhash_index(spark, grown, tomb)
+    after = local_files(grown.rows_path)
+    assert hist_files <= after          # history files untouched
+    assert affected_names.isdisjoint(after)  # affected files rewritten away
+
+
+def test_minhash_delete_plans_never_read_text(spark, tmp_path):
+    """The no-re-sign property of the delete job, on executed plans:
+    neither the affected-file discovery nor the survivor rewrite reads
+    ANY document text — both sides are the column-pruned index parquet
+    plus a (doc_id, source)-only tombstone frame. Positive anchors
+    (ADVICE r15) guard the negative checks against plan-format
+    drift."""
+    grown = DX.persist_minhash_index(
+        spark, SF_ORACLE, path=str(tmp_path / "hist"), register=False,
+        docs=DX._history_docs(spark, SF_ORACLE),
+    )
+    DX.append_minhash_index(spark, SF_ORACLE, grown)
+    tomb = _tomb_ids(spark)
+
+    probe = DX._affected_files_frame(spark, grown.rows_path, tomb)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the index side prunes all the way to the bare id column — the
+    # _gram payload never leaves the parquet footer
+    assert "struct<_id:bigint>" in plan
+    assert "input_file_name" in plan                  # file-granularity probe
+    assert "text" not in plan
+
+    affected = DX._affected_index_files(spark, grown.rows_path, tomb)
+    survivors = spark.read.parquet(*affected).join(
+        tomb.select("_id"), "_id", "left_anti"
+    )
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "_gram" in plan and "doc_id" in plan
+    assert "text" not in plan
+
+
+def test_minhash_delete_query_nonvacuous(spark):
+    """q_minhash_index_delete_pairs end to end at test SF: the
+    post-delete pair set must be non-empty, a STRICT subset of the
+    grown (pre-delete) pair set, every removed pair must have a
+    tombstoned member, and no surviving pair may touch a tombstone.
+    Registry stays untouched (register=False)."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.operators.dedup import minhash_near_dup_pairs
+
+    DX.clear_dedup_indexes()
+    after = {
+        (r.id_a, r.id_b)
+        for r in all_specs()["q_minhash_index_delete_pairs"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    }
+    d = read_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bucket40 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 40
+    )
+    clones = d.filter(
+        (F.col("source") != DX.BATCH_SOURCE) & bucket40.isin(7, 27)
+    ).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.lit(DX.BATCH_SOURCE).alias("source"),
+        F.concat(
+            F.lit("INSERTED PREFIX BYTES SHIFT EVERYTHING "), F.col("text")
+        ).alias("text"),
+    )
+    aug = d.unionByName(clones)
+    before = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            aug, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
+            threshold=0.5, use_token_ngrams=True, prefilter=False,
+        ).collect()
+    }
+    tomb = {
+        r.doc_id + 50_000_000
+        for r in d.filter(
+            (F.col("source") != DX.BATCH_SOURCE) & (bucket40 == 7)
+        ).collect()
+    }
+    assert after and after < before
+    removed = before - after
+    assert removed and all(a in tomb or b in tomb for a, b in removed)
+    assert all(a not in tomb and b not in tomb for a, b in after)
+    assert (
+        DX.minhash_index_for(
+            SF_ORACLE, n_hashes=64, shingle_k=3, use_token_ngrams=True
+        )
+        is None
+    )
+
+
+def test_minhash_compact_preserves_frames_and_shrinks_files(spark, tmp_path):
+    """Compaction (round-17): after build + append + delete the index
+    dirs hold one file set per cycle; compact_minhash_index must fold
+    them into <= target_files per frame while leaving the LOADED
+    frames row-identical — compacted ≡ grown, pinned."""
+    import os
+
+    grown = DX.persist_minhash_index(
+        spark, SF_ORACLE, path=str(tmp_path / "hist"), register=False,
+        docs=DX._history_docs(spark, SF_ORACLE),
+    )
+    DX.append_minhash_index(spark, SF_ORACLE, grown)
+    DX.delete_from_minhash_index(spark, grown, _tomb_ids(spark))
+    before = _frames_sorted(spark, grown)
+    n_before = len(
+        [f for f in os.listdir(grown.rows_path) if f.startswith("part-")]
+    )
+    DX.compact_minhash_index(spark, grown, target_files=2)
+    after = _frames_sorted(spark, grown)
+    assert after == before and after[0]
+    for path in (grown.sig_path, grown.rows_path):
+        parts = [f for f in os.listdir(path) if f.startswith("part-")]
+        assert 0 < len(parts) <= 2
+    assert n_before > 2  # the compaction had something to fold
+
+
+def test_nkey_delete_respects_last_owner(spark, tmp_path):
+    """The distinct-set subtlety that forced the owner-count ledger:
+    two docs share one canonical key; deleting ONE of them must keep
+    the key live (a surviving owner remains), deleting the second must
+    retire it — and an unrelated key must survive both. Compaction
+    folds the ledger without changing the live set."""
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,  WORLD!"),
+            (2, "hello world"),
+            (3, "an entirely different document"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = DX.persist_nkey_index(
+        spark, SF_ORACLE, path=str(tmp_path / "nk"), register=False, docs=docs
+    )
+
+    def live():
+        return sorted(
+            r.nkey for r in DX.load_nkey_index(spark, idx).collect()
+        )
+
+    base = live()
+    assert len(base) == 2  # docs 1 and 2 collapse to one key
+    DX.delete_from_nkey_index(spark, idx, docs.filter("doc_id = 1"))
+    assert live() == base  # shared key still owned by doc 2
+    DX.delete_from_nkey_index(spark, idx, docs.filter("doc_id = 2"))
+    after = live()
+    assert len(after) == 1 and after[0] in base  # last owner gone
+    DX.compact_nkey_index(spark, idx)
+    assert live() == after
+    parts = [f for f in os.listdir(idx.path) if f.startswith("part-")]
+    assert len(parts) <= 8
+
+
+def test_nkey_delete_equals_rebuild_minus_tombstones(spark, tmp_path):
+    """On the real corpus: history build + src19 append, then deleting
+    a tombstoned doc slice must fold to exactly
+    ``history_nkey_index`` over corpus-minus-slice — including keys
+    co-owned by surviving docs (the real-data last-owner pin)."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.streaming.pipeline import history_nkey_index
+
+    d = read_table(spark, SF_ORACLE, "documents")
+    idx = DX.persist_nkey_index(
+        spark, SF_ORACLE, path=str(tmp_path / "nk"), register=False
+    )
+    DX.append_nkey_index(spark, SF_ORACLE, idx)
+    tomb_docs = d.join(
+        _tomb_ids(spark).select(F.col("_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    assert tomb_docs.count() > 0
+    DX.delete_from_nkey_index(spark, idx, tomb_docs)
+    folded = sorted(r.nkey for r in DX.load_nkey_index(spark, idx).collect())
+    alive = d.join(
+        _tomb_ids(spark).select(F.col("_id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    expected = sorted(r.nkey for r in history_nkey_index(alive).collect())
+    assert folded == expected and folded

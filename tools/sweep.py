@@ -110,16 +110,30 @@ def _tree_in_use(d: str) -> bool:
     Two cases the fd scan alone misses (ADVICE r15): a file held only
     via mmap (fd closed after mapping — NIO shuffle index/data reads do
     this), covered by also scanning /proc/<pid>/maps; and a process we
-    cannot inspect (other-uid → EACCES on the fd dir), which is treated
-    as IN-USE — conservative: an uninspectable live process may well
-    own the tree, and skipping one reap is cheap next to deleting a
-    mapped shuffle file. A vanished pid (ENOENT/ESRCH) stays not-in-use.
+    cannot inspect (EACCES on the fd dir). The conservative IN-USE
+    verdict for the latter applies only to SAME-UID processes (ADVICE
+    r16): our own Spark children are same-uid, so an uninspectable one
+    may well own the tree — but on a hidepid mount or an unprivileged
+    run alongside other-uid daemons, treating every EACCES as in-use
+    would make EVERY candidate tree read as held and permanently
+    disable the reaper, the OOD-disk failure mode it exists to
+    prevent. Other-uid processes cannot hold our per-uid scratch trees
+    for writing, so their EACCES is logged (once per pid per call) and
+    skipped. A vanished pid (ENOENT/ESRCH) stays not-in-use.
     The scan-then-rmtree TOCTOU window remains (nothing short of a lock
     closes it); the 1800 s mtime belt plus the fact that sessions create
     new scratch trees rather than adopt orphaned ones keeps that window
     benign."""
     dreal = os.path.realpath(d).rstrip(os.sep)
     prefix = dreal + os.sep
+    my_uid = os.getuid()
+
+    def _same_uid(pid: str) -> bool:
+        try:
+            return os.stat(os.path.join("/proc", pid)).st_uid == my_uid
+        except OSError:
+            return False  # raced exit — cannot own anything anymore
+
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
@@ -127,7 +141,14 @@ def _tree_in_use(d: str) -> bool:
         try:
             fds = os.listdir(fddir)
         except PermissionError:
-            return True  # uninspectable live process — assume in-use
+            if _same_uid(pid):
+                return True  # uninspectable same-uid process — assume in-use
+            print(
+                f"sweep: pid {pid} uninspectable (other uid), "
+                "not blocking reap",
+                flush=True,
+            )
+            continue
         except OSError:
             continue  # raced exit
         for fd in fds:
@@ -147,7 +168,14 @@ def _tree_in_use(d: str) -> bool:
                     if path == dreal or path.startswith(prefix):
                         return True
         except PermissionError:
-            return True
+            if _same_uid(pid):
+                return True
+            print(
+                f"sweep: pid {pid} maps uninspectable (other uid), "
+                "not blocking reap",
+                flush=True,
+            )
+            continue
         except OSError:
             continue
     return False
