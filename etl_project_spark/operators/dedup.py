@@ -655,15 +655,81 @@ def ngram_jaccard_pairs(
         .select("_id", F.xxhash64("_gram").alias("_g64"))
         .dropDuplicates(["_id", "_g64"])
     )
-    return _inverted_index_jaccard(inv, threshold)
+    return _inverted_index_jaccard(
+        inv, threshold, guard_twin="ngram_jaccard_pairs_capped"
+    )
 
 
-def _inverted_index_jaccard(inv: DataFrame, threshold: float) -> DataFrame:
+class CandidateMassExceeded(RuntimeError):
+    """Raised by the uncapped exact-pair forms when the PREDICTED
+    candidate mass exceeds the configured budget — a fast, clean
+    refusal instead of minutes of executor churn ending in a spill-disk
+    stage death (the round-16 sweep's four inherent sf10 fails)."""
+
+
+#: Refusal budget for Σ df·(df−1)/2 over the gram inverted index — the
+#: EXACT candidate-row count of the pair self-join (a gram shared by
+#: ``df`` docs emits df·(df−1)/2 rows; Θ(Σ cluster²) on mirror-cluster
+#: corpora). Derivation, measured on the sweep replicas (round 17):
+#: sf1 passes at 5.8e7; sf10 dies at 5.2e9 — ≈125 GB of (long, long)
+#: candidate shuffle before aggregation, past the host's free disk.
+#: 1e9 sits 17× above the largest passing decade and 5× below the
+#: dying one (≈24 GB shuffled — inside the spill envelope local[32]
+#: has survived elsewhere). Override per deployment:
+#: ``SPARK_GRAFT_PAIR_MASS_BUDGET``.
+def _pair_mass_budget() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_PAIR_MASS_BUDGET", 1_000_000_000))
+
+
+def _guard_candidate_mass(inv: DataFrame, *, capped_twin: str) -> None:
+    """Pre-flight candidate-mass estimate for an inverted-index pair
+    self-join (round-16 verdict #3): one column-pruned aggregate over
+    the gram frequencies — Σ df·(df−1)/2, the exact row count the
+    self-join would emit — refuses in seconds (13.8 s at sf10, where
+    the join itself burns minutes of churn before dying) with an error
+    naming the bounded-feature twin. The aggregate reuses the persisted
+    ``inv`` rows the main plan needs anyway, so decades under budget
+    pay one cheap map-side-combined agg, not a second gram build."""
+    mass = inv.groupBy("_g64").agg(
+        F.count(F.lit(1)).alias("_df")
+    ).agg(
+        F.sum(F.col("_df") * (F.col("_df") - 1) / 2).alias("_mass")
+    ).collect()[0]["_mass"]
+    budget = _pair_mass_budget()
+    if mass is not None and mass > budget:
+        raise CandidateMassExceeded(
+            f"predicted pair-candidate mass {mass:.3e} exceeds budget "
+            f"{budget:.1e} (set SPARK_GRAFT_PAIR_MASS_BUDGET to raise): "
+            f"the uncapped exact pair join would shuffle ~{mass * 24 / 1e9:.0f} GB "
+            f"of candidates; use the bounded-feature twin {capped_twin} "
+            "instead"
+        )
+
+
+def _inverted_index_jaccard(
+    inv: DataFrame, threshold: float, *, guard_twin: str | None = None
+) -> DataFrame:
     """Pair Jaccard from distinct ``(_id, _g64)`` inverted-index rows:
     self-join on the gram hash → shared-gram counts per pair →
     ``|A∩B| / (|A| + |B| - |A∩B|)``. Sizes come from the SAME rows, so
     a caller that pre-filters the gram universe (the capped variant)
-    gets exact Jaccard over the filtered feature set."""
+    gets exact Jaccard over the filtered feature set.
+
+    ``guard_twin`` (the uncapped callers) persists the rows and arms
+    the candidate-mass refusal; the capped variant leaves it off — its
+    mass is bounded by construction (≤ df_cap²·|grams| linear in
+    corpus), so the probe would be a wasted action."""
+    if guard_twin is not None:
+        from pyspark import StorageLevel
+
+        from etl_project_spark.session import scoped_persist
+
+        # inv feeds 3 plan branches (sizes + both join sides) plus the
+        # guard aggregate; persisting pays the gram build once.
+        inv = scoped_persist(inv, StorageLevel.MEMORY_AND_DISK)
+        _guard_candidate_mass(inv, capped_twin=guard_twin)
     sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = inv.alias("a")
     b = inv.alias("b")
@@ -1397,11 +1463,19 @@ def ngram_containment_pairs(
     shuffle is on the gram hash, and only pairs sharing ≥1 gram ever
     materialize. No cross join at any corpus size.
     """
-    inv = (
+    from pyspark import StorageLevel
+
+    from etl_project_spark.session import scoped_persist
+
+    inv = scoped_persist(
         ngram_rows(ensure_parallelism(df), id_col, text_col, n=n)
         .select("_id", F.xxhash64("_gram").alias("_g64"))
-        .dropDuplicates(["_id", "_g64"])
+        .dropDuplicates(["_id", "_g64"]),
+        StorageLevel.MEMORY_AND_DISK,
     )
+    # Directional join (!=) emits 2× the ordered-pair mass the guard
+    # estimates — same order of magnitude, same refusal decade.
+    _guard_candidate_mass(inv, capped_twin="ngram_jaccard_pairs_capped")
     sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = inv.alias("a")
     b = inv.alias("b")

@@ -684,3 +684,55 @@ def test_minhash_probe_restriction_equals_filtered_full(spark, docs):
     # non-vacuousness: the restriction must actually drop something
     # while keeping something, or the equality proves nothing
     assert expected and len(expected) < len(full)
+
+
+def test_probe_ids_with_prefilter_raises(spark):
+    """probe_ids + prefilter is an API-contract error (ADVICE r16),
+    not a silently different plan shape."""
+    docs = read_table(spark, SF_ORACLE, "documents")
+    probe = docs.limit(5).select(F.col("doc_id").alias("_id"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        DD.minhash_near_dup_pairs(
+            docs, "doc_id", "text", probe_ids=probe, prefilter=True
+        )
+
+
+def test_candidate_mass_guard_refuses_and_names_twin(spark, monkeypatch):
+    """The fast-refusal guard (round-16 verdict #3): with the budget
+    forced below this corpus's mass, the uncapped exact-pair forms
+    must refuse at plan-construction time with an error naming the
+    capped twin — BEFORE any pair join runs. The capped twin itself
+    must stay un-guarded (it is the escape hatch)."""
+    docs = read_table(spark, SF_ORACLE, "documents")
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_MASS_BUDGET", "1")
+    with pytest.raises(DD.CandidateMassExceeded, match="ngram_jaccard_pairs_capped"):
+        DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    with pytest.raises(DD.CandidateMassExceeded, match="exceeds budget"):
+        DD.ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    # escape hatch stays open under the same tiny budget
+    capped = DD.ngram_jaccard_pairs_capped(
+        docs, "doc_id", "text", n=3, threshold=0.2, df_cap=64
+    )
+    assert capped.count() > 0
+
+
+def test_candidate_mass_guard_silent_under_budget(spark, monkeypatch):
+    """At decades where the queries pass, the guard must not fire and
+    must not change the answer (the sf0.01 parity gate depends on
+    this): guarded result == the capped form with an infinite cap,
+    which shares the arithmetic but never arms the guard."""
+    docs = read_table(spark, SF_ORACLE, "documents")
+    monkeypatch.delenv("SPARK_GRAFT_PAIR_MASS_BUDGET", raising=False)
+    guarded = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.2
+        ).collect()
+    }
+    unguarded = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in DD.ngram_jaccard_pairs_capped(
+            docs, "doc_id", "text", n=3, threshold=0.2, df_cap=1 << 40
+        ).filter(F.col("kind") == "pair").collect()
+    }
+    assert guarded == unguarded and guarded
