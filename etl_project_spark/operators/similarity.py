@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import math
 import warnings
-from collections.abc import Sequence
+from collections.abc import Iterable, Sequence
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -1182,6 +1183,186 @@ def ivf_write_index(
     """
     assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+
+def ivf_append_index(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    path: str,
+    *,
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF maintenance (round-16 verdict #4): grow a
+    materialized index by a batch WITHOUT re-assigning the corpus —
+    assign only the batch against the FROZEN build-time centroids (one
+    O(batch) Arrow matmul) and append into the cell-partitioned
+    parquet (``partitionBy`` append adds files inside the matching
+    ``_cell=N/`` dirs, touching no existing file).
+
+    With frozen centroids, cell assignment is a per-vector pure
+    function of (vector, centroid matrix), so the grown index is
+    bit-identical to a full rebuild over corpus ∪ batch — every
+    partition-pruned probe is oblivious to how the index grew
+    (pinned in tests/test_ann_index.py). The price of freezing is
+    DRIFT: batches from a shifted distribution still land in the
+    nearest OLD cell, so cells fatten and within-cell tightness
+    (mean cosine to own centroid) degrades, silently costing probe
+    recall. :func:`ivf_cell_profile` + :func:`ivf_rebalance_cells`
+    are the measure-and-repair pair for that failure mode.
+    """
+    assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
+    assigned.write.mode("append").partitionBy("_cell").parquet(path)
+
+
+def ivf_cell_profile(
+    index_df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Per-cell occupancy + tightness of a (possibly grown) IVF index:
+    ``(_cell, n_vectors, mean_sim)`` where ``mean_sim`` is the mean
+    cosine of each member to its OWN cell centroid — one Arrow batch
+    kernel (gather the row's centroid, row-wise dot) and a map-side
+    combined aggregate; nothing reaches the driver but the
+    config-sized profile. Computed at build time and again after
+    appends, the ratio of the two mean_sims per cell is the drift
+    statistic a deployment alerts on."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("double")
+    def own_sim(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        own = Cn[cells.to_numpy().astype(int)]
+        return pd.Series(np.einsum("ij,ij->i", mn, own))
+
+    return (
+        index_df.withColumn(
+            "_sim", own_sim(F.col(vec_col), F.col("_cell").cast("int"))
+        )
+        .groupBy(F.col("_cell").cast("int").alias("_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg("_sim").alias("mean_sim"),
+        )
+    )
+
+
+def ivf_drifted_cells(
+    build_profile: DataFrame,
+    current_profile: DataFrame,
+    *,
+    sim_ratio_floor: float = 0.98,
+    occupancy_factor: float = 2.0,
+) -> list[int]:
+    """Cells whose post-append profile says the frozen centroid no
+    longer represents its members: tightness ratio
+    ``mean_sim_now / mean_sim_build`` below ``sim_ratio_floor`` (the
+    appended vectors sit far from the centroid) or occupancy grown
+    past ``occupancy_factor ×`` its build-time count (a fat cell makes
+    every probe that touches it scan ``occupancy/n`` of the corpus).
+    Driver-side over two config-sized profiles; returns cell ids for
+    :func:`ivf_rebalance_cells`. A cell absent at build time (never
+    possible with deterministic seeding, defensive) counts as
+    drifted."""
+    build = {int(r["_cell"]): r for r in build_profile.collect()}
+    out = []
+    for r in current_profile.collect():
+        c = int(r["_cell"])
+        b = build.get(c)
+        if b is None:
+            out.append(c)
+            continue
+        ratio = (r["mean_sim"] / b["mean_sim"]) if b["mean_sim"] else 1.0
+        if ratio < sim_ratio_floor or r["n_vectors"] > occupancy_factor * b["n_vectors"]:
+            out.append(c)
+    return sorted(out)
+
+
+def ivf_rebalance_cells(
+    spark,
+    path: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    cells: Iterable[int],
+    *,
+    id_col: str = "vec_id",
+    n_iter: int = 2,
+) -> list[list[float]]:
+    """Repair drifted cells by SPLITTING each into two (the standard
+    IVF re-train-lite): within a flagged cell, seed a second centroid
+    at the member FARTHEST from the frozen one (lowest cosine, ties to
+    the smallest id — deterministic, no RNG), run ``n_iter`` Lloyd
+    steps over just that cell's members, then rewrite ONLY that cell's
+    partition under the two new assignments. Untouched cells keep
+    their centroids, partitions, and files — the repair is O(flagged
+    cells' data), never O(corpus), and dynamic partition overwrite
+    swaps each rewritten ``_cell=N/`` dir atomically at the
+    directory level.
+
+    Returns the grown centroid list (split cell keeps its id for the
+    near half; the far half gets a NEW id appended at the end), which
+    the caller must use for every subsequent probe/append — probes
+    with the old list would silently miss the moved vectors
+    (tests pin full recall through a drift → rebalance → probe
+    cycle)."""
+    new_centroids = [list(map(float, c)) for c in centroids]
+    for cell in sorted(set(int(c) for c in cells)):
+        members = spark.read.parquet(path).filter(F.col("_cell") == cell)
+        base = new_centroids[cell]
+        # farthest member: lowest cosine to the frozen centroid, ties
+        # to smallest id — one scan of the cell, one row collected
+        Cn = np.asarray(base, dtype=np.float64)
+        Cn = Cn / max(float(np.linalg.norm(Cn)), 1e-12)
+
+        @pandas_udf("double")
+        def sim_to_base(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(mn @ Cn)
+
+        seed_row = (
+            members.withColumn("_s", sim_to_base(F.col(vec_col)))
+            .orderBy("_s", id_col)
+            .limit(1)
+            .select(vec_col)
+            .collect()
+        )
+        if not seed_row:
+            continue  # empty cell: nothing to split
+        pair = [base, [float(x) for x in seed_row[0][0]]]
+        pair = kmeans_refine(members, vec_col, pair, n_iter=n_iter)
+        new_id = len(new_centroids)
+        new_centroids[cell] = pair[0]
+        new_centroids.append(pair[1])
+        relabel = ivf_assign(
+            members.select(id_col, vec_col), vec_col, pair
+        ).withColumn(
+            "_cell",
+            F.when(F.col("_cell") == 0, F.lit(cell)).otherwise(F.lit(new_id)),
+        )
+        with _dynamic_partition_overwrite(spark):
+            relabel.write.mode("overwrite").partitionBy("_cell").parquet(path)
+    return new_centroids
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark):
+    """Scoped ``partitionOverwriteMode=dynamic``: overwrite replaces
+    ONLY the partitions the write produces (the rewritten cell + the
+    new split cell), leaving every other ``_cell=N/`` dir untouched —
+    restore the previous mode on exit so other writers keep their
+    semantics."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def ivf_topk_indexed(

@@ -335,6 +335,75 @@ def q_knn_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score", "rank")
 
 
+# The appended-index oracle: identical pipeline, but the centroid seed
+# pick runs over HISTORY only (vec_id % 10 <> 3 — the arriving-batch
+# slice of a sourceless table), because a production index freezes its
+# centroids at build time and arriving batches are assigned to them.
+# One string surgery on the shared constant so the assignment/probe/
+# rerank arithmetic can never drift; assumptions pinned at import
+# (the plans/dedup.py ADVICE-r16 convention).
+_IVF_SEED_WHERE = "WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16"
+assert _IVF_ORACLE.count(_IVF_SEED_WHERE) == 1, (
+    "IVF oracle's centroid-seed subquery changed; the history-only "
+    "splice below would be malformed"
+)
+_IVF_APPENDED_ORACLE = _IVF_ORACLE.replace(
+    _IVF_SEED_WHERE,
+    "WHERE vec_id % 7 = 0 AND vec_id % 10 <> 3 ORDER BY vec_id LIMIT 16",
+    1,
+)
+
+
+@register(
+    "q_knn_ivf_appended_topk",
+    oracle=_IVF_APPENDED_ORACLE,
+    tags=("similarity", "ivf", "index", "incremental"),
+)
+def q_knn_ivf_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over an INCREMENTALLY GROWN index — the maintenance
+    twin of ``q_knn_ivf_indexed_topk`` (round-16 verdict #4): the
+    cell-partitioned index is built over HISTORY only (``vec_id % 10
+    <> 3``, the arriving-batch slice of a table with no source
+    column), centroids are FROZEN from that build, and the batch is
+    then assigned in isolation and appended into the matching
+    ``_cell=N/`` partitions (``ivf_append_index`` — one O(batch)
+    Arrow matmul + an append write; the corpus is never re-assigned).
+
+    With frozen centroids the assignment is a per-vector pure function
+    of (vector, centroid matrix), so the grown index is bit-identical
+    to a rebuild over the full corpus with the same centroids, and the
+    probe returns exactly the rebuilt index's top-k — which is what
+    the oracle states (the shared IVF pipeline with the history-only
+    seed pick). The silent cost of freezing — recall drift as the
+    arriving distribution shifts — is the measured half of this task:
+    ``ivf_cell_profile`` / ``ivf_drifted_cells`` /
+    ``ivf_rebalance_cells`` detect and repair it (tests/test_ann_index
+    pins the drift→rebalance→recall cycle; BASELINE.md round 17
+    carries the recall-vs-append-fraction table).
+
+    Same per-(process, corpus) temp-dir + self-contained-build
+    contract as the indexed twin.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    tune_session(spark)
+    e = read_table(spark, sf_dir, "embeddings")
+    hist = e.filter(F.col("vec_id") % 10 != 3)
+    batch = e.filter(F.col("vec_id") % 10 == 3)
+    cents = SIM.deterministic_centroids(hist, "embedding", "vec_id", n_cells=16)
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"etl_project_spark_ivf_app_{_os.getpid()}",
+        _os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    SIM.ivf_write_index(hist, "embedding", cents, path, id_col="vec_id")
+    SIM.ivf_append_index(batch, "embedding", cents, path, id_col="vec_id")
+    return SIM.ivf_topk_indexed(
+        spark, path, "embedding", QUERY_VEC, cents, k=10, id_col="vec_id", n_probe=4
+    ).select("vec_id", "score", "rank")
+
+
 @register(
     "q_label_centroids",
     oracle="""
