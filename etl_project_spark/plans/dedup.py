@@ -494,9 +494,11 @@ def q_minhash_index_delete_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register(
-    "q_simhash_near_dup_pairs",
-    oracle="""
+#: SimHash fingerprint + exact-Hamming pair SQL — shared by the
+#: whole-corpus self-join query and the index-append probe twin (the
+#: _MINHASH_PAIRS_ORACLE convention: one replay of the md5 token-hash
+#: majority-vote arithmetic, so the two oracles can never drift).
+_SIMHASH_PAIRS_ORACLE = """
 WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
 -- Whitespace-normalize BEFORE splitting (collapse runs to one space,
 -- then TRIM, then split on the single space): Python str.split() never
@@ -522,7 +524,57 @@ toks AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
-""",
+"""
+
+# Import-time pins for the append-twin surgery below (the ADVICE-r16
+# convention): the fingerprint CTE chain must start at the docs CTE
+# reading documents exactly once, and the pairs CTE must carry the
+# self-join condition the twin replaces with the batch×history
+# restriction.
+assert _SIMHASH_PAIRS_ORACLE.count("FROM documents") == 1
+assert _SIMHASH_PAIRS_ORACLE.count("AND a.doc_id < b.doc_id") == 1
+assert _SIMHASH_PAIRS_ORACLE.count("SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6") == 1
+
+#: The index-append probe twin's oracle: the SAME fingerprint and
+#: Hamming arithmetic over an AUGMENTED corpus (documents ∪ planted
+#: prefix-insertion clones of the src18 slice, ids +50M, tagged src19
+#: — clones sit at Hamming 0–12 from their originals, ~20 of 25 under
+#: the ≤6 threshold at test SFs), restricted to (batch doc, history
+#: doc) rows in the stream-match orientation: a = the arriving src19
+#: side (probe), b = everything else (the index side, INCLUDING the
+#: appended src18 slice — without the append the clone↔original rows
+#: would be missing, which is what makes the plant non-vacuous).
+_SIMHASH_APPEND_ORACLE = (
+    """
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 50000000 AS doc_id, 'src19' AS source,
+         'INSERTED PREFIX BYTES SHIFT EVERYTHING ' || text AS text
+  FROM documents
+  WHERE source = 'src18'
+),"""
+    + _SIMHASH_PAIRS_ORACLE.lstrip()
+    .removeprefix("WITH")
+    .replace("FROM documents", "FROM aug", 1)
+    .replace(
+        "AND a.doc_id < b.doc_id",
+        """AND a.doc_id IN (SELECT doc_id FROM aug WHERE source = 'src19')
+    AND b.doc_id NOT IN (SELECT doc_id FROM aug WHERE source = 'src19')""",
+        1,
+    )
+    .replace(
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6",
+        "SELECT id_a AS doc_id, id_b AS match_id, hamming "
+        "FROM pairs WHERE hamming <= 6",
+        1,
+    )
+)
+
+
+@register(
+    "q_simhash_near_dup_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
     tags=("dedup", "simhash"),
 )
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,6 +598,72 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     return DD.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6)
+
+
+@register(
+    "q_simhash_index_append_matches",
+    oracle=_SIMHASH_APPEND_ORACLE,
+    tags=("dedup", "simhash", "index", "incremental"),
+)
+def q_simhash_index_append_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-history SimHash matches served from an INCREMENTALLY
+    GROWN posting index — the maintenance twin for the third index
+    family (round-16 verdict #8, after MinHash and nkey): the posting
+    index is built over the OLDER history only (every source except
+    the two most recent crawls), the previously-arrived ``src18``
+    batch is folded in by ``append_simhash_index`` — which
+    fingerprints ONLY that batch; postings are per-doc pure, so the
+    grown index is row-identical to a full history build — and the
+    arriving batch is probed against the grown index with the
+    stateless stream-static match plan (combination-pigeonhole
+    blocking, complete by theorem, so the output is EXACTLY the
+    ≤ max_hamming cross pair set).
+
+    The natural corpus has zero src19↔src18 matches at test SFs (the
+    probe would be append-blind), so the batch is augmented with
+    planted prefix-insertion clones of the src18 slice (ids +50M, the
+    established convention): ~20 of 25 clones sit within Hamming 6 of
+    their originals, and those (clone, original) rows exist in the
+    output ONLY because the append folded src18's postings in —
+    skipping the append visibly changes the answer (pinned in
+    tests/test_dedup_index.py).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.sources.dedup_index import (
+        BATCH_SOURCE,
+        append_simhash_frames,
+        load_simhash_index,
+        persist_simhash_index,
+        query_scoped_index_dir,
+    )
+    from etl_project_spark.streaming.dedup import stream_simhash_near_dup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    clones = d.filter(F.col("source") == "src18").select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.lit(BATCH_SOURCE).alias("source"),
+        F.concat(
+            F.lit("INSERTED PREFIX BYTES SHIFT EVERYTHING "), F.col("text")
+        ).alias("text"),
+    )
+    aug = d.unionByName(clones)
+    older = aug.filter(~F.col("source").isin("src18", BATCH_SOURCE))
+    appended = aug.filter(F.col("source") == "src18")
+    probe = aug.filter(F.col("source") == BATCH_SOURCE)
+
+    path = query_scoped_index_dir("simhash_append", sf_dir)
+    idx = persist_simhash_index(
+        spark, sf_dir, max_hamming=6, eq_blocks=2,
+        path=path, register=False, docs=older,
+    )
+    append_simhash_frames(idx, appended)
+    return stream_simhash_near_dup(
+        probe,
+        load_simhash_index(spark, idx),
+        max_hamming=6,
+        eq_blocks=2,
+    )
 
 
 @register(

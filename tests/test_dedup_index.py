@@ -814,3 +814,81 @@ def test_nkey_delete_equals_rebuild_minus_tombstones(spark, tmp_path):
     )
     expected = sorted(r.nkey for r in history_nkey_index(alive).collect())
     assert folded == expected and folded
+
+
+def test_simhash_append_grown_equals_rebuild(spark, tmp_path):
+    """Posting rows are per-doc pure functions of (text, layout), so a
+    history-built posting index grown by append_simhash_index must be
+    row-identical to a full-history build — the MinHash purity
+    argument applied to the third index family."""
+    grown = DX.persist_simhash_index(
+        spark, SF_ORACLE, max_hamming=6, eq_blocks=2,
+        path=str(tmp_path / "g"), register=False,
+        docs=DX._history_docs(spark, SF_ORACLE).filter("source <> 'src18'"),
+    )
+    DX.append_simhash_index(spark, SF_ORACLE, grown, batch_source="src18")
+    full = DX.persist_simhash_index(
+        spark, SF_ORACLE, max_hamming=6, eq_blocks=2,
+        path=str(tmp_path / "f"), register=False,
+    )
+    g = sorted(tuple(r) for r in DX.load_simhash_index(spark, grown).collect())
+    f = sorted(tuple(r) for r in DX.load_simhash_index(spark, full).collect())
+    assert g == f and g
+
+
+def test_simhash_append_query_depends_on_the_append(spark):
+    """q_simhash_index_append_matches must (a) equal the same probe
+    against a REBUILT full-history index (grown == rebuilt at the
+    answer level), and (b) LOSE rows when the append is skipped — the
+    planted clone↔original matches exist only because src18's postings
+    were folded in, so the plant is non-vacuous."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import read_table
+    from etl_project_spark.streaming.dedup import (
+        history_simhash_index,
+        stream_simhash_near_dup,
+    )
+
+    DX.clear_dedup_indexes()
+    got = sorted(
+        tuple(r)
+        for r in all_specs()["q_simhash_index_append_matches"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    )
+    d = read_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    clones = d.filter(F.col("source") == "src18").select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.lit(DX.BATCH_SOURCE).alias("source"),
+        F.concat(
+            F.lit("INSERTED PREFIX BYTES SHIFT EVERYTHING "), F.col("text")
+        ).alias("text"),
+    )
+    aug = d.unionByName(clones)
+    probe = aug.filter(F.col("source") == DX.BATCH_SOURCE)
+
+    def run(static_docs):
+        return sorted(
+            tuple(r)
+            for r in stream_simhash_near_dup(
+                probe,
+                history_simhash_index(static_docs, max_hamming=6, eq_blocks=2),
+                max_hamming=6,
+                eq_blocks=2,
+            ).collect()
+        )
+
+    rebuilt = run(aug.filter(F.col("source") != DX.BATCH_SOURCE))
+    assert got == rebuilt and got
+    without_append = run(
+        aug.filter(~F.col("source").isin("src18", DX.BATCH_SOURCE))
+    )
+    assert set(without_append) < set(got)  # the append owns real rows
+    clone_hits = [
+        r for r in got if r[0] >= 50_000_000 and r[1] == r[0] - 50_000_000
+    ]
+    assert clone_hits  # clone ↔ its own original among the appended rows
+    assert DX.simhash_index_for(SF_ORACLE, max_hamming=6, eq_blocks=2) is None
