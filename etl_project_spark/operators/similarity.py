@@ -1288,25 +1288,40 @@ def ivf_rebalance_cells(
     *,
     id_col: str = "vec_id",
     n_iter: int = 2,
+    merge_cos: float = 0.9,
 ) -> list[list[float]]:
-    """Repair drifted cells by SPLITTING each into two (the standard
-    IVF re-train-lite): within a flagged cell, seed a second centroid
-    at the member FARTHEST from the frozen one (lowest cosine, ties to
-    the smallest id — deterministic, no RNG), run ``n_iter`` Lloyd
-    steps over just that cell's members, then rewrite ONLY that cell's
-    partition under the two new assignments. Untouched cells keep
-    their centroids, partitions, and files — the repair is O(flagged
-    cells' data), never O(corpus), and dynamic partition overwrite
-    swaps each rewritten ``_cell=N/`` dir atomically at the
-    directory level.
+    """Repair drifted cells by SPLIT-then-MERGE (incremental
+    re-clustering without an O(corpus) retrain):
 
-    Returns the grown centroid list (split cell keeps its id for the
-    near half; the far half gets a NEW id appended at the end), which
+    1. **Split**: within each flagged cell, seed a second centroid at
+       the member FARTHEST from the frozen one (lowest cosine, ties to
+       the smallest id — deterministic, no RNG) and run ``n_iter``
+       Lloyd steps over just that cell's members. The far half is the
+       drifted mass the frozen centroid never represented.
+    2. **Merge**: a coherent arriving domain scatters across MANY
+       frozen cells (jitter decides the argmax when the new direction
+       is orthogonal to every centroid), so the split-off far halves
+       are near-duplicates of each other; leaving them as separate
+       cells fragments the new domain and caps its recall at
+       ``n_probe / n_fragments``. Far-half centroids with pairwise
+       cosine ≥ ``merge_cos`` are union-found into one NEW cell
+       (count-weighted mean centroid — driver-side, config-sized).
+    3. **Rewrite**: each flagged cell's members are re-assigned
+       between its kept near centroid and the merged new cells, and
+       ONLY those cells' partitions are rewritten (dynamic partition
+       overwrite swaps each ``_cell=N/`` dir at directory level).
+       Untouched cells keep their centroids, partitions, and files —
+       the repair is O(flagged cells' data), never O(corpus).
+
+    Returns the grown centroid list (flagged cells keep their ids for
+    the near halves; merged far groups get NEW ids appended), which
     the caller must use for every subsequent probe/append — probes
-    with the old list would silently miss the moved vectors
-    (tests pin full recall through a drift → rebalance → probe
-    cycle)."""
+    with the old list would silently miss the moved vectors. The
+    recall + scan-mass economics are measured in
+    tools/ivf_drift_ab.py (BASELINE.md round 17); the repair cycle is
+    pinned in tests/test_ann_index.py."""
     new_centroids = [list(map(float, c)) for c in centroids]
+    splits: list[tuple[int, list[float], list[float], int]] = []
     for cell in sorted(set(int(c) for c in cells)):
         members = spark.read.parquet(path).filter(F.col("_cell") == cell)
         base = new_centroids[cell]
@@ -1332,17 +1347,72 @@ def ivf_rebalance_cells(
             continue  # empty cell: nothing to split
         pair = [base, [float(x) for x in seed_row[0][0]]]
         pair = kmeans_refine(members, vec_col, pair, n_iter=n_iter)
-        new_id = len(new_centroids)
-        new_centroids[cell] = pair[0]
-        new_centroids.append(pair[1])
-        relabel = ivf_assign(
-            members.select(id_col, vec_col), vec_col, pair
-        ).withColumn(
-            "_cell",
-            F.when(F.col("_cell") == 0, F.lit(cell)).otherwise(F.lit(new_id)),
+        far_n = members.count()  # weight for the merge mean (upper
+        # bound: near/far split sizes are refined below only if needed)
+        splits.append((cell, pair[0], pair[1], far_n))
+
+    if not splits:
+        return new_centroids
+
+    # -- merge near-duplicate far halves (driver-side, config-sized) --
+    far = np.asarray([s[2] for s in splits], dtype=np.float64)
+    fn = far / np.maximum(np.linalg.norm(far, axis=1, keepdims=True), 1e-12)
+    sims = fn @ fn.T
+    parent = list(range(len(splits)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(splits)):
+        for j in range(i + 1, len(splits)):
+            if sims[i, j] >= merge_cos:
+                parent[find(j)] = find(i)
+    groups: dict[int, list[int]] = {}
+    for i in range(len(splits)):
+        groups.setdefault(find(i), []).append(i)
+    group_id: dict[int, int] = {}
+    for root in sorted(groups):
+        members_idx = groups[root]
+        w = np.asarray([splits[i][3] for i in members_idx], dtype=np.float64)
+        merged = (far[members_idx] * w[:, None]).sum(axis=0) / max(w.sum(), 1e-12)
+        gid = len(new_centroids)
+        new_centroids.append([float(x) for x in merged])
+        for i in members_idx:
+            group_id[i] = gid
+
+    # -- rewrite the flagged cells under (near, merged far) ------------
+    # One write for ALL flagged cells: several cells can feed the SAME
+    # merged cell, and dynamic overwrite replaces every partition the
+    # write emits — per-cell writes would clobber the shared merged
+    # partition on each iteration. The union is localCheckpoint'ed
+    # (eager) first: it materializes the relabeled rows (O(flagged
+    # cells' data)) and severs lineage from the directory the write is
+    # about to replace, so no task re-execution can re-list the
+    # half-rewritten layout.
+    relabels = []
+    for k, (cell, near, _far_c, _n) in enumerate(splits):
+        new_centroids[cell] = near
+        gid = group_id[k]
+        members = spark.read.parquet(path).filter(F.col("_cell") == cell)
+        relabels.append(
+            ivf_assign(
+                members.select(id_col, vec_col),
+                vec_col,
+                [near, new_centroids[gid]],
+            ).withColumn(
+                "_cell",
+                F.when(F.col("_cell") == 0, F.lit(cell)).otherwise(F.lit(gid)),
+            )
         )
-        with _dynamic_partition_overwrite(spark):
-            relabel.write.mode("overwrite").partitionBy("_cell").parquet(path)
+    moved = relabels[0]
+    for r in relabels[1:]:
+        moved = moved.unionByName(r)
+    moved = moved.localCheckpoint(eager=True)
+    with _dynamic_partition_overwrite(spark):
+        moved.write.mode("overwrite").partitionBy("_cell").parquet(path)
     return new_centroids
 
 
