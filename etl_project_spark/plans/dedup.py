@@ -219,7 +219,7 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_dup_pairs(
         d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
         threshold=0.5, use_token_ngrams=True, prefilter=False, signed=signed,
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -274,7 +274,7 @@ def q_minhash_indexed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
         threshold=0.5, use_token_ngrams=True, prefilter=False,
         signed=load_minhash_index(spark, idx),
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -332,7 +332,7 @@ def q_minhash_index_append_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
         threshold=0.5, use_token_ngrams=True, prefilter=False,
         signed=load_minhash_index(spark, idx),
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -406,7 +406,7 @@ def q_minhash_batch_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5, use_token_ngrams=True, prefilter=False,
         signed=load_minhash_index(spark, idx),
         probe_ids=batch.select(F.col("doc_id").alias("_id")),
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -491,7 +491,7 @@ def q_minhash_index_delete_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug, "doc_id", "text", n_hashes=64, bands=32, shingle_k=3,
         threshold=0.5, use_token_ngrams=True, prefilter=False,
         signed=load_minhash_index(spark, idx),
-    ).orderBy("id_a", "id_b")
+    )
 
 
 #: SimHash fingerprint + exact-Hamming pair SQL — shared by the
@@ -856,7 +856,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.9,
         planes_per_table=bits,
         verify=verify,
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -1425,7 +1425,7 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return SIM.semantic_dedup_pairs(
         corpus, "vec_id", "embedding", cents, threshold=0.9, row_hint=n
-    ).orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------

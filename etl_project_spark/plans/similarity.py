@@ -228,7 +228,7 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_rows=n,
         right_score_offset=0.01,
     )
-    return out.orderBy("probe_id", "rank")
+    return out
 
 
 #: DuckDB replay of the whole IVF pipeline: strided centroid pick →
