@@ -386,8 +386,19 @@ def minhash_sig_from_rows(rows: DataFrame, *, n_hashes: int = 64) -> DataFrame:
     ``(_id, _gram)`` rows is bit-identical to one over raw rows — the
     append-equals-rebuild test in tests/test_dedup_index.py pins this.
     """
-    return rows.groupBy("_id").agg(
-        *[F.min(F.xxhash64("_gram", F.lit(j))).alias(f"_h{j}") for j in range(n_hashes)]
+    # One SQL-parsed struct expression instead of n_hashes×4 py4j column
+    # calls: building 64 F.min(F.xxhash64(...)).alias(...) trees cost
+    # ~0.45 s of driver-side py4j chatter PER PLAN BUILD (measured r17;
+    # paid by every query in the minhash family, every bench pass); the
+    # single-expr form is 0.11 s with a bit-identical aggregate
+    # (xxhash64(_gram, j) in SQL is the same multi-arg hash).
+    members = ", ".join(
+        f"min(xxhash64(_gram, {j})) AS _h{j}" for j in range(n_hashes)
+    )
+    return (
+        rows.groupBy("_id")
+        .agg(F.expr(f"struct({members}) AS _s"))
+        .select("_id", "_s.*")
     )
 
 
@@ -506,7 +517,7 @@ def minhash_near_dup_pairs(
         # paid at persist time; the parquet frames re-read cheaply per
         # branch, so no session cache is taken out here.
         sig, rows = signed
-    sig_arr = F.array(*[F.col(f"_h{j}") for j in range(n_hashes)])
+    sig_arr = F.expr("array(" + ", ".join(f"_h{j}" for j in range(n_hashes)) + ")")
     banded = sig.select(
         "_id",
         F.posexplode(band_hashes(sig_arr, bands, rows_per_band)).alias(
@@ -591,17 +602,20 @@ def minhash_near_dup_pairs(
     )
 
     if prefilter:
-        sa = sig.select(
-            F.col("_id").alias("id_a"),
-            *[F.col(f"_h{j}").alias(f"_ha{j}") for j in range(n_hashes)],
+        # selectExpr / single-expr forms for the same py4j-chatter reason
+        # as minhash_sig_from_rows (identical expressions, fewer driver
+        # round-trips building them).
+        sa = sig.selectExpr(
+            "_id AS id_a", *[f"_h{j} AS _ha{j}" for j in range(n_hashes)]
         )
-        sb = sig.select(
-            F.col("_id").alias("id_b"),
-            *[F.col(f"_h{j}").alias(f"_hb{j}") for j in range(n_hashes)],
+        sb = sig.selectExpr(
+            "_id AS id_b", *[f"_h{j} AS _hb{j}" for j in range(n_hashes)]
         )
-        agree = sum(
-            (F.col(f"_ha{j}") == F.col(f"_hb{j}")).cast("int") for j in range(n_hashes)
-        ) / float(n_hashes)
+        agree = F.expr(
+            "(" + " + ".join(
+                f"CAST(_ha{j} = _hb{j} AS INT)" for j in range(n_hashes)
+            ) + f") / {float(n_hashes)}"
+        )
         margin = 3.0 * (threshold * (1.0 - threshold) / n_hashes) ** 0.5
         candidates = (
             candidates.join(sa, "id_a")

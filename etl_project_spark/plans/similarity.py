@@ -533,14 +533,18 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     e = read_table(spark, sf_dir, "embeddings")
     d = 8
-    comps = e.select(
-        *[F.element_at("embedding", i).cast("double").alias(f"x{i}") for i in range(1, d + 1)]
+    # Single parsed expressions (not 36 Column-object aggs) — the py4j
+    # plan-construction economy of q_pca_power_iteration, same
+    # expressions term for term.
+    comps = e.selectExpr(
+        *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS x{i}" for i in range(1, d + 1)]
     )
-    aggs = []
-    for i in range(1, d + 1):
-        for j in range(i, d + 1):
-            aggs.append(F.covar_pop(f"x{i}", f"x{j}").alias(f"c_{i}_{j}"))
-    one = comps.agg(*aggs)
+    cov_members = ", ".join(
+        f"covar_pop(x{i}, x{j}) AS c_{i}_{j}"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    )
+    one = comps.agg(F.expr(f"struct({cov_members}) AS _s")).select("_s.*")
     stack_args = ", ".join(
         f"{i}, {j}, c_{i}_{j}" for i in range(1, d + 1) for j in range(i, d + 1)
     )
@@ -1707,24 +1711,28 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     d, iters = _PCA_D, _PCA_ITERS
     e = read_table(spark, sf_dir, "embeddings")
-    comps = e.select(
-        *[F.element_at("embedding", i).cast("double").alias(f"x{i}") for i in range(1, d + 1)]
+    # Single SQL-parsed expressions instead of 136×3 py4j Column calls
+    # for the covariance aggs + 256 more for the 16×16 matrix assembly:
+    # the Column-comprehension form cost ~1.1 s of driver-side plan
+    # construction PER RUN (measured r17, guide §4 — py4j chatter is a
+    # Python-boundary cost even with zero UDFs); the parsed form is
+    # ~0.2 s with term-for-term identical expressions (same round, same
+    # covar_pop, same left-assoc trace sum — collect-equality checked).
+    comps = e.selectExpr(
+        *[f"CAST(element_at(embedding, {i}) AS DOUBLE) AS x{i}" for i in range(1, d + 1)]
     )
-    aggs = [
-        F.round(F.covar_pop(f"x{i}", f"x{j}"), 6).alias(f"c_{i}_{j}")
+    cov_members = ", ".join(
+        f"round(covar_pop(x{i}, x{j}), 6) AS c_{i}_{j}"
         for i in range(1, d + 1)
         for j in range(i, d + 1)
-    ]
-    one = comps.agg(*aggs)
-    mat = one.select(
-        F.array(
-            *[
-                F.array(*[F.col(f"c_{min(i, j)}_{max(i, j)}") for j in range(1, d + 1)])
-                for i in range(1, d + 1)
-            ]
-        ).alias("C"),
-        sum((F.col(f"c_{i}_{i}") for i in range(2, d + 1)), F.col("c_1_1")).alias("tr"),
     )
+    one = comps.agg(F.expr(f"struct({cov_members}) AS _s")).select("_s.*")
+    mat_rows = ", ".join(
+        "array(" + ", ".join(f"c_{min(i, j)}_{max(i, j)}" for j in range(1, d + 1)) + ")"
+        for i in range(1, d + 1)
+    )
+    trace = " + ".join(f"c_{i}_{i}" for i in range(1, d + 1))
+    mat = one.selectExpr(f"array({mat_rows}) AS C", f"({trace}) AS tr")
     matvec = (
         "transform(C, row -> aggregate(zip_with(row, acc, (p, q) -> p * q),"
         " CAST(0 AS DOUBLE), (a, b) -> a + b))"

@@ -386,7 +386,7 @@ def persist_minhash_index(
     tag = f"nh{n_hashes}_k{shingle_k}_{'tok' if use_token_ngrams else 'char'}"
     sig_path = os.path.join(path, f"sig_{tag}")
     rows_path = os.path.join(path, f"grams_{tag}")
-    sig, rows = minhash_sig_rows(
+    _, rows = minhash_sig_rows(
         read_table(spark, sf_dir, "documents") if docs is None else docs,
         "doc_id",
         "text",
@@ -394,10 +394,21 @@ def persist_minhash_index(
         shingle_k=shingle_k,
         use_token_ngrams=use_token_ngrams,
     )
-    sig.write.mode("overwrite").parquet(sig_path)
     # Distinct here is idempotent for the verify stage (it re-applies
     # dropDuplicates) and shrinks the persisted index.
     rows.dropDuplicates(["_id", "_gram"]).write.mode("overwrite").parquet(rows_path)
+    # Derive the signature FROM the written gram parquet instead of
+    # re-running the text scan + shingle explode a second time (the
+    # append path's minhash_frames_for already does this): min is
+    # duplicate-insensitive, so sig over the distinct rows is
+    # bit-identical to sig over raw rows (pinned in
+    # tests/test_dedup_index.py), and the agg input is the narrow
+    # (_id, _gram int64) parquet, not the documents text.
+    from etl_project_spark.operators.dedup import minhash_sig_from_rows
+
+    minhash_sig_from_rows(
+        spark.read.parquet(rows_path), n_hashes=n_hashes
+    ).write.mode("overwrite").parquet(sig_path)
     idx = MinHashIndex(
         sig_path, rows_path, n_hashes, shingle_k, use_token_ngrams, owns_path=owns
     )
