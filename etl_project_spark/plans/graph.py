@@ -400,7 +400,14 @@ def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, d = edges, degrees(edges)
     levels.append(d.withColumn("round", F.lit(0)))
     for r in (1, 2):
-        v = d.filter(F.col("d") >= _KCORE_K).select("src")
+        # Explicit broadcast (guide §3.1): the survivor vertex set is
+        # broadcast-sized at any scale (docstring), but the planner's
+        # post-agg estimate can't see that — the static plan carried
+        # SMJ + an exchange of the EDGE set per endpoint filter. With
+        # the hint the cached src-partitioned edges are never
+        # re-shuffled for either endpoint semi-filter (measured 5.15 →
+        # 4.54 s median at sf0.1, identical output).
+        v = F.broadcast(d.filter(F.col("d") >= _KCORE_K).select("src"))
         e = (
             e.join(v.withColumnRenamed("src", "sv"), F.col("src") == F.col("sv"))
             .drop("sv")

@@ -732,6 +732,20 @@ def test_minhash_compact_preserves_frames_and_shrinks_files(spark, tmp_path):
         docs=DX._history_docs(spark, SF_ORACLE),
     )
     DX.append_minhash_index(spark, SF_ORACLE, grown)
+    # A second (disjoint) append cycle: since r17 each append lands ONE
+    # coalesced part-file per frame (the AQE-coalesced write the old
+    # persist form suppressed), so two cycles are needed to guarantee
+    # >2 files — the test's fold-precondition — without weakening it.
+    DX.append_minhash_frames(
+        grown,
+        spark.createDataFrame(
+            [
+                (90_000_001, "an appended second cycle document of words"),
+                (90_000_002, "another appended second cycle document here"),
+            ],
+            "doc_id long, text string",
+        ),
+    )
     DX.delete_from_minhash_index(spark, grown, _tomb_ids(spark))
     before = _frames_sorted(spark, grown)
     n_before = len(
