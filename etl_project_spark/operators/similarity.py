@@ -1053,15 +1053,16 @@ def kmeans_refine(
     current = [list(map(float, c)) for c in centroids]
     for _ in range(n_iter):
         assigned = ivf_assign(df, vec_col, current)
+        # One parsed array expression, not dim×4 py4j Column calls —
+        # the r17 plan-construction economy (identical sums, same cast).
+        sum_members = ", ".join(
+            f"sum(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE))"
+            for i in range(len(current[0]))
+        )
         sums = (
             assigned.groupBy("_cell")
             .agg(
-                F.array(
-                    *[
-                        F.sum(F.element_at(F.col(vec_col), i + 1).cast("double"))
-                        for i in range(len(current[0]))
-                    ]
-                ).alias("_sum"),
+                F.expr(f"array({sum_members})").alias("_sum"),
                 F.count(F.lit(1)).alias("_n"),
             )
             .collect()
