@@ -924,12 +924,23 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    # Corpus side: distinct (doc, gram) is one hash shuffle with map-
-    # side partial dedup; the join scores hits and the per-doc
-    # aggregate is the only other shuffle. Folding set semantics into
-    # count_distinct aggregates halved the shuffle count but Expand
-    # doubled shuffle rows (+75% warm, round-6 measurement).
-    corpus = grams(d.filter(F.col("source") != "src0")).distinct()
+    # Corpus side: ONE doc-keyed exchange serves the whole path (r17,
+    # guide §2.4 — two operations keyed the same way share one
+    # exchange). Hash-partitioning on _id alone satisfies the
+    # (_id, _g) distinct's clustering requirement (subset rule: equal
+    # _id ⇒ co-located ⇒ equal (_id, _g) co-located), and the
+    # broadcast hit-join preserves that partitioning into the final
+    # per-doc aggregate — so neither the dedup nor the groupBy(_id)
+    # inserts its own exchange. Measured sf0.1 (interleaved, 5 reps):
+    # 3.10 → 2.21 s warm, plan 3 Exchanges → 2, rows identical. In the
+    # big-bench-side regime where AQE leaves the hit-join a shuffle
+    # join, the _g exchange returns on both plans and the counts
+    # equalize — no regression at scale. (Folding set semantics into
+    # count_distinct aggregates instead halved the shuffle count but
+    # Expand doubled shuffle rows: +75% warm, round-6 measurement.)
+    corpus = (
+        grams(d.filter(F.col("source") != "src0")).repartition("_id").distinct()
+    )
     return (
         corpus.join(bench, "_g", "left")
         .groupBy(F.col("_id").alias("doc_id"))

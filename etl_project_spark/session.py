@@ -21,6 +21,22 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Shuffled-hash over sort-merge when the per-partition build side
+    # fits (guide §3.1/§9): both knobs are SIZE-gated, so the choice
+    # adapts with scale rather than encoding local[32] — the planner
+    # still falls back to SMJ whenever its size conditions fail, and
+    # the AQE rewrite uses EXACT runtime shuffle statistics (64 MB
+    # per-partition local-map cap; partitions at scale are sized by
+    # AQE's advisory target, so the gate keeps working at 100 TB and
+    # the build map stays far under executor memory). Knob-isolated
+    # interleaved A/B at sf0.1 (8 join-heavy queries × 3 reps,
+    # A/C1/C2/C3 rotation): every query ≤ baseline or noise-level
+    # under both-on — copurchase 2.70→1.60 s, rake 2.31→1.40 s,
+    # max_concurrent 1.90→1.20 s, cohort 0.83→0.50 s, q03 0.83→0.65 s;
+    # worst mover q_dtw_topk_join +0.13 s (noise band). Wider 14-query
+    # A/B/B/A run: −9.6% total.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The corpus events table stores timestamp[ns]; Spark's parquet
     # reader rejects TIMESTAMP(NANOS) outright. Read nanos as long and
