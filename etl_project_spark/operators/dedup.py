@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -375,6 +376,20 @@ def minhash_sig_rows(
         if use_token_ngrams
         else shingle_rows(df, id_col, text_col, k=shingle_k)
     ).select("_id", F.xxhash64("_gram").alias("_gram"))
+    # Key the gram rows by _id RIGHT AFTER the explode (r17, guide
+    # §2.4): every downstream keyed operation — the 64-member
+    # signature agg (groupBy _id), the set-semantics dedup
+    # (dropDuplicates on [_id,_gram]: hash(_id) clusters it), the
+    # verify-side sizes agg — is then satisfied by this ONE
+    # exchange instead of each inserting its own. The shuffle
+    # carries barely more than the distinct mass it replaces:
+    # (_id,_gram) duplicates are intra-document only, so the old
+    # plan's map-side partial dedup shipped nearly the same bytes,
+    # three separate times (one per re-executed dropDuplicates
+    # consumer in pair_jaccard). Measured r17 (interleaved sf0.1
+    # A/B with the cache materialization below): inflight pairs
+    # ~3.5 → ~2.4 s steady, plan 8 → 2 executed exchanges.
+    rows = rows.repartition("_id")
     return minhash_sig_from_rows(rows, n_hashes=n_hashes), rows
 
 
@@ -511,6 +526,14 @@ def minhash_near_dup_pairs(
 
         sig = scoped_persist(sig, StorageLevel.MEMORY_AND_DISK)
         rows = scoped_persist(rows, StorageLevel.MEMORY_AND_DISK)
+        # Materialize the gram-rows cache before composing the
+        # verify plan: a pending cache under AQE reports unknown
+        # partitioning (see plans/graph.py), which would hand every
+        # consumer back the exchange the repartition("_id") in
+        # minhash_sig_rows just paid to eliminate. The count is the
+        # cache build the first action pays anyway; the signature agg
+        # then also runs exchange-free on top of it.
+        rows.count()
     else:
         # Served from the persisted MinHash index: the signing pass
         # (shingle explode + 64-way min agg — the dominant cost) was

@@ -11,6 +11,8 @@ is what lets an iterative algorithm be hash-oracle-checked at all.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -117,6 +119,20 @@ def q_pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.src", "e.dst")
     edges = scoped_persist(both_dirs.repartition("src"))
     deg = scoped_persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
+    # Materialize both caches BEFORE composing the iteration plan:
+    # under AQE a *pending* InMemoryRelation reports unknown output
+    # partitioning (its cached plan is a non-final AdaptiveSparkPlan),
+    # so every downstream consumer re-shuffles the cached frame with
+    # an ENSURE_REQUIREMENTS exchange; a materialized cache exposes
+    # its final hash(src) partitioning and the per-iteration edge/deg
+    # joins consume it directly (guide §2.4). The count IS the cache
+    # build the first action would pay anyway — no extra data pass
+    # (plan: 13 → 8 Exchanges, the survivors keyed on per-round rank
+    # output only; r17 interleaved A/B sf0.1 runtime-neutral — the
+    # elided exchanges carry MBs here, a full edge-set shuffle per
+    # iteration at scale).
+    edges.count()
+    deg.count()
     ranks = deg.select(F.col("src").alias("id"), F.lit(1_000_000).cast("bigint").alias("r"))
     for _ in range(3):
         contrib = (
@@ -280,6 +296,13 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     basket = li.distinct()
     a = basket.alias("a")
     b = basket.alias("b")
+    # Cache the graph partitioned on the per-round join key and
+    # materialize it (r17): the (src, dst) agg layout satisfies no
+    # downstream requirement, while hash(src) feeds both rounds' vote
+    # joins — and only a FINAL (materialized) cache exposes its
+    # partitioning under AQE (see q_pagerank_order_graph). One extra
+    # node-pair-sized exchange at build time buys an edge-set shuffle
+    # per round.
     edges = scoped_persist(
         a.join(
             b,
@@ -288,7 +311,9 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
+        .repartition("src")
     )
+    edges.count()
     labels = li.select(F.col("l_suppkey").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -392,12 +417,31 @@ def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .repartition("src")
     )
+    # Same pending-cache pitfall as q_pagerank_order_graph: every
+    # degree aggregate and endpoint filter in the peel rounds keys on
+    # src, so materializing the cache up front lets all of them read
+    # the cached hash(src) layout instead of re-shuffling it (plan:
+    # 26 → 5 Exchanges, every join now broadcast over the cached
+    # layout).
+    edges.count()
 
     def degrees(e: DataFrame) -> DataFrame:
         return e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
 
     levels = []
     e, d = edges, degrees(edges)
+    # Each round's degree table fans out to TWO consumers (its level
+    # branch and the next round's survivor broadcast), and each
+    # round's filtered edge set to two more (its degree agg and the
+    # next round's filter input) — unpersisted, the final union
+    # re-executed the whole peel chain per branch (26 cache passes
+    # in the plan). Persisting the per-round state makes the plan a
+    # straight line: one pass builds each round, every reader hits a
+    # cache. Degree tables are node-sized, filtered edges strictly
+    # shrink — both trivially cacheable at any scale. Measured r17
+    # (interleaved sf0.1 A/B): 3.29 → 2.72 s median.
+    d = scoped_persist(d)
+    d.count()
     levels.append(d.withColumn("round", F.lit(0)))
     for r in (1, 2):
         # Explicit broadcast (guide §3.1): the survivor vertex set is
@@ -414,7 +458,12 @@ def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(v.withColumnRenamed("src", "dv"), F.col("dst") == F.col("dv"))
             .drop("dv")
         )
+        if r < 2:
+            e = scoped_persist(e)
         d = degrees(e)
+        if r < 2:
+            d = scoped_persist(d)
+            d.count()
         levels.append(d.withColumn("round", F.lit(r)))
     lvl = levels[0].unionByName(levels[1]).unionByName(levels[2])
     return (
@@ -525,23 +574,30 @@ def q_adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("sa").orderBy(F.col("c").desc(), F.col("sb"))
     )
     kept = copairs.withColumn("rn", rn).filter(F.col("rn") <= _AA_TOPK)
-    # und feeds THREE branches (both adjacency aliases and the
-    # non-adjacency anti-join). Measured sf10 A/B (interleaved, fresh
-    # processes): persist 40.0/40.7 s cold vs no-persist 36.9/50.7 s —
-    # AQE's ReusedExchange already dedups the shared lineage, so this
-    # is not a speedup; it pins run-to-run variance (the persisted
-    # legs were tight, the unpersisted ones swung 37→51 s) and keeps
-    # the ≤ topk·n-row frame from re-deriving on planners without
-    # exchange reuse.
     from etl_project_spark.session import scoped_persist
 
-    und = scoped_persist(
-        kept.select(
-            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
-        ).distinct()
-    )
-    adj = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    und = kept.select(
+        F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+    ).distinct()
+    # Persist the ADJACENCY (both directions) hash-partitioned on
+    # src, materialized — not the one-directional und (r17, guide
+    # §2.4; supersedes the r13 und-persist, whose sf10 variance
+    # rationale carries over): the two-hop self-join and the degree
+    # aggregate both key on src, so every reader of this cache
+    # consumes its layout with zero exchanges (a pending cache under
+    # AQE reports unknown partitioning — see q_pagerank_order_graph).
+    # und is recovered from the cache by the src<dst filter (each
+    # undirected edge appears exactly once per orientation), so the
+    # anti-join side costs a cache pass, not a recompute of the
+    # copairs window. Measured r17 (interleaved sf0.1 A/B, with the
+    # deg-join reorder below): 4.62 → 4.09 s median.
+    adj = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    adj = scoped_persist(adj.repartition("src"))
+    adj.count()
+    und = adj.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     t1 = adj.alias("t1")
@@ -554,14 +610,20 @@ def q_adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t1.dst").alias("supp_a"),
         F.col("t2.dst").alias("supp_b"),
     )
-    non_adj = cand.join(
+    # Attach deg BEFORE the non-adjacency anti-join (r17): cand leaves
+    # the self-join already partitioned on src = z, so the deg join
+    # consumes that layout exchange-free; the anti-join then carries the
+    # (supp_a, supp_b) shuffle into the final group-by, which reuses it.
+    # Order is immaterial to the result — the anti-join filters on the
+    # pair, the deg join only attaches z's degree.
+    scored = cand.join(deg, cand.z == deg.src)
+    non_adj = scored.join(
         und,
-        (cand.supp_a == und.u) & (cand.supp_b == und.v),
+        (scored.supp_a == und.u) & (scored.supp_b == und.v),
         "left_anti",
     )
     return (
-        non_adj.join(deg, non_adj.z == deg.src)
-        .groupBy("supp_a", "supp_b")
+        non_adj.groupBy("supp_a", "supp_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
             F.round(F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), 6).alias(
