@@ -11,6 +11,8 @@ runs only inside blocks.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -651,9 +653,31 @@ def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
     parity is exact at any partitioning.
     """
     li = _t(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # Persist the deduped basket keyed on l_orderkey, materialized
+    # (r17): unpersisted, the distinct subtree re-executed once per
+    # consumer — 4 hash(l_orderkey,l_partkey) exchanges for the
+    # same frame (self-join a/b sides, item counts, n_orders).
+    # Keying by l_orderkey up front makes the dedup run within
+    # partitions (hash(l_orderkey) clusters the pair key), feeds
+    # both self-join sides and the distinct-order count with zero
+    # further exchanges, and leaves item's partkey agg as the one
+    # keyed shuffle. (l_orderkey, l_partkey) duplicates are rare
+    # (multi-line same-part orders), so the raw shuffle carries
+    # ~the distinct mass the old plan shipped four times. Plan 8 → 3
+    # executed exchanges; runtime-neutral at sf0.1 (interleaved A/B
+    # 2.32 vs 2.37 s).
+    from etl_project_spark.session import scoped_persist
+
+    basket = scoped_persist(
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    basket.count()
     n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    item = scoped_persist(
+        basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    )
     a = basket.alias("a")
     b = basket.alias("b")
     pair = (
@@ -749,9 +773,16 @@ def q_sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
         ).alias("term"),
     ).where(F.col("term") != "")
+    # Re-key the TF frame by term right after the count (r17, guide
+    # §2.4): tf feeds THREE consumers (nd, df_, the kept build) whose
+    # shared repartition exchange is computed once and re-read
+    # (ReusedExchange) — so the tokenize+count pass runs once where it
+    # ran twice before — and hash(term) is exactly what the document-
+    # frequency agg and the posting-list self-join need, so both run
+    # without their own shuffles.
     tf = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
-    )
+    ).repartition("term")
     nd = tf.agg(F.countDistinct("doc_id").alias("n"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
     from etl_project_spark.session import scoped_persist
@@ -759,13 +790,18 @@ def q_sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept feeds the norms agg AND both sides of the pair join; without
     # a persist the tokenize+count subtree re-executes 4x (PLANS.md
     # showed 12 document scans). Tracked for release by the bench/
-    # caller via session.release_persists().
+    # caller via session.release_persists(). Materialized (count) so
+    # the cache exposes the inherited hash(term) layout to the pair
+    # self-join — a pending cache under AQE reports unknown
+    # partitioning (see plans/graph.py) and the self-join would
+    # re-shuffle both sides at scale.
     kept = scoped_persist(
         tf.join(df_, "term")
         .crossJoin(F.broadcast(nd))
         .where(F.col("d") <= F.least(0.1 * F.col("n"), F.lit(256.0)))
         .select("doc_id", "term", "tf")
     )
+    kept.count()
     norms = kept.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm"))
     a = kept.alias("a")
     b = kept.alias("b")

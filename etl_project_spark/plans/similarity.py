@@ -1562,6 +1562,13 @@ def q_knn_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h % F.col("_mod") == 0)
         .select("vec_id", "embedding", "_mod")
     )
+    # The sampled node set is ~2500 rows but derives from a FULL corpus
+    # scan + md5 filter, and it feeds four plan branches (both sides of
+    # the graph build, the entry set, the rerank join-back) —
+    # unpersisted, that's four corpus scans per run (r17). Cache the
+    # sample and materialize it so every branch reads the 2500 rows.
+    nodes = scoped_persist(nodes)
+    nodes.count()
 
     edges = scoped_persist(
         grouped_probe_topk(

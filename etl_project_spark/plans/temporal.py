@@ -883,7 +883,12 @@ def q_dtw_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = {int(r["user_id"]): [float(v) for v in r["xs"]] for r in probe_rows}
     cands = seqs.filter(~F.col("user_id").isin(list(queries)))
     fn_a, sch_a = dtw_bounds_kernel(queries, band=_DTW_BAND)
-    bounds = cands.mapInPandas(fn_a, schema=sch_a)
+    # The bounds frame feeds BOTH the per-probe cutoff aggregate and
+    # the survivor filter — unpersisted, the LB_Keogh/ub pandas kernel
+    # ran twice over every (candidate, probe) pair (two MapInPandas
+    # nodes over the same input in the r17 before-plan). The frame is
+    # three narrow columns per pair; cache it and pay the kernel once.
+    bounds = scoped_persist(cands.mapInPandas(fn_a, schema=sch_a))
     taus = bounds.groupBy("probe_id").agg(
         # Fewer than k candidates → no kth ub exists; the cutoff must
         # degrade to +inf (keep everything). Under ANSI mode a plain
