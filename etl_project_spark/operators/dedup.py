@@ -1337,13 +1337,22 @@ def embedding_near_dup_pairs(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # asNondeterministic (guide §4.4): the threshold filter references
+    # the UDF's output column, and Catalyst pushes it below the
+    # projection by DUPLICATING the expression — the r17 before-plan
+    # carried two back-to-back ArrowEvalPython nodes running the same
+    # pairwise cosine, so every candidate pair paid the kernel twice.
+    # The marking forbids the copy (one node, filter above it); the
+    # kernel is genuinely deterministic, only the optimizer contract
+    # changes.
+    score = pairwise_cosine_udf().asNondeterministic()
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(pairwise_cosine_udf()(F.col("_va"), F.col("_vb")), 4).alias(
+            F.round(score(F.col("_va"), F.col("_vb")), 4).alias(
                 "cosine_sim"
             ),
         )

@@ -1543,9 +1543,15 @@ def semantic_dedup_pairs(
         return assigned.groupBy("_cell").applyInPandas(fn, out_schema)
     # Scorer: the Arrow-batched einsum UDF (same kernel the LSH verify
     # path hash-matches against DuckDB's list_cosine_similarity), ~20×
-    # the interpreted zip_with fold per pair.
+    # the interpreted zip_with fold per pair. asNondeterministic
+    # (guide §4.4): without it the threshold filter below is pushed
+    # under the projection by duplicating the UDF — every within-cell
+    # pair would pay the einsum twice (see embedding_near_dup_pairs).
     sim = F.round(
-        pairwise_cosine_udf()(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+        pairwise_cosine_udf().asNondeterministic()(
+            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+        ),
+        4,
     )
     b = assigned.alias("b")
     if strategy == "broadcast":

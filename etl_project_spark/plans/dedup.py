@@ -2133,11 +2133,26 @@ def q_cdc_shared_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle.
     """
     chunks = _cdc_chunk_frame(spark, sf_dir)
-    doc_digests = chunks.select(
-        "doc_id",
-        F.md5(F.col("chunk").cast("binary")).alias("dg"),
-        F.length("chunk").alias("clen"),
-    ).distinct()
+    # Persist the per-doc digest set keyed by digest, materialized
+    # (r17): doc_digests fans out to THREE consumers (the df cap, both
+    # self-join sides) and each re-ran the ENTIRE chunking pipeline —
+    # an md5 per corpus character — before (6 repartition prints of
+    # the corpus in the before-plan). hash(dg) also clusters the
+    # distinct (subset rule), the df aggregate, and both sides of the
+    # digest self-join, so everything downstream of the one exchange
+    # is shuffle-free until the final pair aggregate.
+    from etl_project_spark.session import scoped_persist
+
+    doc_digests = scoped_persist(
+        chunks.select(
+            "doc_id",
+            F.md5(F.col("chunk").cast("binary")).alias("dg"),
+            F.length("chunk").alias("clen"),
+        )
+        .repartition("dg")
+        .dropDuplicates(["doc_id", "dg", "clen"])
+    )
+    doc_digests.count()
     common = (
         doc_digests.groupBy("dg")
         .agg(F.count(F.lit(1)).alias("df"))

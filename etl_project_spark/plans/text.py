@@ -1116,6 +1116,14 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
             "cnt",
         ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        # Examined r17, left alone: the unrolled rounds re-execute each
+        # round's pair agg per consumer (7 (a,b) exchanges for 3
+        # rounds), but every frame past the cached vocab cut is ≤ 200
+        # rows — persisting+materializing per round was MEASURED SLOWER
+        # (interleaved sf0.1 A/B: ~1.22 s lineage-recompute vs ~1.59 s
+        # with per-round counts; the 4 extra driver jobs cost more than
+        # the tiny re-aggs), and the vocab cut is scale-invariant so
+        # the trade never flips with corpus size.
         best = (
             pairs.groupBy("a", "b")
             .agg(F.sum("cnt").alias("t"))

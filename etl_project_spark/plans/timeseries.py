@@ -274,6 +274,16 @@ def q_max_concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("close_ts").alias("ts"), F.lit(-1).alias("d"), "o_orderkey")
     )
     deltas = deltas.withColumn("month", F.date_trunc("month", "ts"))
+    # Persist the sweep events keyed by month, materialized (r17):
+    # deltas feeds the in-month running sum AND the month totals, and
+    # each branch of its union re-derives the orders⋈lineitem close
+    # aggregate — the before-plan re-ran that agg exchange four times.
+    # hash(month) is what both consumers cluster on, so the window and
+    # the totals agg run with zero further shuffles off the cache.
+    from etl_project_spark.session import scoped_persist
+
+    deltas = scoped_persist(deltas.repartition("month"))
+    deltas.count()
     w_in = (
         W.partitionBy("month")
         .orderBy("ts", F.desc("d"), "o_orderkey")
