@@ -647,6 +647,15 @@ def minhash_near_dup_pairs(
             .select("id_a", "id_b")
         )
 
+    # Served mode examined r17, left alone: the three pair_jaccard
+    # consumers re-read the index parquet and re-shuffle it for their
+    # own dropDuplicates, and keying+persisting+materializing the
+    # distinct grams once LOOKED like a 3-passes-to-1 win — but
+    # measured SLOWER (interleaved reps ~2.4 s parquet re-reads vs
+    # ~3.0 s cached at sf0.1): columnar re-reads of an already-distinct
+    # index are cheaper than a cache materialization job, the same
+    # trade the r16 append path measured (read-back beat persist,
+    # sources/dedup_index.py).
     distinct_grams = rows.dropDuplicates(["_id", "_gram"])
     return pair_jaccard(candidates, distinct_grams).filter(
         F.col("jaccard_sim") >= threshold

@@ -1034,6 +1034,13 @@ def q_incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         hg = served.select("_hid", "_g")
         hsz = served.groupBy("_hid").agg(F.first("_szh").alias("_szh"))
     else:
+        # Examined r17, left alone: hg/bg each feed two consumers
+        # (overlap join + size agg) so each side's shingle pass runs
+        # twice — but persisting both frames measured SLOWER (~1.0 s
+        # recompute vs ~1.9-2.1 s cached reps at sf0.1): the cache
+        # materialization jobs cost more than the doubled codegen
+        # shingle scan. The served branch (gram_index_for) is the real
+        # no-rescan answer at scale.
         hg = DD.gram_rows_hashed(
             d.filter(F.col("source") != BATCH_SOURCE), n=3, id_out="_hid"
         )
@@ -2133,26 +2140,18 @@ def q_cdc_shared_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle.
     """
     chunks = _cdc_chunk_frame(spark, sf_dir)
-    # Persist the per-doc digest set keyed by digest, materialized
-    # (r17): doc_digests fans out to THREE consumers (the df cap, both
-    # self-join sides) and each re-ran the ENTIRE chunking pipeline —
-    # an md5 per corpus character — before (6 repartition prints of
-    # the corpus in the before-plan). hash(dg) also clusters the
-    # distinct (subset rule), the df aggregate, and both sides of the
-    # digest self-join, so everything downstream of the one exchange
-    # is shuffle-free until the final pair aggregate.
-    from etl_project_spark.session import scoped_persist
-
-    doc_digests = scoped_persist(
-        chunks.select(
-            "doc_id",
-            F.md5(F.col("chunk").cast("binary")).alias("dg"),
-            F.length("chunk").alias("clen"),
-        )
-        .repartition("dg")
-        .dropDuplicates(["doc_id", "dg", "clen"])
-    )
-    doc_digests.count()
+    # Examined r17, left alone: doc_digests fans out to three consumers
+    # and the static plan prints the chunking pipeline once per
+    # consumer — but runtime ReuseExchange already deduplicates the
+    # identical subtrees, so a dg-keyed persist+materialize of the
+    # digest set measured consistently SLOWER across 4 interleaved
+    # cross-checkout sessions (old 1.48-1.60 s vs new 1.57-2.85 s at
+    # sf0.1): the cache job buys back work the engine wasn't repaying.
+    doc_digests = chunks.select(
+        "doc_id",
+        F.md5(F.col("chunk").cast("binary")).alias("dg"),
+        F.length("chunk").alias("clen"),
+    ).distinct()
     common = (
         doc_digests.groupBy("dg")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -773,16 +773,16 @@ def q_sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")
         ).alias("term"),
     ).where(F.col("term") != "")
-    # Re-key the TF frame by term right after the count (r17, guide
-    # §2.4): tf feeds THREE consumers (nd, df_, the kept build) whose
-    # shared repartition exchange is computed once and re-read
-    # (ReusedExchange) — so the tokenize+count pass runs once where it
-    # ran twice before — and hash(term) is exactly what the document-
-    # frequency agg and the posting-list self-join need, so both run
-    # without their own shuffles.
+    # Examined r17, left at the r16 shape: re-keying tf by term (one
+    # ReusedExchange serving nd/df_/kept, tokenize once, self-join
+    # shuffle-free) MEASURED SLOWER across 5 interleaved cross-checkout
+    # sessions (old ~1.37 s vs new ~2.3 s steady at sf0.1): the raw-tf
+    # repartition plus the kept materialization job cost more than the
+    # duplicated tokenize they eliminate at this scale, and the
+    # self-join's kept inputs broadcast here anyway.
     tf = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
-    ).repartition("term")
+    )
     nd = tf.agg(F.countDistinct("doc_id").alias("n"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("d"))
     from etl_project_spark.session import scoped_persist
@@ -790,18 +790,13 @@ def q_sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept feeds the norms agg AND both sides of the pair join; without
     # a persist the tokenize+count subtree re-executes 4x (PLANS.md
     # showed 12 document scans). Tracked for release by the bench/
-    # caller via session.release_persists(). Materialized (count) so
-    # the cache exposes the inherited hash(term) layout to the pair
-    # self-join — a pending cache under AQE reports unknown
-    # partitioning (see plans/graph.py) and the self-join would
-    # re-shuffle both sides at scale.
+    # caller via session.release_persists().
     kept = scoped_persist(
         tf.join(df_, "term")
         .crossJoin(F.broadcast(nd))
         .where(F.col("d") <= F.least(0.1 * F.col("n"), F.lit(256.0)))
         .select("doc_id", "term", "tf")
     )
-    kept.count()
     norms = kept.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm"))
     a = kept.alias("a")
     b = kept.alias("b")

@@ -549,17 +549,12 @@ def _incremental_audit_from_history(
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_chars", "text")
     )
-    # Persist the surviving-batch frame, materialized (r17): canon is
-    # consumed by the classifier featurizer AND the join-back, so the
-    # whole upstream — batch canonicalization, the history anti-join
-    # (in the inflight entry that means re-canonicalizing HISTORY),
-    # and the per-nkey window — re-executed twice before (6 nkey
-    # exchanges in the before-plan, 3 per pass). The frame is
-    # batch-bounded by construction.
-    from etl_project_spark.session import scoped_persist
-
-    canon = scoped_persist(canon)
-    canon.count()
+    # Examined r17, left alone: canon feeds the featurizer AND the
+    # join-back (the canonicalization + anti-join + window subtree runs
+    # twice), but persisting+materializing it MEASURED SLOWER across 5
+    # interleaved cross-checkout sessions (~1.4 s recompute vs ~1.9-2.2
+    # s cached at sf0.1 for both entries) — the cache job beats the
+    # doubled batch-bounded subtree only on paper here.
     canonicals = canon.join(hashed_margin_agg(canon), "doc_id").select(
         "doc_id", "source", "n_chars", "n_feats", "_sw"
     )

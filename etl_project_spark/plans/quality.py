@@ -83,6 +83,13 @@ def q_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.xxhash64("_gram").alias("_g"))
     )
+    # Examined r17, left alone: grams feeds the df aggregate AND the
+    # scoring join (tokenize runs twice), but keying+persisting+
+    # materializing the gram rows measured no better across interleaved
+    # cross-checkout sessions (old 1.87-2.04 s vs new 2.18-2.46 s on
+    # mixed-quality host windows) — the raw-gram repartition plus the
+    # cache job outweigh the duplicated codegen tokenize at sf0.1, the
+    # same boundary q_sparse_cosine_doc_pairs measured more cleanly.
     df_counts = (
         grams.select("_g", "doc_id")
         .distinct()

@@ -263,6 +263,13 @@ def q_max_concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # Examined r17, left alone: the close aggregate re-derives 4x
+    # through the union fan-out, but both persist variants measured
+    # slower-or-unprovable on this host (month-keyed deltas
+    # persist+count: ~1.5 vs ~1.9 s across 5 interleaved cross-checkout
+    # sessions; bare iv persist: no clean-host win either) — the
+    # duplicated join+agg is cheaper than its cache materialization at
+    # sf0.1, same boundary as q_monthly_cohort_retention.
     iv = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
@@ -274,16 +281,6 @@ def q_max_concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("close_ts").alias("ts"), F.lit(-1).alias("d"), "o_orderkey")
     )
     deltas = deltas.withColumn("month", F.date_trunc("month", "ts"))
-    # Persist the sweep events keyed by month, materialized (r17):
-    # deltas feeds the in-month running sum AND the month totals, and
-    # each branch of its union re-derives the orders⋈lineitem close
-    # aggregate — the before-plan re-ran that agg exchange four times.
-    # hash(month) is what both consumers cluster on, so the window and
-    # the totals agg run with zero further shuffles off the cache.
-    from etl_project_spark.session import scoped_persist
-
-    deltas = scoped_persist(deltas.repartition("month"))
-    deltas.count()
     w_in = (
         W.partitionBy("month")
         .orderBy("ts", F.desc("d"), "o_orderkey")
