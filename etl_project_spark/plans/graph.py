@@ -458,8 +458,13 @@ def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(v.withColumnRenamed("src", "dv"), F.col("dst") == F.col("dv"))
             .drop("dv")
         )
-        if r < 2:
-            e = scoped_persist(e)
+        # Persist only the NODE-sized degree tables, never the edge
+        # sets (r17 sf1 check): caching e1 wrote the surviving edge
+        # set back out and measured kcore 4.1-6.3 → 7.0-7.6 s at sf1,
+        # while recomputing e_r is a map-side broadcast-join pass over
+        # the cached base edges — cheap at any scale. The d persists
+        # alone keep the sf0.1 win (3.29 → 2.72 s) because they cut
+        # the degree-agg re-execution the union fans out.
         d = degrees(e)
         if r < 2:
             d = scoped_persist(d)
