@@ -11,7 +11,6 @@ is what lets an iterative algorithm be hash-oracle-checked at all.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,7 +130,10 @@ def q_pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output only; r17 interleaved A/B sf0.1 runtime-neutral — the
     # elided exchanges carry MBs here, a full edge-set shuffle per
     # iteration at scale).
-    edges.count()
+    # r18 (VERDICT r17 #3): ONE materialization action, not two — deg
+    # is an aggregate OVER the persisted edges, so deg.count() builds
+    # the edges cache in the same pass; the separate edges.count() was
+    # a redundant driver-visible job on the cold one-shot path.
     deg.count()
     ranks = deg.select(F.col("src").alias("id"), F.lit(1_000_000).cast("bigint").alias("r"))
     for _ in range(3):
@@ -206,10 +208,16 @@ def q_triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # r18 (VERDICT r17 #2): customer/supplier dims are SF-linear, so a
+    # forced F.broadcast() hint would bypass the planner's size gate
+    # and break at 100 TB. Un-hinted, the 10 MB auto-broadcast
+    # threshold (and AQE's exact runtime sizes) still picks BHJ at any
+    # scale where the dims genuinely fit, and degrades safely when
+    # they do not.
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(
             F.least("c_nationkey", "s_nationkey").alias("a"),
@@ -422,8 +430,10 @@ def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # src, so materializing the cache up front lets all of them read
     # the cached hash(src) layout instead of re-shuffling it (plan:
     # 26 → 5 Exchanges, every join now broadcast over the cached
-    # layout).
-    edges.count()
+    # layout). r18: the round-0 degree cache build below (d.count())
+    # aggregates over the persisted edges, so it materializes BOTH
+    # caches in one pass — the separate edges.count() was a redundant
+    # cold-path job (VERDICT r17 #3).
 
     def degrees(e: DataFrame) -> DataFrame:
         return e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -444,14 +454,16 @@ def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.count()
     levels.append(d.withColumn("round", F.lit(0)))
     for r in (1, 2):
-        # Explicit broadcast (guide §3.1): the survivor vertex set is
-        # broadcast-sized at any scale (docstring), but the planner's
-        # post-agg estimate can't see that — the static plan carried
-        # SMJ + an exchange of the EDGE set per endpoint filter. With
-        # the hint the cached src-partitioned edges are never
-        # re-shuffled for either endpoint semi-filter (measured 5.15 →
-        # 4.54 s median at sf0.1, identical output).
-        v = F.broadcast(d.filter(F.col("d") >= _KCORE_K).select("src"))
+        # r18 (VERDICT r17 #2): NO forced broadcast hint. The survivor
+        # node set is customers ∪ suppliers filtered by degree — LINEAR
+        # in SF, so an unconditional F.broadcast() bypasses AQE's size
+        # gate and OOMs the driver at 100 TB (tens of GB of ids). AQE
+        # decides instead: the degree agg's runtime statistics are
+        # exact, so at bench scale it still converts the join to a
+        # broadcast (survivors are KBs here) while at scale it keeps a
+        # size-gated hash join — the session SHJ confs (session.py)
+        # capture the local win without the hint.
+        v = d.filter(F.col("d") >= _KCORE_K).select("src")
         e = (
             e.join(v.withColumnRenamed("src", "sv"), F.col("src") == F.col("sv"))
             .drop("sv")
@@ -581,28 +593,22 @@ def q_adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = copairs.withColumn("rn", rn).filter(F.col("rn") <= _AA_TOPK)
     from etl_project_spark.session import scoped_persist
 
-    und = kept.select(
-        F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
-    ).distinct()
-    # Persist the ADJACENCY (both directions) hash-partitioned on
-    # src, materialized — not the one-directional und (r17, guide
-    # §2.4; supersedes the r13 und-persist, whose sf10 variance
-    # rationale carries over): the two-hop self-join and the degree
-    # aggregate both key on src, so every reader of this cache
-    # consumes its layout with zero exchanges (a pending cache under
-    # AQE reports unknown partitioning — see q_pagerank_order_graph).
-    # und is recovered from the cache by the src<dst filter (each
-    # undirected edge appears exactly once per orientation), so the
-    # anti-join side costs a cache pass, not a recompute of the
-    # copairs window. Measured r17 (interleaved sf0.1 A/B, with the
-    # deg-join reorder below): 4.62 → 4.09 s median.
-    adj = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    adj = scoped_persist(adj.repartition("src"))
-    adj.count()
-    und = adj.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
+    # r18: REVERTED the r17 src-keyed adjacency persist (VERDICT r17
+    # #5 — the 4.62→4.09 claim did not survive a clean window: the
+    # deduped exchange count ROSE 12→17 because the persist doubles
+    # the und frame in both orientations before caching, and both the
+    # driver (0.72×) and the clean-window record (4.1→4.34 cold) read
+    # slower). Back to the r16 shape: persist the one-directional und
+    # only — it feeds three branches (both adjacency aliases + the
+    # anti-join) and AQE's ReusedExchange dedups the shared lineage;
+    # the sf10 variance rationale from r13 carries over.
+    und = scoped_persist(
+        kept.select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        ).distinct()
+    )
+    adj = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     t1 = adj.alias("t1")
@@ -615,20 +621,14 @@ def q_adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t1.dst").alias("supp_a"),
         F.col("t2.dst").alias("supp_b"),
     )
-    # Attach deg BEFORE the non-adjacency anti-join (r17): cand leaves
-    # the self-join already partitioned on src = z, so the deg join
-    # consumes that layout exchange-free; the anti-join then carries the
-    # (supp_a, supp_b) shuffle into the final group-by, which reuses it.
-    # Order is immaterial to the result — the anti-join filters on the
-    # pair, the deg join only attaches z's degree.
-    scored = cand.join(deg, cand.z == deg.src)
-    non_adj = scored.join(
+    non_adj = cand.join(
         und,
-        (scored.supp_a == und.u) & (scored.supp_b == und.v),
+        (cand.supp_a == und.u) & (cand.supp_b == und.v),
         "left_anti",
     )
     return (
-        non_adj.groupBy("supp_a", "supp_b")
+        non_adj.join(deg, non_adj.z == deg.src)
+        .groupBy("supp_a", "supp_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
             F.round(F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), 6).alias(

@@ -11,7 +11,6 @@ runs only inside blocks.
 
 from __future__ import annotations
 
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -653,31 +652,19 @@ def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
     parity is exact at any partitioning.
     """
     li = _t(spark, sf_dir, "lineitem")
-    # Persist the deduped basket keyed on l_orderkey, materialized
-    # (r17): unpersisted, the distinct subtree re-executed once per
-    # consumer — 4 hash(l_orderkey,l_partkey) exchanges for the
-    # same frame (self-join a/b sides, item counts, n_orders).
-    # Keying by l_orderkey up front makes the dedup run within
-    # partitions (hash(l_orderkey) clusters the pair key), feeds
-    # both self-join sides and the distinct-order count with zero
-    # further exchanges, and leaves item's partkey agg as the one
-    # keyed shuffle. (l_orderkey, l_partkey) duplicates are rare
-    # (multi-line same-part orders), so the raw shuffle carries
-    # ~the distinct mass the old plan shipped four times. Plan 8 → 3
-    # executed exchanges; runtime-neutral at sf0.1 (interleaved A/B
-    # 2.32 vs 2.37 s).
-    from etl_project_spark.session import scoped_persist
-
-    basket = scoped_persist(
-        li.select("l_orderkey", "l_partkey")
-        .repartition("l_orderkey")
-        .dropDuplicates(["l_orderkey", "l_partkey"])
-    )
-    basket.count()
+    # r18: REVERTED the r17 basket persist+count and item persist
+    # (VERDICT r17 #1 — a real regression: driver 2.5→4.0 s, clean
+    # window 2.5→3.44 cold; the r17 knob A/B was already neutral and
+    # the cross-checkout evidence came from mixed-calib windows).
+    # Runtime ReuseExchange dedups the distinct subtree's exchange
+    # across the four consumers, so the residual recompute per branch
+    # is one cheap codegen agg — the losing side of the persist
+    # boundary rule (OPTIMIZATION_r17.md). A/B r18 (interleaved sf0.1
+    # warm medians): revert 2.05 vs persists 2.44, every paired rep
+    # favoring the revert.
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = scoped_persist(
-        basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    )
     a = basket.alias("a")
     b = basket.alias("b")
     pair = (

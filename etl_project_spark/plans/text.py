@@ -8,7 +8,6 @@ text surface is oracle-checked, not just rows-only.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pandas as pd
@@ -1517,19 +1516,18 @@ def q_rake_keywords_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p")
         - F.row_number().over(W.partitionBy("doc_id").orderBy("p")),
     )
-    # Persist the islands frame materialized (r17): content feeds
-    # the phrase assembly AND the member join, and phr feeds the
-    # member join AND the phrase-word explode — unpersisted, the
-    # doc-window (sort + hash(doc_id) exchange) re-executed three
-    # times (3 identical exchanges in the plan). The cached
-    # hash(doc_id) layout also clusters every downstream
-    # (source, doc_id, grp) agg/join key, so those run
-    # exchange-free on top of it. Plan 7 → 5 executed exchanges;
-    # runtime-neutral at sf0.1 (interleaved A/B 2.38 vs 2.46 s).
-    from etl_project_spark.session import scoped_persist
-
-    content = scoped_persist(content)
-    content.count()
+    # r18: REVERTED the r17 islands+phrase persists (VERDICT r17 #1 —
+    # the round's worst regression: driver 1.9→3.5 s, clean-window
+    # cold 1.9→2.75 s). The r17 A/B was already neutral; two
+    # cache-materialization jobs to save one window sort above a
+    # runtime-reused exchange is exactly the losing side of the
+    # persist boundary rule (OPTIMIZATION_r17.md): runtime
+    # ReuseExchange dedups the hash(doc_id) exchange, so the residual
+    # recompute per consumer is one sort — cheaper than the cache
+    # builds. (A/B r18: interleaved sf0.1 warm medians neutral —
+    # 2.31 revert vs 2.18 persists with a downward within-session
+    # drift; the regression is the COLD path's two extra cache jobs,
+    # which the driver's one-shot bench times.)
     phr = (
         content.groupBy("source", "doc_id", "grp")
         .agg(
@@ -1541,7 +1539,6 @@ def q_rake_keywords_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
     )
-    phr = scoped_persist(phr)
     members = content.join(
         phr.select("source", "doc_id", "grp", "plen"),
         ["source", "doc_id", "grp"],
