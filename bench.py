@@ -207,6 +207,16 @@ def main() -> None:
     from etl_project_spark.plans.registry import all_specs
     from etl_project_spark.session import get_spark, release_persists
 
+    # Host calib at START as well as end (round-17 verdict #6): calib
+    # was measured only at run end, so a mid-run host throttle was
+    # invisible in the compact line — r17's driver window degraded 4×
+    # and the per-query numbers could not be machine-flagged. Both
+    # readings now ship in the line; a large start/end gap marks the
+    # window as throttled. Additions-only: the existing
+    # calib_numpy_s (= end reading) keeps its meaning for cross-round
+    # diffs.
+    calib_start = host_calib()
+
     spark = get_spark("etl-project-spark-bench")
     specs = all_specs()
 
@@ -282,6 +292,7 @@ def main() -> None:
             "queries": steady,
         },
         "host_calib": host_calib(),
+        "host_calib_start": calib_start,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail (cold + steady + calib) goes to a side file;
@@ -305,6 +316,8 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "steady_total": detail["steady_state"]["value"],
         "calib_numpy_s": detail["host_calib"]["numpy_matmul_s"],
+        "calib_start": calib_start["numpy_matmul_s"],
+        "calib_end": detail["host_calib"]["numpy_matmul_s"],
         "sf": detail["sf"],
     }
     line = json.dumps(compact, separators=(",", ":"))

