@@ -7,6 +7,13 @@ summation-order-dependent (the q01 half-cent lesson, at every
 iteration), so ranks live in integer micro-units with floor-division
 contributions — bit-identical across engines AND partitionings, which
 is what lets an iterative algorithm be hash-oracle-checked at all.
+
+Builder contract note (ADVICE r17): the iterative builders here run
+EAGER actions at plan-construction time (persist + count to
+materialize the graph caches before the iteration plan is composed),
+so an explain-only or schema-only caller pays full upstream
+materialization. All in-tree callers execute the plan anyway; tooling
+that only wants the plan shape should expect the cache-build jobs.
 """
 
 from __future__ import annotations
